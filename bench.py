@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` datasource writer (full
+materialization of every row, no driver collect), timed after a JVM/session
+warm-up pass so we measure the plan, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (windows/EMA kernel, grouped aggs,
+#: joins, top-k, dedup-by-rank, feature prep).
+HEADLINE = [
+    "enrich_indicators",
+    "summarize_multiple",
+    "feature_windows",
+    "last_per_minute",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_orders",
+    "event_type_stats",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from big_data_engineering_financial_analysis_spark import get_spark
+    from big_data_engineering_financial_analysis_spark.plans.registry import QUERIES
+
+    spark = get_spark("bench")
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    # warm-up: JVM JIT + parquet footer caches on a cheap query
+    _force(QUERIES["top_orders"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Ranking / per-group-selection / feature-window operators (SURVEY §2.6-2.8).
+
+W8  last-row-per-(symbol,time) — reference ``groupby(...).tail(1)``
+    (consumer.py:195-197).  The reference keeps *arrival* order among
+    duplicates (nondeterministic); here a deterministic tiebreaker column is
+    required so results are stable and oracle-checkable.
+W9  latest-row-per-symbol — reference ``ORDER BY local_time DESC LIMIT 1``
+    (grafana dashboard.json:604), generalized to per-key via ``max_by``.
+W10 sliding feature windows for the LSTM data prep
+    (AI-LSTM/LSTM_Stock_Market_Prediction.py:34-37): per key, features =
+    previous ``lookback`` closes, label = current close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def last_per_group(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the row with the max ``order_col`` per key group (W8).
+
+    One shuffle on ``keys``; ``row_number`` over a per-group sort — at scale
+    this is the standard dedup-by-rank pattern and AQE handles skewed keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_per_key(df: DataFrame, key: str, time_col: str, value_cols: list[str]) -> DataFrame:
+    """Latest value(s) per key via ``max_by`` (W9) — a single hash aggregate.
+
+    Cheaper than window+filter at scale: partial ``max_by`` runs map-side,
+    so the shuffle carries one row per key per mapper instead of all rows.
+    """
+    aggs = [F.max(time_col).alias(time_col)] + [
+        F.expr(f"max_by(`{c}`, `{time_col}`)").alias(c) for c in value_cols
+    ]
+    return df.groupBy(key).agg(*aggs)
+
+
+def feature_windows(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    lookback: int = 60,
+) -> DataFrame:
+    """Per-key sliding lookback windows (W10): ``features`` array + label.
+
+    ``collect_list`` over ``ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING``
+    preserves frame order, so ``features[i]`` is the i-th oldest close —
+    matching the reference's ``scaled_data[i-60:i]`` slices.  Rows without a
+    full window are dropped (``size == lookback``), like ``range(60, len)``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(-lookback, -1)
+    )
+    return (
+        df.withColumn("features", F.collect_list(F.col(value_col)).over(w))
+        .withColumn("label", F.col(value_col))
+        .filter(F.size("features") == lookback)
+    )
+
+
+def minmax_scale(df: DataFrame, value_col: str, out_col: str = "scaled") -> DataFrame:
+    """Min-max scaling (reference AI-LSTM/...py:29-31) without a collect.
+
+    Global min/max via a single aggregate, joined back with a broadcast
+    cross join (1 row) — stays fully distributed.
+    """
+    stats = df.agg(
+        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            (F.col(value_col) - F.col("__mn"))
+            / F.nullif(F.col("__mx") - F.col("__mn"), F.lit(0)),
+        )
+        .drop("__mn", "__mx")
+    )

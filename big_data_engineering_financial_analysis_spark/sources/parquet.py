@@ -1,0 +1,93 @@
+"""Batch parquet sources over the driver test tables (TESTDATA.md).
+
+Replaces the reference's at-rest store (QuestDB table ``stock_data``,
+db/init_questdb.sql:1-21) with columnar parquet: predicate pushdown +
+column pruning reach the scan via Catalyst, and the daily-partition pruning
+QuestDB did (``PARTITION BY DAY``) maps to ``partitionBy(to_date(ts))`` on
+write (see :func:`write_timeseries`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table with schema normalization.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark cannot map to
+    its (microsecond) TimestampType.  We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — set here too because the
+    driver may hand us a session built without it) and integer-divide to
+    microseconds, which matches DuckDB's read of the same file (DuckDB
+    truncates ns -> us, verified against pyarrow's raw int64 values).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for ``spark.sql`` queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the synthetic ``events`` table onto the candle-stream shape.
+
+    FIXTURES.md assigns ``user_id`` -> symbol key, ``ts`` -> local_time,
+    ``value`` -> close, which makes every reference window operator (W1-W9)
+    testable against a SQL oracle.  Column names keep the candle vocabulary
+    so downstream operators read naturally.
+    """
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("stock_symbol"),
+        F.col("ts").alias("local_time"),
+        F.col("value").alias("close"),
+        F.col("event_type"),
+    )
+
+
+def write_timeseries(df: DataFrame, path: str, time_col: str = "local_time") -> None:
+    """Append a time-series table partitioned by day.
+
+    Mirrors QuestDB's ``PARTITION BY DAY`` + designated timestamp
+    (db/init_questdb.sql:20-21): date partition directories give the same
+    time-range partition pruning for the serving queries.
+    """
+    (
+        df.withColumn("dt", F.to_date(F.col(time_col)))
+        .repartition("dt")
+        .write.mode("append")
+        .partitionBy("dt")
+        .parquet(path)
+    )

@@ -1,0 +1,320 @@
+"""Deduplication operator family for training-data pipelines.
+
+Five escalating strategies, each a distinct cost/recall trade-off at 100 TB:
+
+=================  ==========================================  ============
+strategy           mechanism                                    scale cost
+=================  ==========================================  ============
+exact              md5 of canonical text, groupBy hash          1 shuffle of
+                                                                (hash, id)
+minhash + LSH      k md5-family minhashes over 3-shingles,      1 explode x
+                   banded; pairs sharing a band bucket are      bands + 1
+                   candidates, verified on signature agreement  self-join on
+                                                                tiny buckets
+simhash            frequency-weighted 32-bit sign sketch;       row-local
+                   8-bit chunk blocking for candidate pairs     sketch + tiny
+                                                                join
+n-gram jaccard     exact set-similarity join over exploded      worst case
+                   shingles (ground truth / verifier)           O(pairs per
+                                                                shingle) —
+                                                                LSH-prefilter
+                                                                first at scale
+embedding cosine   exact pairwise cosine above a threshold      O(n²) — use
+                                                                similarity.py
+                                                                LSH buckets
+                                                                at scale
+=================  ==========================================  ============
+
+All sketches are md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces them bit-for-bit; all similarity scores are computed as
+sequential left-folds so floats agree exactly across engines.
+
+The reference's only dedup is the streaming first-writer-wins key set
+(services/stream-processing/app/consumer.py:28,199-205) — covered
+separately by ``streaming/dedup.py`` and operators/windows.py W8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import hash64, shingles, tokens
+
+DEFAULT_SHINGLE = 3
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4  # -> rows-per-band = num_perm / bands = 4
+
+
+def canonical_text(text: Column) -> Column:
+    """lowercase + whitespace-collapse — the normalization all strategies share."""
+    return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct canonical text with
+    the surviving (minimum) id and the duplicate count.
+
+    Map-side partial aggregation means the shuffle carries one row per
+    distinct hash per mapper — the cheapest possible dedup at any scale.
+    """
+    return (
+        df.withColumn("content_hash", F.md5(canonical_text(F.col(text_col)).cast("binary")))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """Per-document minhash signature (array<long>, one value per permutation).
+
+    Entirely row-local: shingle -> per-seed hash -> array_min, no explode,
+    no shuffle.  Documents with fewer tokens than the shingle size get an
+    empty shingle set and a NULL signature (excluded from LSH).
+    """
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda s: hash64(s, seed))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(sh) > 0, sig).alias("minhash_sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate generation: explode each signature into
+    ``bands`` band keys, self-join per (band, key) bucket, keep a < b.
+
+    The join key is (band index, band signature string) — buckets are tiny
+    for non-duplicate corpora, so the self-join output is near-linear; the
+    per-band explode is the only data blow-up (x bands).
+    """
+    rows = num_perm // bands
+    banded = sigs.filter(F.col("minhash_sig").isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.concat_ws(
+                        "-", F.transform(F.slice("minhash_sig", j * rows + 1, rows), lambda v: v.cast("string"))
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by signature agreement.
+
+    ``est_jaccard`` = fraction of matching signature components — an
+    unbiased minhash estimate of shingle Jaccard, integer-exact across
+    engines (unlike recomputing true Jaccard, it needs no second pass over
+    the text).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks for blocking
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Frequency-weighted sign sketch, packed into a 32-bit long.
+
+    Bit b uses an independent md5 hash family (``hash64(token, seed=b) % 2``)
+    instead of extracting bit b of one hash — same guarantees, and it
+    reproduces exactly in SQL without shift operators.  Duplicate tokens in
+    the raw token list supply the term-frequency weighting.
+    """
+    toks = tokens(F.col(text_col))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + (hash64(t, b) % 2) * 2 - 1,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    packed = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit)
+    return df.select(F.col(id_col), bits.alias("simhash_bits"), packed.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sketches: DataFrame, id_col: str = "doc_id", max_hamming: int = 2
+) -> DataFrame:
+    """Chunk-blocked simhash near-dup pairs with exact hamming verify.
+
+    Chunk equality over the four 8-bit chunks is the blocking join key
+    (pigeonhole: any pair within hamming distance 3 shares a chunk);
+    hamming over the bit arrays is the verifier.  The default cutoff is
+    tight (2) because frequency-weighted sketches of same-domain documents
+    legitimately cluster — a loose cutoff floods the result with
+    topical-similarity pairs rather than near-duplicates.
+    """
+    chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1)),
+            lambda j: F.struct(
+                j.alias("chunk"),
+                F.aggregate(
+                    F.slice("simhash_bits", j * chunk_size + 1, chunk_size),
+                    F.lit(0).cast("long"),
+                    lambda acc, bit: acc * 2 + bit,
+                ).alias("chunk_key"),
+            ),
+        )
+    )
+    blocked = sketches.select(F.col(id_col), F.col("simhash_bits"), chunks.alias("ck")).select(
+        id_col, "simhash_bits", "ck.chunk", "ck.chunk_key"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(f"a.simhash_bits", f"b.simhash_bits", lambda x, y: x != y),
+            lambda m: m,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (ground truth / verifier)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard via a set-similarity self-join.
+
+    Explode distinct shingles, count co-occurrences per pair, then
+    ``|A ∩ B| / (|A| + |B| - |A ∩ B|)``.  Integer counts -> the double
+    division is bit-identical across engines.  At 100 TB this runs AFTER
+    LSH candidate pruning (the explode-join is the verifier, not the
+    search); standing alone it is quadratic in per-shingle frequency.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,144 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Policy: media travel as opaque ``binary`` payload columns with typed
+metadata (schemas.ASSET_SCHEMA), and every media transformation is an
+Arrow-batched ``mapInPandas`` operator — binary never round-trips through
+Python row objects.  The container has no image/audio libraries, so the
+*decode* step is stubbed (TESTDATA has no media either): real codecs plug
+into ``_decode_payload`` behind the import-try; everything around it —
+schema, batch iteration, partitioning, row fan-out for frame sampling — is
+real and tested.
+
+Fake payload format (deterministic, self-describing) so plumbing tests are
+meaningful without codecs:
+
+    b"FAKE" + modality[0] + width(2B big-endian) + height(2B) +
+    n_frames(2B) + md5-derived filler bytes
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.schemas import ASSET_SCHEMA
+
+MAGIC = b"FAKE"
+
+try:  # real decoder hook — not present in this container, by design
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:
+    HAVE_PIL = False
+
+
+def make_fake_payload(asset_id: int, modality: str, width: int, height: int, n_frames: int) -> bytes:
+    filler = hashlib.md5(f"payload-{asset_id}".encode()).digest() * 4
+    return MAGIC + modality[:1].encode() + struct.pack(">HHH", width, height, n_frames) + filler
+
+
+def make_fake_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic asset table matching ASSET_SCHEMA."""
+    mods = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        modality = mods[i % 3]
+        w, h = 64 + (i % 8) * 16, 48 + (i % 5) * 16
+        frames = 1 if modality == "image" else 8 + i % 24
+        rows.append(
+            (
+                i,
+                modality,
+                f"application/x-fake-{modality}",
+                make_fake_payload(i, modality, w, h, frames),
+                {"origin": f"synth-{i % 4}"},
+            )
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int]:
+    """Parse (width, height, n_frames) from a payload header.
+
+    Real image decoding would go here (PIL etc.); this container has no
+    codecs, so only the deterministic fake format is supported.
+    """
+    if payload[:4] == MAGIC:
+        return struct.unpack(">HHH", payload[5:11])
+    if HAVE_PIL:
+        raise NotImplementedError("real codec path not wired up in this build")
+    raise NotImplementedError("no codec available for non-FAKE payloads")
+
+
+def extract_metadata(assets: DataFrame) -> DataFrame:
+    """Decode header metadata from payloads via Arrow-batched mapInPandas.
+
+    Binary stays in Arrow buffers end-to-end; output schema is explicit so
+    the operator composes with downstream relational ops.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_decode_payload)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "width": meta.map(lambda m: m[0]),
+                    "height": meta.map(lambda m: m[1]),
+                    "n_frames": meta.map(lambda m: m[2]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return assets.mapInPandas(
+        op,
+        schema="asset_id long, modality string, width int, height int, n_frames int, n_bytes long",
+    )
+
+
+def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling: fan each video row out to one row per sampled frame.
+
+    Row-expanding mapInPandas — the shape a real frame extractor has
+    (payload in, many (frame_idx, frame_payload) out).  Frame payload here
+    is a deterministic md5 slice standing in for decoded pixels.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_bytes": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, _, n_frames = _decode_payload(payload)
+                for idx in range(0, n_frames, every):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(
+                        hashlib.md5(bytes(payload) + idx.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.filter(F.col("modality") == "video").mapInPandas(
+        op, schema="asset_id long, frame_idx int, frame_bytes binary"
+    )
+
+
+def payload_stats(assets: DataFrame) -> DataFrame:
+    """Pure-relational stats over binary columns (no Python): byte length
+    and hex-prefix groupings — proves binary columns behave as first-class
+    values in scans/aggregations."""
+    return (
+        assets.withColumn("n_bytes", F.length("payload").cast("long"))
+        .withColumn("magic_hex", F.lower(F.hex(F.substring("payload", 1, 4))))
+        .groupBy("modality", "magic_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring what a 100 TB ANN pipeline needs:
+
+* :func:`cosine_topk` — exact brute force: broadcast the (small) query set
+  against the corpus, compute cosine JVM-side, per-query top-k via window
+  rank.  O(|corpus| x |queries|) but perfectly distributed; the baseline
+  and the verifier for approximate variants.
+* :func:`lsh_ann_topk` — sign-LSH (random hyperplanes): bucket corpus and
+  queries by the sign pattern of projections onto deterministic
+  hyperplanes, search only the matching bucket.  Cuts the candidate set by
+  ~2^n_planes at the cost of recall; hyperplanes are md5-derived constants
+  (functions/hashing.py) so the DuckDB oracle reproduces the buckets
+  exactly.
+
+All dot products are sequential left-folds (zip_with + aggregate) so the
+floats — and therefore orderings and threshold cuts — are bit-identical in
+the SQL oracle (list_zip + list_reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes
+
+DEFAULT_K = 10
+DEFAULT_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (DuckDB twin:
+    ``list_reduce(list_transform(list_zip(a, b), x -> x[1]*x[2]), (s,x) -> s+x)``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(out, F.sqrt(_dot(v, v)))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return _dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is a handful of rows -> broadcast nested-loop join, so
+    the corpus is scanned once with no shuffle; the only exchange is the
+    per-query top-k rank (tiny).  Deterministic ordering: (cosine desc, id).
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    c = with_norm(c, "vec")
+    q = c.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of projections onto the hyperplanes, as a bit string."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+DEFAULT_TABLES = 4
+DEFAULT_PLANES_PER_TABLE = 4
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_tables: int = DEFAULT_TABLES,
+    planes_per_table: int = DEFAULT_PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH.
+
+    L independent hash tables of p hyperplanes each: a corpus vector is a
+    candidate if it collides with the query in ANY table — the standard
+    recall amplifier (P[candidate] = 1 - (1 - s^p)^L for cosine similarity
+    angle-prob s).  Expressed as an exploded (table, bucket) equi-join:
+    that is the plan that scales — candidates shuffle only on small bucket
+    keys, no OR-join / nested loop, and at ingest the exploded bucket table
+    is what you'd persist (partitioned by (table, bucket)).
+    """
+    all_planes = hyperplanes(n_tables * planes_per_table, dim)
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    c = with_norm(c, "vec")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col("vec"),
+                    all_planes[t * planes_per_table : (t + 1) * planes_per_table],
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
+        id_col, "tb.tbl", "tb.bucket"
+    )
+    q_ex = (
+        exploded.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), "tbl", "bucket")
+    )
+    cands = (
+        exploded.join(F.broadcast(q_ex), ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q_vec = c.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        cands.join(c, id_col)
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn(
+            "cos_sim", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs by cosine >= threshold.
+
+    Brute-force O(n²) — correct-by-construction verifier; at scale, run
+    inside LSH buckets (compose with :func:`lsh_bucket` as the join key)
+    exactly like minhash-LSH prunes the jaccard join.
+    """
+    c = with_norm(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")), "vec"
+    )
+    a = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = c.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+The reference pipeline has no text processing (its only strings are symbol
+names), so this module is pure engine extension surface — the operations a
+100 TB document-corpus pipeline needs, each expressed as JVM-side column
+expressions (no Python in the hot path):
+
+* token counting — whitespace tokens plus a BPE-ish word-piece regex count;
+* quality scoring — length/stopword/punctuation features folded into a
+  deterministic [0, 1] score;
+* language ID — marker-stopword profile scoring with a deterministic
+  priority tie-break (a heuristic, not a model: good enough for routing,
+  cheap enough for 100 TB);
+* fingerprinting — canonical-text md5 plus a 1-permutation minhash of
+  3-gram shingles.
+
+Everything is order-free row-local arithmetic -> embarrassingly parallel,
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import hash64, shingles, tokens
+
+#: marker stopwords per language, with a deterministic priority used to
+#: break score ties (higher wins).  Keep in sync with LANG_MARKERS_SQL.
+LANG_MARKERS: dict[str, tuple[int, list[str]]] = {
+    "en": (5, ["the", "a", "and", "of", "to", "is"]),
+    "fr": (4, ["le", "la", "et", "de", "un", "est"]),
+    "es": (3, ["el", "la", "y", "de", "un", "es"]),
+    "de": (2, ["der", "die", "und", "das", "ein", "ist"]),
+    "zh": (1, ["de", "le", "shi", "bu", "wo"]),
+}
+
+#: BPE-ish word-piece pattern: letter runs, digit runs, or single symbols.
+WORDPIECE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+PUNCT_RE = "[^a-zA-Z0-9\\s]"
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token/char counts: whitespace tokens, word-piece tokens, distinct."""
+    t = tokens(F.col(text_col))
+    return (
+        df.withColumn("n_chars_calc", F.length(F.col(text_col)).cast("long"))
+        .withColumn("n_tokens", F.size(t).cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)).cast("long"))
+        .withColumn(
+            "n_wordpieces",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORDPIECE_RE), 0)).cast("long"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+                / F.nullif(F.size(t).cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+def _marker_count(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(markers))).cast("long")
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1].
+
+    Pure linear arithmetic (no exp/log) so the score is bit-identical
+    across engines.
+    """
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    stop = _marker_count(t, LANG_MARKERS["en"][1]).cast("double")
+    punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    ).cast("double")
+    stop_ratio = stop / F.nullif(n_tokens, F.lit(0.0))
+    punct_ratio = punct / F.nullif(n_chars, F.lit(0.0))
+    length_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return (
+        df.withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn(
+            "quality_score",
+            F.round(
+                length_score * 0.5
+                + F.coalesce(stop_ratio, F.lit(0.0)) * 3.0
+                + (F.lit(1.0) - F.coalesce(punct_ratio, F.lit(0.0))) * 0.2,
+                6,
+            ),
+        )
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-profile language ID with deterministic tie-break.
+
+    Each language's score is ``count(marker tokens) * 8 + priority``; the
+    arg-max decodes back to the language.  Integer arithmetic only, so the
+    SQL oracle agrees exactly.
+    """
+    t = tokens(F.col(text_col))
+    encoded = [
+        (_marker_count(t, markers) * 8 + F.lit(prio)).alias(lang)
+        for lang, (prio, markers) in LANG_MARKERS.items()
+    ]
+    best = F.greatest(*encoded)
+    expr = None
+    for lang, (prio, markers) in sorted(
+        LANG_MARKERS.items(), key=lambda kv: -kv[1][0]
+    ):
+        cond = best == _marker_count(t, markers) * 8 + F.lit(prio)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return df.withColumn("lang_guess", expr.otherwise(F.lit("und")))
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: canonical md5 + 1-perm minhash of 3-shingles.
+
+    ``content_fp`` detects byte-identical (post-normalization) texts;
+    ``minhash_fp`` is a locality-sensitive 60-bit sketch — equal values
+    imply high shingle overlap with high probability.
+    """
+    canonical = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    sh = shingles(tokens(F.col(text_col)), 3)
+    return (
+        df.withColumn("content_fp", F.md5(canonical.cast("binary")))
+        .withColumn(
+            "minhash_fp",
+            F.array_min(F.transform(sh, lambda s: hash64(s, 0))),
+        )
+    )

@@ -519,3 +519,9 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_stats": q_event_type_stats,
     "events_union": q_events_union,
 }
+
+# training-data pipeline queries (dedup / similarity / text / binary)
+from big_data_engineering_financial_analysis_spark.plans import registry_datapipe as _datapipe  # noqa: E402
+
+QUERIES.update(_datapipe.QUERIES)
+ORACLES.update(_datapipe.ORACLES)

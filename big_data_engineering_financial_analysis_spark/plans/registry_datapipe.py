@@ -1,0 +1,423 @@
+"""Registry part 2: training-data pipeline queries (dedup / similarity /
+text analysis / binary columns) with DuckDB oracles.
+
+Same conventions as plans/registry.py.  Sketches and similarity scores are
+md5-derived and fold-ordered (functions/hashing.py, operators/similarity.py)
+so every value — including float cosines — reproduces bit-for-bit in the
+oracle; thresholds therefore cut both result sets identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes
+from big_data_engineering_financial_analysis_spark.operators import dedup, similarity, text
+from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+EMB_DEDUP_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.5
+N_PLANES = 8  # single-table bucket histogram
+N_TABLES = 4  # multi-table ANN
+PLANES_PER_TABLE = 4
+MAX_HAMMING = 2
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "n_wordpieces", "avg_token_len"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_quality(docs).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.with_lang_guess(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        "lang_guess",
+        (F.col("lang_guess") == F.col("lang")).cast("int").alias("agree"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_fingerprints(docs).select("doc_id", "content_fp", "minhash_fp")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = dedup.simhash(docs)
+    out = dedup.simhash_candidate_pairs(sketches, max_hamming=MAX_HAMMING)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing through the relational layer: encode text to
+    bytes, measure, hash, hex — no Python row handling."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("text_md5"),
+        F.substring(F.lower(F.hex(payload)), 1, 16).alias("prefix_hex"),
+    )
+
+
+def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.with_norm(
+        emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")),
+        "vec",
+    )
+    return out.select("vec_id", "label", F.round("norm", 6).alias("norm"))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, QUERY_VEC_IDS)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, QUERY_VEC_IDS, n_tables=N_TABLES, planes_per_table=PLANES_PER_TABLE, dim=EMB_DIM
+    )
+
+
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec"))
+    planes = hyperplanes(N_PLANES, EMB_DIM)
+    return (
+        c.withColumn("bucket", similarity.lsh_bucket(F.col("vec"), planes))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dedup_pairs(emb, threshold=EMB_DEDUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
+    " (acc, v) -> acc + v)"
+)
+_SHINGLES3 = (
+    "list_transform(generate_series(1, len(t) - 2),"
+    " i -> array_to_string(t[i:i+2], ' '))"
+)
+
+
+def _lang_case() -> str:
+    markers = {k: v[1] for k, v in text.LANG_MARKERS.items()}
+    prio = {k: v[0] for k, v in text.LANG_MARKERS.items()}
+    scores = ", ".join(
+        f"len(list_filter(t, x -> x IN ({', '.join(repr(m) for m in markers[lang])}))) * 8 + {prio[lang]} AS s_{lang}"
+        for lang in markers
+    )
+    ordered = sorted(markers, key=lambda L: -prio[L])
+    case = (
+        "CASE greatest(s_en, s_fr, s_es, s_de, s_zh) "
+        + " ".join(f"WHEN s_{L} THEN '{L}'" for L in ordered)
+        + " ELSE 'und' END"
+    )
+    return scores, case
+
+
+_LANG_SCORES, _LANG_CASE = _lang_case()
+
+
+def _plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+_PLANES = hyperplanes(N_PLANES, EMB_DIM)
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN {_DOT.format(a='vec', b=_plane_literal(p))} > 0 THEN '1' ELSE '0' END)"
+    for p in _PLANES
+)
+
+# multi-table ANN buckets: table t uses planes [t*p, (t+1)*p)
+_ANN_PLANES = hyperplanes(N_TABLES * PLANES_PER_TABLE, EMB_DIM)
+
+
+def _table_bucket_sql(t: int) -> str:
+    planes = _ANN_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
+    return " || ".join(
+        f"(CASE WHEN {_DOT.format(a='vec', b=_plane_literal(p))} > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+_CB_SQL = "\n          UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_table_bucket_sql(t)} AS bucket FROM n"
+    for t in range(N_TABLES)
+)
+
+_EN = ", ".join(repr(m) for m in text.LANG_MARKERS["en"][1])
+
+ORACLES: dict[str, str] = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+               CAST(len(regexp_extract_all(text, '{text.WORDPIECE_RE}')) AS BIGINT) AS n_wordpieces,
+               round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                     / nullif(CAST(len(t) AS DOUBLE), 0.0), 6) AS avg_token_len
+        FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    """,
+    "text_quality": f"""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS stop,
+                 CAST(len(t) AS DOUBLE) AS n_tokens,
+                 n_chars, punct
+          FROM (
+            SELECT doc_id, {_TOKS} AS t,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '{text.PUNCT_RE}', '', 'g')) AS DOUBLE) AS punct
+            FROM documents)
+        )
+        SELECT doc_id,
+               round(stop / nullif(n_tokens, 0.0), 6) AS stopword_ratio,
+               round(punct / nullif(n_chars, 0.0), 6) AS punct_ratio,
+               round(least(1.0, n_tokens / 100.0) * 0.5
+                     + coalesce(stop / nullif(n_tokens, 0.0), 0.0) * 3.0
+                     + (1.0 - coalesce(punct / nullif(n_chars, 0.0), 0.0)) * 0.2, 6) AS quality_score
+        FROM q
+    """,
+    "lang_id": f"""
+        WITH sc AS (
+          SELECT doc_id, lang, {_LANG_SCORES}
+          FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+        ), g AS (
+          SELECT doc_id, lang, {_LANG_CASE} AS lang_guess FROM sc
+        )
+        SELECT doc_id, lang, lang_guess,
+               CAST(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END AS INTEGER) AS agree
+        FROM g
+    """,
+    "doc_fingerprints": f"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,
+               list_min(list_transform(sh, s -> ('0x' || substr(md5(s || '#0'), 1, 15))::BIGINT)) AS minhash_fp
+        FROM (
+          SELECT doc_id, text, {_SHINGLES3} AS sh
+          FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents))
+    """,
+    "dedup_exact": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+               min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct({_SHINGLES3}) AS shingles
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN len(shingles) > 0 THEN
+                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), seed ->
+                     list_min(list_transform(shingles,
+                       s -> ('0x' || substr(md5(s || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT)))
+                 END AS sig
+          FROM sh
+        ),
+        banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
+          WHERE sig IS NOT NULL
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                       p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                     / {float(dedup.DEFAULT_NUM_PERM)}, 6) AS est_jaccard
+        FROM cands
+        JOIN sigs sa ON id_a = sa.doc_id
+        JOIN sigs sb ON id_b = sb.doc_id
+        WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / {float(dedup.DEFAULT_NUM_PERM)} >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH sk AS (
+          SELECT doc_id,
+                 list_transform(range(0, {dedup.SIMHASH_BITS}), b ->
+                   CASE WHEN CAST(list_sum(list_transform(t,
+                     tok -> (('0x' || substr(md5(tok || '#' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)) AS BIGINT) > 0
+                   THEN 1 ELSE 0 END) AS bits
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        blocked AS (
+          SELECT doc_id, bits, j AS chunk,
+                 list_reduce(bits[j*8+1:j*8+8], (acc, bit) -> acc * 2 + bit) AS chunk_key
+          FROM sk CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_CHUNKS})) AS j) u
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
+                 p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM blocked a JOIN blocked b
+          ON a.chunk = b.chunk AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+        WHERE CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
+                 p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS BIGINT) <= {MAX_HAMMING}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct({_SHINGLES3}) AS shingles
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    "binary_payload": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS text_md5,
+               substr(lower(hex(encode(text))), 1, 16) AS prefix_hex
+        FROM documents
+    """,
+    "emb_norms": f"""
+        SELECT vec_id, label,
+               round(sqrt({_DOT.format(a="vec", b="vec")}), 6) AS norm
+        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+    """,
+    "ann_bruteforce": f"""
+        WITH n AS (
+          SELECT vec_id, vec, sqrt({_DOT.format(a="vec", b="vec")}) AS norm
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        ),
+        q AS (
+          SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+          FROM n WHERE vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+        ),
+        scored AS (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 {_DOT.format(a="n.vec", b="q.qvec")} / nullif(n.norm * q.qnorm, 0.0) AS cos
+          FROM n CROSS JOIN q
+          WHERE n.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {similarity.DEFAULT_K}
+    """,
+    "ann_lsh": f"""
+        WITH n AS (
+          SELECT vec_id, vec, sqrt({_DOT.format(a="vec", b="vec")}) AS norm
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        ),
+        cb AS (
+          {_CB_SQL}
+        ),
+        qb AS (
+          SELECT vec_id AS query_id, tbl, bucket FROM cb
+          WHERE vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+        ),
+        cands AS (
+          SELECT DISTINCT qb.query_id, cb.vec_id
+          FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                         AND cb.vec_id != qb.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 {_DOT.format(a="nv.vec", b="qv.vec")} / nullif(nv.norm * qv.norm, 0.0) AS cos
+          FROM cands c
+          JOIN n nv ON c.vec_id = nv.vec_id
+          JOIN n qv ON c.query_id = qv.vec_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {similarity.DEFAULT_K}
+    """,
+    "lsh_bucket_histogram": f"""
+        SELECT {_BUCKET_SQL} AS bucket, count(*) AS n
+        FROM (SELECT embedding::DOUBLE[] AS vec FROM embeddings)
+        GROUP BY 1
+    """,
+    "dedup_embedding": f"""
+        WITH n AS (
+          SELECT vec_id, vec, sqrt({_DOT.format(a="vec", b="vec")}) AS norm
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DOT.format(a="a.vec", b="b.vec")} / nullif(a.norm * b.norm, 0.0), 6) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {_DOT.format(a="a.vec", b="b.vec")} / nullif(a.norm * b.norm, 0.0) >= {EMB_DEDUP_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "binary_payload": q_binary_payload,
+    "emb_norms": q_emb_norms,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "lsh_bucket_histogram": q_lsh_bucket_histogram,
+    "dedup_embedding": q_dedup_embedding,
+}

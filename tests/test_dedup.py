@@ -1,0 +1,74 @@
+"""Behavioral tests for the dedup family on planted duplicates.
+
+The oracle tests (test_oracle.py) prove Spark == SQL; these prove the
+operators actually *find* what they should: exact copies, near-copies with
+small edits, and unrelated documents staying apart.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_engineering_financial_analysis_spark.operators import dedup
+
+BASE = (
+    "spark window merge batch table a big join batch table window big the "
+    "join line agg small slow filter value small value table the part data"
+)
+NEAR = BASE.replace("filter value", "filter changed")  # one-token edit
+OTHER = "completely different vocabulary about cats dogs birds fish " * 3
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),            # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # canonical dup of 1 (case/space)
+        (4, NEAR),            # near dup of 1
+        (5, OTHER),
+        (6, OTHER + " extra tail words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    out = dedup.exact_dedup_groups(docs).toPandas()
+    dup_group = out[out.n_copies == 3]
+    assert len(dup_group) == 1 and dup_group.iloc[0]["keeper_id"] == 1
+    assert out["n_copies"].sum() == 6
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    keys = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # shingling is case-sensitive (canonicalization is exact-dedup's job),
+    # so doc 3 (uppercased) is NOT a shingle near-dup of doc 1
+    assert (1, 2) in keys  # exact dup: j = 1
+    assert (1, 4) in keys  # near dup (one-token edit)
+    assert (1, 3) not in keys
+    assert not any({a, b} == {1, 5} for a, b in keys)
+
+
+def test_minhash_lsh_agrees_with_exact_on_planted(docs):
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5).toPandas()
+    keys = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in keys  # identical signatures
+    assert (1, 4) in keys  # near dup caught by LSH + estimate
+    assert not any({a, b} == {1, 5} for a, b in keys)
+
+
+def test_simhash_hamming_ordering(docs):
+    sk = dedup.simhash(docs)
+    pairs = dedup.simhash_candidate_pairs(sk, max_hamming=32).toPandas()
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    assert ham.get((1, 2)) == 0  # identical text -> identical sketch
+    # near dup closer than unrelated
+    if (1, 4) in ham and (1, 5) in ham:
+        assert ham[(1, 4)] < ham[(1, 5)]
+
+
+def test_minhash_signature_null_for_tiny_docs(spark):
+    tiny = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sigs = dedup.minhash_signatures(tiny).toPandas()
+    assert sigs["minhash_sig"].isna().all()

@@ -1,0 +1,47 @@
+"""Multimodal column plumbing (operators/multimodal.py) — no SQL oracle
+(binary + mapInPandas is not SQL-expressible); asserted against the
+deterministic fake payload format instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_engineering_financial_analysis_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return mm.make_fake_assets(spark, n=48).cache()
+
+
+def test_extract_metadata_parses_headers(assets):
+    out = mm.extract_metadata(assets).toPandas().set_index("asset_id").sort_index()
+    assert len(out) == 48
+    # regenerate expectations from the generator's formula
+    for i in [0, 7, 23, 47]:
+        assert out.loc[i, "width"] == 64 + (i % 8) * 16
+        assert out.loc[i, "height"] == 48 + (i % 5) * 16
+    assert (out["n_bytes"] > 11).all()
+
+
+def test_sample_frames_fans_out_video_rows(assets):
+    frames = mm.sample_frames(assets, every=4).toPandas()
+    vids = assets.filter("modality = 'video'").count()
+    assert frames["asset_id"].nunique() == vids
+    assert (frames["frame_idx"] % 4 == 0).all()
+    # deterministic frame payloads
+    f2 = mm.sample_frames(assets, every=4).toPandas()
+    merged = frames.merge(f2, on=["asset_id", "frame_idx"])
+    assert (merged["frame_bytes_x"] == merged["frame_bytes_y"]).all()
+
+
+def test_payload_stats_binary_relational(assets):
+    stats = mm.payload_stats(assets).toPandas()
+    # all fake payloads share the FAKE magic -> one hex group per modality
+    assert set(stats["modality"]) == {"image", "audio", "video"}
+    assert (stats["magic_hex"] == "46414b45").all()  # b"FAKE"
+
+
+def test_decode_rejects_unknown_format():
+    with pytest.raises(NotImplementedError):
+        mm._decode_payload(b"\x89PNG....")

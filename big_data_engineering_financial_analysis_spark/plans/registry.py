@@ -137,6 +137,29 @@ def q_enrich_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, INDICATOR_COLS)
 
 
+def q_enrich_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming keyed-state kernel (streaming/state.py), run in batch
+    via applyInPandas and checked against the SAME SQL oracle as the
+    window-function pipeline — proving incremental == declarative."""
+    from big_data_engineering_financial_analysis_spark.streaming.state import SymbolState, process_group
+
+    candles = candles_from_events(spark, sf_dir)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
+    out_schema = (
+        f"{fields}, sma_5 double, ema_10 double, delta double, gain double, "
+        "loss double, avg_gain_10 double, avg_loss_10 double, rs double, "
+        "rsi_10 double, signal string"
+    )
+
+    def run(pdf):
+        return process_group(SymbolState(), pdf, "local_time", "close")
+
+    out = candles.groupBy("stock_symbol").applyInPandas(run, schema=out_schema).select(
+        "event_id", "stock_symbol", "local_time", "close", *INDICATOR_COLS, "signal"
+    )
+    return _round6(out, INDICATOR_COLS)
+
+
 def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: rolling mean with pandas min_periods NaN-gating."""
     out = _enriched(spark, sf_dir).select("event_id", "stock_symbol", "local_time", "sma_5")
@@ -342,6 +365,8 @@ _PIVOT_SQL = ", ".join(
 ORACLES: dict[str, str] = {
     "enrich_indicators": ENRICHED_CTE
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
+    "enrich_incremental": ENRICHED_CTE
+    + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
     "sma_5": ENRICHED_CTE
     + "SELECT event_id, stock_symbol, local_time, round(sma_5, 6) AS sma_5 FROM enriched",
     "ema_10": ENRICHED_CTE
@@ -494,6 +519,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES: dict[str, QueryFn] = {
     "enrich_indicators": q_enrich_indicators,
+    "enrich_incremental": q_enrich_incremental,
     "sma_5": q_sma,
     "ema_10": q_ema,
     "rsi_10": q_rsi,

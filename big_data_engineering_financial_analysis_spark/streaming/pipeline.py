@@ -1,0 +1,104 @@
+"""Structured Streaming pipeline builders.
+
+Re-expresses the reference's streaming job (SURVEY §3.1) without the
+driver-side pandas bottleneck:
+
+    reference                               this engine
+    ---------------------------------       --------------------------------
+    foreachBatch -> toPandas() on the       applyInPandasWithState keyed by
+    driver, Arrow disabled, full-history    symbol: Arrow-batched, executor-
+    recompute per batch (consumer.py:       side, O(batch) work, O(1) state
+    160-223)                                per key, checkpointable
+    in-memory ``already_sent`` set          withWatermark + dropDuplicates
+    (consumer.py:28,199-205), lost on       (state-store backed, survives
+    restart                                 restart)
+    fresh KafkaProducer per batch           native Kafka sink / parquet sink
+
+The indicator math lives in streaming/state.py and is bit-identical to the
+batch kernel for in-order input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from big_data_engineering_financial_analysis_spark.streaming.state import (
+    OUT_COLS,
+    STATE_DDL,
+    SymbolState,
+    process_group,
+)
+
+
+def enrich_stream(
+    candles: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    close_col: str = "close",
+) -> DataFrame:
+    """Stateful incremental enrichment of a candle stream.
+
+    Input: a streaming DataFrame with at least (symbol, time, close).
+    Output: input columns + the 10 indicator/signal columns, in append
+    mode; late/duplicate rows per key are dropped (first-writer-wins, the
+    reference's observable semantics).
+
+    Scale: state is ~25 doubles per symbol; parallelism is the number of
+    symbols; each micro-batch does O(rows) work.  Contrast with the
+    reference's O(history) per batch.
+    """
+    in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
+    out_schema = (
+        f"{in_fields}, sma_5 double, ema_10 double, delta double, gain double, "
+        "loss double, avg_gain_10 double, avg_loss_10 double, rs double, "
+        "rsi_10 double, signal string"
+    )
+
+    def update(key, pdfs, group_state):
+        import pandas as pd
+
+        if group_state.exists:
+            st = SymbolState.from_tuple(group_state.get)
+        else:
+            st = SymbolState()
+        outs = [process_group(st, pdf, time_col, close_col) for pdf in pdfs]
+        group_state.update(st.to_tuple())
+        out = pd.concat([o for o in outs if len(o)], ignore_index=True) if outs else pd.DataFrame()
+        if len(out):
+            yield out
+
+    return candles.groupBy(symbol_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_DDL,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] = ("stock_symbol", "local_time"),
+    time_col: str = "local_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-writer-wins streaming dedup (reference J1/T5) — state-store
+    backed and restart-safe, with an explicit watermark bound instead of
+    the reference's unbounded in-memory key set."""
+    return df.withWatermark(time_col, watermark).dropDuplicates(list(keys))
+
+
+def write_parquet_sink(df: DataFrame, path: str, checkpoint: str, time_col: str = "local_time"):
+    """Partitioned parquet append sink — the engine-native replacement for
+    the reference's row-at-a-time QuestDB inserts (K3/K4), keeping the
+    daily-partition pruning of ``PARTITION BY DAY``."""
+    return (
+        df.withColumn("dt", F.to_date(F.col(time_col)))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("dt")
+        .outputMode("append")
+    )

@@ -20,7 +20,8 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline set: one per operator family (windows/EMA kernel, grouped aggs,
-#: joins, top-k, dedup-by-rank, feature prep).
+#: joins, top-k, dedup-by-rank, feature prep, document dedup/sketching,
+#: similarity search, text analysis).
 HEADLINE = [
     "enrich_indicators",
     "summarize_multiple",
@@ -31,6 +32,12 @@ HEADLINE = [
     "local_supplier_volume",
     "top_orders",
     "event_type_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce",
+    "ann_lsh",
+    "text_quality",
 ]
 
 

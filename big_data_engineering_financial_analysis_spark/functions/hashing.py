@@ -22,17 +22,18 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = r"\s+"
 
 
-def hash64(col: Column, seed: Column | str | int | None = None) -> Column:
-    """60-bit positive hash of a string column (md5-derived).
+def hash64(col: Column, seed: Column | str | int | None = None, nhex: int = 15) -> Column:
+    """Positive hash of a string column (md5-derived), ``nhex`` hex digits
+    (15 -> 60 bits; 14 -> 56 bits, leaving headroom for ``h1 + i*h2``
+    permutation mixing without BIGINT overflow in either engine).
 
-    ``seed`` (appended as ``#<seed>``) yields independent hash families for
-    minhash permutations / simhash bit positions.
+    ``seed`` (appended as ``#<seed>``) yields independent hash families.
     """
     s = col
     if seed is not None:
         seed_col = seed if isinstance(seed, Column) else F.lit(str(seed))
         s = F.concat(col, F.lit("#"), seed_col.cast("string"))
-    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, nhex), 16, 10).cast("long")
 
 
 def hash64_py(s: str, seed=None) -> int:
@@ -47,6 +48,27 @@ def duck_hash64(expr: str, seed=None) -> str:
     if seed is not None:
         expr = f"({expr} || '#{seed}')"
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+#: Mersenne prime for the minhash universal-hash family.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the permutation family
+    ``g_i(h) = (a_i * h + b_i) mod MINHASH_PRIME``.
+
+    Sizes are chosen so every intermediate fits signed 64-bit in BOTH
+    engines (DuckDB errors on overflow): h is 32-bit, a_i < 2^30
+    (product < 2^62), b_i < 2^61 (sum < 2^63).
+    """
+    return [
+        (
+            hash64_py(f"mh-a-{i}") % ((1 << 30) - 1) + 1,
+            hash64_py(f"mh-b-{i}") % MINHASH_PRIME,
+        )
+        for i in range(num_perm)
+    ]
 
 
 def tokens(text: Column) -> Column:

@@ -87,20 +87,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document minhash signature (array<long>, one value per permutation).
 
-    Entirely row-local: shingle -> per-seed hash -> array_min, no explode,
-    no shuffle.  Documents with fewer tokens than the shingle size get an
-    empty shingle set and a NULL signature (excluded from LSH).
+    Entirely row-local: no explode, no shuffle.  Each shingle is md5-hashed
+    ONCE into a 32-bit base value; the ``num_perm`` permutations are the
+    universal-hash family ``g_i(h) = (a_i*h + b_i) mod p`` (p = 2^61-1,
+    a_i < 2^30 so every intermediate fits signed 64-bit in Spark AND DuckDB,
+    which errors on overflow).  md5 is the dominant cost, so one hash per
+    shingle is ~num_perm x cheaper than hashing per permutation — and the
+    modular mixing keeps the per-permutation orderings independent (a plain
+    ``h1 + i*h2`` family degenerates: the i*h2 term dominates and every
+    permutation collapses toward the argmin-of-h2 ordering).
+
+    The base-hash array is materialized as a real column so the md5 pass
+    runs once per row — inlined into the per-permutation lambda it would
+    re-evaluate ``num_perm`` times (HOF arguments are not CSE'd).
+
+    Documents with fewer tokens than the shingle size get an empty shingle
+    set and a NULL signature (excluded from LSH).
     """
+    from big_data_engineering_financial_analysis_spark.functions.hashing import MINHASH_PRIME, minhash_params
+
+    # small-file corpora arrive as one partition; the md5 work per row is
+    # heavy, so spread it across the cluster first
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    with_h = df.withColumn(
+        "_mh_base", F.transform(sh, lambda s: hash64(s, None, 8))
+    )
+    params = minhash_params(num_perm)
+    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_lit = F.array(*[F.lit(b).cast("long") for _, b in params])
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda s: hash64(s, seed))
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_mh_base"),
+                lambda h: (F.element_at(a_lit, i + 1) * h + F.element_at(b_lit, i + 1))
+                % F.lit(MINHASH_PRIME),
+            )
         ),
     )
-    return df.select(
+    return with_h.select(
         F.col(id_col),
-        F.when(F.size(sh) > 0, sig).alias("minhash_sig"),
+        F.when(F.size("_mh_base") > 0, sig).alias("minhash_sig"),
     )
 
 
@@ -161,8 +189,13 @@ def minhash_lsh_dedup(
     unbiased minhash estimate of shingle Jaccard, integer-exact across
     engines (unlike recomputing true Jaccard, it needs no second pass over
     the text).
+
+    The signature frame is persisted: it is referenced three times in the
+    plan (banding + both sides of the verify join) and md5-hashing every
+    shingle x permutation is the dominant cost — without the persist Spark
+    recomputes it 3x.  The cache is tiny (num_perm longs per doc).
     """
-    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_perm)
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_perm).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b"))
@@ -195,26 +228,30 @@ SIMHASH_CHUNKS = 4  # 8-bit chunks for blocking
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Frequency-weighted sign sketch, packed into a 32-bit long.
 
-    Bit b uses an independent md5 hash family (``hash64(token, seed=b) % 2``)
-    instead of extracting bit b of one hash — same guarantees, and it
-    reproduces exactly in SQL without shift operators.  Duplicate tokens in
-    the raw token list supply the term-frequency weighting.
+    One md5 per token; bit b of the sketch aggregates the sign of bit b of
+    the token hash (``h & 2^b``) weighted by term frequency (duplicate
+    tokens in the raw list).  The hash array is materialized as a column so
+    md5 runs once per row, not once per bit position.
     """
-    toks = tokens(F.col(text_col))
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, None, 14))
+    with_hs = df.withColumn("_sh_hs", hs)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
         lambda b: F.when(
             F.aggregate(
-                toks,
+                F.col("_sh_hs"),
                 F.lit(0).cast("long"),
-                lambda acc, t: acc + (hash64(t, b) % 2) * 2 - 1,
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.element_at(powers, b + 1)) != 0, 1).otherwise(-1),
             )
             > 0,
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
     packed = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit)
-    return df.select(F.col(id_col), bits.alias("simhash_bits"), packed.alias("simhash"))
+    return with_hs.select(F.col(id_col), bits.alias("simhash_bits"), packed.alias("simhash"))
 
 
 def simhash_candidate_pairs(

@@ -64,6 +64,10 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # broadcast-join output inherits the corpus partitioning; small-file
+    # corpora are a single partition, which would serialize all the dot
+    # products onto one task
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     c = with_norm(c, "vec")
     q = c.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -120,6 +124,7 @@ def lsh_ann_topk(
     """
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     c = with_norm(c, "vec")
     buckets = F.array(
         *[
@@ -177,7 +182,9 @@ def embedding_dedup_pairs(
     exactly like minhash-LSH prunes the jaccard join.
     """
     c = with_norm(
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")), "vec"
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        "vec",
     )
     a = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
     b = c.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))

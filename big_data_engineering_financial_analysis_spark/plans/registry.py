@@ -106,8 +106,30 @@ enriched AS (
 """
 
 
-def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enrich(candles_from_events(spark, sf_dir))
+def _enriched(spark: SparkSession, sf_dir: str, symbols: list[str] | None = None) -> DataFrame:
+    """Enriched events-as-candles, optionally pruned to a symbol set.
+
+    The symbol predicate is applied on the native int ``user_id`` BEFORE
+    the string mapping: a filter on ``CAST(user_id AS STRING)`` cannot be
+    pushed into the parquet scan (cast blocks source filters), whereas
+    ``user_id IN (...)`` reaches PushedFilters — at scale that is a full
+    scan versus reading one symbol's row groups.  Pre-filtering on the
+    window partition key commutes with the per-symbol window enrichment,
+    so results are identical to filtering afterwards.
+    """
+    from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    if symbols is not None:
+        ev = ev.filter(F.col("user_id").isin([int(s) for s in symbols]))
+    candles = ev.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("stock_symbol"),
+        F.col("ts").alias("local_time"),
+        F.col("value").alias("close"),
+        F.col("event_type"),
+    )
+    return enrich(candles)
 
 
 def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -236,7 +258,7 @@ def q_api_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: REST aggregate endpoint, avg of an enriched field over a
     symbol + trailing window (views.py:25-35)."""
     out = serving.aggregate_field(
-        _enriched(spark, sf_dir), "avg", "rsi_10", SYMBOL, T_START, T_END
+        _enriched(spark, sf_dir, [SYMBOL]), "avg", "rsi_10", SYMBOL, T_START, T_END
     )
     return out.select(F.round(F.col("avg_rsi_10"), 6).alias("avg_rsi_10"))
 
@@ -244,7 +266,7 @@ def q_api_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_api_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: REST aggregate endpoint, max (views.py:37-47)."""
     out = serving.aggregate_field(
-        _enriched(spark, sf_dir), "highest", "close", SYMBOL, T_START, T_END
+        _enriched(spark, sf_dir, [SYMBOL]), "highest", "close", SYMBOL, T_START, T_END
     )
     return out.select(F.round(F.col("highest_close"), 6).alias("highest_close"))
 
@@ -252,7 +274,7 @@ def q_api_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_api_lowest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: REST aggregate endpoint, min (views.py:49-59)."""
     out = serving.aggregate_field(
-        _enriched(spark, sf_dir), "lowest", "close", SYMBOL, T_START, T_END
+        _enriched(spark, sf_dir, [SYMBOL]), "lowest", "close", SYMBOL, T_START, T_END
     )
     return out.select(F.round(F.col("lowest_close"), 6).alias("lowest_close"))
 
@@ -268,33 +290,33 @@ _SUMMARY_OUT = [
 
 def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: the 14-aggregate single-symbol summary (views.py:61-86)."""
-    out = serving.summarize(_enriched(spark, sf_dir), SYMBOL, T_START, T_END)
+    out = serving.summarize(_enriched(spark, sf_dir, [SYMBOL]), SYMBOL, T_START, T_END)
     return _round6(out, _SUMMARY_OUT)
 
 
 def q_summarize_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/J2: multi-symbol summary as ONE grouped aggregate instead of the
     reference's per-symbol query loop (views.py:281-289)."""
-    out = serving.summarize_multiple(_enriched(spark, sf_dir), SYMBOLS, T_START, T_END)
+    out = serving.summarize_multiple(_enriched(spark, sf_dir, SYMBOLS), SYMBOLS, T_START, T_END)
     return _round6(out, _SUMMARY_OUT)
 
 
 def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: global close stats for one symbol (dashboard.json:689)."""
-    out = serving.global_stats(_enriched(spark, sf_dir), SYMBOL)
+    out = serving.global_stats(_enriched(spark, sf_dir, [SYMBOL]), SYMBOL)
     return _round6(out, ["max_close", "avg_close", "min_close"])
 
 
 def q_pivot_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: conditional-average pivot over symbols (dashboard.json:891,976)."""
-    out = serving.pivot_avg(_enriched(spark, sf_dir), PIVOT_SYMBOLS, ["gain", "loss"])
+    out = serving.pivot_avg(_enriched(spark, sf_dir, PIVOT_SYMBOLS), PIVOT_SYMBOLS, ["gain", "loss"])
     return _round6(out, list(out.columns))
 
 
 def q_candlestick_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/P6/O2: candlestick panel — time filter + positive-indicator guard
     (dashboard.json:806)."""
-    out = serving.candlestick_feed(_enriched(spark, sf_dir), "13", T_START, T_END).select(
+    out = serving.candlestick_feed(_enriched(spark, sf_dir, ["13"]), "13", T_START, T_END).select(
         "stock_symbol", "local_time", "close", "sma_5", "ema_10"
     )
     return _round6(out, ["sma_5", "ema_10"])
@@ -303,7 +325,7 @@ def q_candlestick_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_latest_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9/O3: current-signal stat — ORDER BY time DESC LIMIT 1
     (dashboard.json:604)."""
-    return serving.latest_signal(_enriched(spark, sf_dir), "7")
+    return serving.latest_signal(_enriched(spark, sf_dir, ["7"]), "7")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,6 +137,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import MINHASH_PRIME as _MH_P  # noqa: E402
+from big_data_engineering_financial_analysis_spark.functions.hashing import minhash_params as _minhash_params  # noqa: E402
+
+_MH_PARAMS = _minhash_params(dedup.DEFAULT_NUM_PERM)
+_MH_A = "[" + ", ".join(str(a) for a, _ in _MH_PARAMS) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b in _MH_PARAMS) + "]"
 _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
     " (acc, v) -> acc + v)"
@@ -255,14 +262,19 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, list_distinct({_SHINGLES3}) AS shingles
           FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
         ),
+        mh AS (
+          SELECT doc_id, len(shingles) AS nsh,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM sh
+        ),
         sigs AS (
           SELECT doc_id,
-                 CASE WHEN len(shingles) > 0 THEN
-                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), seed ->
-                     list_min(list_transform(shingles,
-                       s -> ('0x' || substr(md5(s || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT)))
+                 CASE WHEN nsh > 0 THEN
+                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), i ->
+                     list_min(list_transform(hs,
+                       h -> ({_MH_A}[i + 1] * h + {_MH_B}[i + 1]) % {_MH_P})))
                  END AS sig
-          FROM sh
+          FROM mh
         ),
         banded AS (
           SELECT doc_id, j AS band,
@@ -287,13 +299,18 @@ ORACLES: dict[str, str] = {
               / {float(dedup.DEFAULT_NUM_PERM)} >= {JACCARD_THRESHOLD}
     """,
     "dedup_simhash": f"""
-        WITH sk AS (
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 14))::BIGINT) AS hashes
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        sk AS (
           SELECT doc_id,
                  list_transform(range(0, {dedup.SIMHASH_BITS}), b ->
-                   CASE WHEN CAST(list_sum(list_transform(t,
-                     tok -> (('0x' || substr(md5(tok || '#' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1)) AS BIGINT) > 0
+                   CASE WHEN CAST(list_sum(list_transform(hashes,
+                     h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) AS BIGINT) > 0
                    THEN 1 ELSE 0 END) AS bits
-          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+          FROM hs
         ),
         blocked AS (
           SELECT doc_id, bits, j AS chunk,

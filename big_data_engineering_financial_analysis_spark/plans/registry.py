@@ -573,3 +573,9 @@ from big_data_engineering_financial_analysis_spark.plans import registry_datapip
 
 QUERIES.update(_datapipe.QUERIES)
 ORACLES.update(_datapipe.ORACLES)
+
+# dashboard SQL suite + extended relational coverage
+from big_data_engineering_financial_analysis_spark.plans import registry_ext as _ext  # noqa: E402
+
+QUERIES.update(_ext.QUERIES)
+ORACLES.update(_ext.build_oracles())

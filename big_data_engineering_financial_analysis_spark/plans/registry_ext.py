@@ -1,0 +1,242 @@
+"""Registry part 3: dashboard SQL suite + extended relational coverage
+(semi/anti joins, per-group ranking, sessionization, event-time buckets,
+percentiles, scalar subqueries, ILP sink formatting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.plans import analytics_ext, dashboard
+from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+# _enriched lives in registry.py; import lazily to avoid a cycle
+def _enriched(spark, sf_dir, symbols=None):
+    from big_data_engineering_financial_analysis_spark.plans.registry import _enriched as impl
+
+    return impl(spark, sf_dir, symbols)
+
+
+# ---------------------------------------------------------------------------
+# dashboard panels (spark.sql surface)
+# ---------------------------------------------------------------------------
+
+
+def _panel_fn(panel: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        enriched = _enriched(spark, sf_dir, dashboard.PANEL_SYMBOLS[panel])
+        return dashboard.run_panel(spark, enriched, panel)
+
+    run.__name__ = f"q_{panel}"
+    run.__doc__ = f"Grafana {panel} via spark.sql (plans/dashboard.py)."
+    return run
+
+
+# ---------------------------------------------------------------------------
+# extended analytics
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.order_priority_check(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.promo_revenue_ratio(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.parts_above_avg_price(load_table(spark, sf_dir, "part"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.tumbling_window_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.time_functions(load_table(spark, sf_dir, "events"))
+
+
+def q_ilp_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.ilp_lines(_enriched(spark, sf_dir, ["7", "23"]))
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+#: dashboard panel SQL runs unchanged on the DuckDB side — just swap the
+#: view name (enriched CTE provides the same columns).
+def _panel_oracle(panel: str) -> str:
+    from big_data_engineering_financial_analysis_spark.plans.registry import ENRICHED_CTE
+
+    return ENRICHED_CTE + dashboard.PANEL_SQL[panel].replace("stock_data", "enriched")
+
+
+_GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
+
+ORACLES: dict[str, str] = {
+    "order_priority_check": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_nationkey, count(*) AS n_customers, min(c_custkey) AS min_custkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
+    """,
+    "promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, c_nationkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+        GROUP BY c_custkey, c_name, c_nationkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "parts_above_avg_price": """
+        SELECT p_partkey, p_name, p_retailprice, avg_price
+        FROM part CROSS JOIN (SELECT round(avg(p_retailprice), 6) AS avg_price FROM part)
+        WHERE p_retailprice > avg_price
+    """,
+    "sessionize": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 6) AS session_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "tumbling_window_stats": """
+        SELECT time_bucket(INTERVAL '60 minutes', ts) AS bucket_start, event_type,
+               count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6)  AS p50,
+               round(quantile_cont(value, 0.9), 6)  AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "time_functions": """
+        SELECT event_id,
+               epoch_us(ts) AS epoch_us,
+               epoch_us(ts) * 1000 AS epoch_ns,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS time_str,
+               date_trunc('hour', ts) AS hour_bucket,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+        FROM events
+    """,
+}
+
+
+def _ilp_oracle() -> str:
+    from big_data_engineering_financial_analysis_spark.plans.registry import ENRICHED_CTE
+
+    num = lambda c: f"coalesce(printf('%.6f', {c}), 'nan')"
+    return ENRICHED_CTE + f"""
+        SELECT event_id,
+               printf('stock_data,stock_symbol=%s close=%s,sma_5=%s,ema_10=%s,rsi_10=%s,signal="%s" %d',
+                      stock_symbol, {num("close")}, {num("sma_5")}, {num("ema_10")},
+                      {num("rsi_10")}, signal, epoch_us(local_time) * 1000) AS line
+        FROM enriched
+        WHERE stock_symbol IN ('7', '23')
+    """
+
+
+QUERIES = {
+    "order_priority_check": q_order_priority_check,
+    "customers_without_orders": q_customers_without_orders,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "parts_above_avg_price": q_parts_above_avg_price,
+    "sessionize": q_sessionize,
+    "tumbling_window_stats": q_tumbling_window_stats,
+    "value_percentiles": q_value_percentiles,
+    "time_functions": q_time_functions,
+    "ilp_lines": q_ilp_lines,
+}
+for _panel in dashboard.PANEL_SQL:
+    QUERIES[_panel] = _panel_fn(_panel)
+
+
+def build_oracles() -> dict[str, str]:
+    out = dict(ORACLES)
+    out["ilp_lines"] = _ilp_oracle()
+    for panel in dashboard.PANEL_SQL:
+        out[panel] = _panel_oracle(panel)
+    return out

@@ -91,6 +91,47 @@ def q_ilp_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.ilp_lines(_enriched(spark, sf_dir, ["7", "23"]))
 
 
+def q_lstm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10/F10 composition: per-key min-max scaled series with the
+    reference's 80/20 chronological train/test split
+    (AI-LSTM notebook cell 4: first 80% train, remainder test)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wall = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("mn", F.min("value").over(wall))
+        .withColumn("mx", F.max("value").over(wall))
+        .select(
+            "user_id",
+            F.col("ts").alias("local_time"),
+            F.col("value").alias("label"),
+            F.round(
+                (F.col("value") - F.col("mn")) / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)),
+                6,
+            ).alias("scaled_label"),
+            (F.col("rn") <= F.floor(F.lit(0.8) * F.col("n"))).cast("int").alias("train_flag"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + quantile sketch) — genuinely
+    non-SQL-oracle-checkable (sketch results are engine-specific), so this
+    entry ships WITHOUT an oracle and takes the driver's rows-only check.
+    At 100 TB these replace their exact counterparts (value_percentiles,
+    countDistinct) wherever tolerance allows."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -200,6 +241,20 @@ ORACLES: dict[str, str] = {
                CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
         FROM events
     """,
+    "lstm_dataset": """
+        SELECT user_id, ts AS local_time, value AS label,
+               round((value - mn) / nullif(mx - mn, 0.0), 6) AS scaled_label,
+               CAST(CASE WHEN rn <= floor(0.8 * n) THEN 1 ELSE 0 END AS INTEGER) AS train_flag
+        FROM (
+          SELECT user_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+                 count(*)   OVER (PARTITION BY user_id) AS n,
+                 min(value) OVER (PARTITION BY user_id) AS mn,
+                 max(value) OVER (PARTITION BY user_id) AS mx
+          FROM events
+        )
+    """,
+    # NOTE: q_approx_distinct intentionally has no oracle (sketch-based).
 }
 
 
@@ -229,6 +284,8 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     "time_functions": q_time_functions,
     "ilp_lines": q_ilp_lines,
+    "lstm_dataset": q_lstm_dataset,
+    "approx_distinct": q_approx_distinct,
 }
 for _panel in dashboard.PANEL_SQL:
     QUERIES[_panel] = _panel_fn(_panel)

@@ -39,6 +39,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
+    if name not in ORACLES:
+        # declared oracle-free (approximate/sketch ops): driver applies a
+        # rows-only check; here just assert it runs and returns rows
+        assert QUERIES[name](spark, SF_MEDIUM).count() > 0
+        return
     spark_df = QUERIES[name](spark, SF_MEDIUM).toPandas()
     oracle_df = duck.execute(ORACLES[name]).fetchdf()
 

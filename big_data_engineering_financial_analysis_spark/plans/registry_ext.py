@@ -91,6 +91,50 @@ def q_ilp_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.ilp_lines(_enriched(spark, sf_dir, ["7", "23"]))
 
 
+def q_nation_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join coverage: every nation with its customer/order
+    activity, zeros preserved via coalesce (nations without customers stay
+    in the result — the join family the core queries don't touch)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust_orders = (
+        customer.join(
+            orders.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("total_spend"),
+            ),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("total_spend"), F.lit(0.0))), 2).alias("total_spend"),
+        )
+    )
+    return nation.join(
+        cust_orders, nation.n_nationkey == F.col("c_nationkey"), "left"
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+    )
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py), oracle-checked
+    against the PLAIN single-phase SQL — proving salting changes the plan,
+    not the answer."""
+    from big_data_engineering_financial_analysis_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(ev, "event_type", "event_id")
+
+
 def q_lstm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10/F10 composition: per-key min-max scaled series with the
     reference's 80/20 chronological train/test split
@@ -254,6 +298,31 @@ ORACLES: dict[str, str] = {
           FROM events
         )
     """,
+    "nation_customer_orders": """
+        WITH co AS (
+          SELECT c_nationkey, count(*) AS n_customers,
+                 sum(coalesce(n_orders, 0)) AS n_orders,
+                 round(sum(coalesce(total_spend, 0.0)), 2) AS total_spend
+          FROM customer
+          LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+                            sum(o_totalprice) AS total_spend
+                     FROM orders GROUP BY o_custkey) o
+            ON c_custkey = o_custkey
+          GROUP BY c_nationkey
+        )
+        SELECT n_nationkey, n_name,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(total_spend, 0.0) AS total_spend
+        FROM nation LEFT JOIN co ON n_nationkey = c_nationkey
+    """,
+    "salted_event_stats": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
     # NOTE: q_approx_distinct intentionally has no oracle (sketch-based).
 }
 
@@ -286,6 +355,8 @@ QUERIES = {
     "ilp_lines": q_ilp_lines,
     "lstm_dataset": q_lstm_dataset,
     "approx_distinct": q_approx_distinct,
+    "nation_customer_orders": q_nation_customer_orders,
+    "salted_event_stats": q_salted_event_stats,
 }
 for _panel in dashboard.PANEL_SQL:
     QUERIES[_panel] = _panel_fn(_panel)

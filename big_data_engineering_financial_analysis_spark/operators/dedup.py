@@ -280,31 +280,34 @@ def simhash_candidate_pairs(
             ),
         )
     )
-    blocked = sketches.select(F.col(id_col), F.col("simhash_bits"), chunks.alias("ck")).select(
-        id_col, "simhash_bits", "ck.chunk", "ck.chunk_key"
+    sketches = sketches.persist()  # referenced by blocking + both verify sides
+    blocked = sketches.select(F.col(id_col), chunks.alias("ck")).select(
+        id_col, "ck.chunk", "ck.chunk_key"
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.size(
-        F.filter(
-            F.zip_with(f"a.simhash_bits", f"b.simhash_bits", lambda x, y: x != y),
-            lambda m: m,
-        )
-    )
-    return (
+    # candidates FIRST (distinct pair ids), verify ONCE per pair: a pair
+    # sharing k chunks would otherwise be hamming-verified k times, and
+    # hot buckets make that multiplier expensive
+    cands = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.chunk_key") == F.col("b.chunk_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sketches.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = sketches.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    # packed verify: popcount of XOR — two JVM ops vs a 32-element lambda
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
-        )
-        .distinct()
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -307,23 +307,31 @@ ORACLES: dict[str, str] = {
         sk AS (
           SELECT doc_id,
                  list_transform(range(0, {dedup.SIMHASH_BITS}), b ->
-                   CASE WHEN CAST(list_sum(list_transform(hashes,
+                   CAST(CASE WHEN CAST(list_sum(list_transform(hashes,
                      h -> CASE WHEN (h & (1::BIGINT << b)) != 0 THEN 1 ELSE -1 END)) AS BIGINT) > 0
-                   THEN 1 ELSE 0 END) AS bits
+                   THEN 1 ELSE 0 END AS BIGINT)) AS bits
           FROM hs
         ),
+        packed AS (
+          SELECT doc_id, list_reduce(bits, (acc, bit) -> acc * 2 + bit) AS simhash, bits
+          FROM sk
+        ),
         blocked AS (
-          SELECT doc_id, bits, j AS chunk,
+          SELECT doc_id, j AS chunk,
                  list_reduce(bits[j*8+1:j*8+8], (acc, bit) -> acc * 2 + bit) AS chunk_key
-          FROM sk CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_CHUNKS})) AS j) u
+          FROM packed CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_CHUNKS})) AS j) u
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM blocked a JOIN blocked b
+            ON a.chunk = b.chunk AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
         )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
-                 p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        FROM blocked a JOIN blocked b
-          ON a.chunk = b.chunk AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
-        WHERE CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
-                 p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS BIGINT) <= {MAX_HAMMING}
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(pa.simhash, pb.simhash)) AS BIGINT) AS hamming
+        FROM cands
+        JOIN packed pa ON id_a = pa.doc_id
+        JOIN packed pb ON id_b = pb.doc_id
+        WHERE bit_count(xor(pa.simhash, pb.simhash)) <= {MAX_HAMMING}
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS (

@@ -90,6 +90,62 @@ def dedup_stream(
     return df.withWatermark(time_col, watermark).dropDuplicates(list(keys))
 
 
+def windowed_stats_stream(
+    candles: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "local_time",
+    symbol_col: str = "stock_symbol",
+) -> DataFrame:
+    """Event-time tumbling aggregation with late-data bound (T4).
+
+    The watermark lets the state store evict closed windows — without it a
+    streaming aggregation retains every window forever (the same unbounded
+    -state failure mode as the reference's global_data, just in the store).
+    """
+    return (
+        candles.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window), symbol_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("close").alias("avg_close"),
+            F.max("close").alias("max_close"),
+            F.min("close").alias("min_close"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            symbol_col,
+            "n",
+            "avg_close",
+            "max_close",
+            "min_close",
+        )
+    )
+
+
+def session_stats_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "local_time",
+    key_col: str = "stock_symbol",
+) -> DataFrame:
+    """Session-window aggregation (gap-based), the streaming twin of the
+    batch ``analytics_ext.sessionize`` lag+cumsum formulation."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("close").alias("avg_close"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "avg_close",
+        )
+    )
+
+
 def write_parquet_sink(df: DataFrame, path: str, checkpoint: str, time_col: str = "local_time"):
     """Partitioned parquet append sink — the engine-native replacement for
     the reference's row-at-a-time QuestDB inserts (K3/K4), keeping the

@@ -97,6 +97,19 @@ def shingles(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer centroids (md5-derived, [-1,1]).
+
+    Fixed pseudo-random centroids instead of trained k-means: assignment is
+    reproducible anywhere (the oracle embeds them as literals) and at scale
+    a periodic k-means refit would simply replace this constant table.
+    """
+    return [
+        [(hash64_py(f"ivf-{k}-{c}") % 2001 - 1000) / 1000.0 for c in range(dim)]
+        for k in range(n_cells)
+    ]
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random-hyperplane constants for sign-LSH.
 

@@ -169,6 +169,88 @@ def lsh_ann_topk(
     )
 
 
+DEFAULT_IVF_CELLS = 16
+DEFAULT_IVF_PROBE = 4
+
+
+def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances to every centroid (sequential folds)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    n_probe: int = DEFAULT_IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells
+    (nearest deterministic centroid), search only the query's ``n_probe``
+    nearest cells.
+
+    Cell id = 1-based position of the minimum distance (first-occurrence
+    tie-break — identical in the SQL oracle via ``list_position``).  The
+    probe set is "cells with distance <= the n_probe-th smallest" so ties
+    expand the probe deterministically on both engines.  At scale the
+    corpus is written partitioned by ``cell`` and a query touches n_probe
+    partitions instead of the full table.
+    """
+    from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
+
+    centroids = ivf_centroids(n_cells, dim)
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    c = with_norm(c, "vec").withColumn("dists", _sq_dists(F.col("vec"), centroids))
+    c = c.withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int"))
+
+    thr = F.element_at(F.array_sort("dists"), n_probe)
+    probes = (
+        c.filter(F.col(id_col).isin(query_ids))
+        .withColumn(
+            "pcell",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(1), F.lit(n_cells)),
+                    lambda i: F.element_at(F.col("dists"), i) <= thr,
+                )
+            ),
+        )
+        .select(F.col(id_col).alias("query_id"), F.col("pcell").cast("int").alias("pcell"))
+    )
+    cands = (
+        c.join(F.broadcast(probes), (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("query_id")))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q_vec = c.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        cands.join(c.select(id_col, "vec", "norm"), id_col)
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn("cos_sim", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,

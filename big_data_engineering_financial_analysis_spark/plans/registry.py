@@ -182,6 +182,17 @@ def q_enrich_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, INDICATOR_COLS)
 
 
+def q_enrich_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched applyInPandas enrichment (pandas ewm per key) —
+    the long-history scale path — against the same SQL oracle."""
+    from big_data_engineering_financial_analysis_spark.functions.indicators import enrich_pandas
+
+    out = enrich_pandas(candles_from_events(spark, sf_dir)).select(
+        "event_id", "stock_symbol", "local_time", "close", *INDICATOR_COLS, "signal"
+    )
+    return _round6(out, INDICATOR_COLS)
+
+
 def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: rolling mean with pandas min_periods NaN-gating."""
     out = _enriched(spark, sf_dir).select("event_id", "stock_symbol", "local_time", "sma_5")
@@ -389,6 +400,8 @@ ORACLES: dict[str, str] = {
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
     "enrich_incremental": ENRICHED_CTE
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
+    "enrich_pandas": ENRICHED_CTE
+    + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
     "sma_5": ENRICHED_CTE
     + "SELECT event_id, stock_symbol, local_time, round(sma_5, 6) AS sma_5 FROM enriched",
     "ema_10": ENRICHED_CTE
@@ -542,6 +555,7 @@ ORACLES: dict[str, str] = {
 QUERIES: dict[str, QueryFn] = {
     "enrich_indicators": q_enrich_indicators,
     "enrich_incremental": q_enrich_incremental,
+    "enrich_pandas": q_enrich_pandas,
     "sma_5": q_sma,
     "ema_10": q_ema,
     "rsi_10": q_rsi,

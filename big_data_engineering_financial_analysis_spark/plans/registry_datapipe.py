@@ -116,6 +116,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
+
+
 def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec"))
@@ -198,6 +203,21 @@ def _table_bucket_sql(t: int) -> str:
 _CB_SQL = "\n          UNION ALL ".join(
     f"SELECT vec_id, {t} AS tbl, {_table_bucket_sql(t)} AS bucket FROM n"
     for t in range(N_TABLES)
+)
+
+# IVF centroids + squared-distance list (same fold order as Spark)
+from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids as _ivf_centroids  # noqa: E402
+
+_IVF_CENTROIDS = _ivf_centroids(similarity.DEFAULT_IVF_CELLS, EMB_DIM)
+_IVF_DISTS = (
+    "["
+    + ", ".join(
+        "list_reduce(list_transform(list_zip(vec, "
+        + _plane_literal(c)
+        + "), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, v) -> acc + v)"
+        for c in _IVF_CENTROIDS
+    )
+    + "]"
 )
 
 _EN = ", ".join(repr(m) for m in text.LANG_MARKERS["en"][1])
@@ -413,6 +433,42 @@ ORACLES: dict[str, str] = {
         FROM scored
         QUALIFY rank <= {similarity.DEFAULT_K}
     """,
+    "ann_ivf": f"""
+        WITH base AS (
+          SELECT vec_id, vec, sqrt({_DOT.format(a="vec", b="vec")}) AS norm,
+                 {_IVF_DISTS} AS dists
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        ),
+        n AS (
+          SELECT vec_id, vec, norm, dists,
+                 CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
+          FROM base
+        ),
+        q AS (
+          SELECT vec_id AS query_id, dists, list_sort(dists)[{similarity.DEFAULT_IVF_PROBE}] AS thr
+          FROM n WHERE vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+        ),
+        probes AS (
+          SELECT query_id, CAST(unnest(list_filter(range(1, {similarity.DEFAULT_IVF_CELLS} + 1),
+                 i -> dists[i] <= thr)) AS INTEGER) AS pcell
+          FROM q
+        ),
+        cands AS (
+          SELECT DISTINCT p.query_id, n.vec_id
+          FROM n JOIN probes p ON n.cell = p.pcell AND n.vec_id != p.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 {_DOT.format(a="nv.vec", b="qv.vec")} / nullif(nv.norm * qv.norm, 0.0) AS cos
+          FROM cands c
+          JOIN n nv ON c.vec_id = nv.vec_id
+          JOIN n qv ON c.query_id = qv.vec_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {similarity.DEFAULT_K}
+    """,
     "lsh_bucket_histogram": f"""
         SELECT {_BUCKET_SQL} AS bucket, count(*) AS n
         FROM (SELECT embedding::DOUBLE[] AS vec FROM embeddings)
@@ -443,6 +499,7 @@ QUERIES = {
     "emb_norms": q_emb_norms,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lsh_bucket_histogram": q_lsh_bucket_histogram,
     "dedup_embedding": q_dedup_embedding,
 }

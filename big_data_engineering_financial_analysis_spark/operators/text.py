@@ -120,6 +120,41 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", expr.otherwise(F.lit("und")))
 
 
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): hash every shingle, keep
+    the minimum hash of each sliding window of ``window`` consecutive
+    shingle hashes, emit the distinct minima.
+
+    The standard rolling-hash document fingerprint: two documents sharing a
+    run of >= window+shingle_n-1 tokens are guaranteed to share a
+    fingerprint, so a groupBy on (fingerprint) finds overlapping passages
+    at corpus scale with output linear in document length / window.
+    Row-local until the final explode; no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    hs = F.transform(shingles(toks, shingle_n), lambda s: hash64(s, None, 14))
+    n_windows = F.size(hs) - F.lit(window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i, window)),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(mins).alias("fingerprint"))
+
+
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: canonical md5 + 1-perm minhash of 3-shingles.
 

@@ -60,6 +60,11 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprints(docs).select("doc_id", "content_fp", "minhash_fp")
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs)
@@ -271,6 +276,20 @@ ORACLES: dict[str, str] = {
         FROM (
           SELECT doc_id, text, {_SHINGLES3} AS sh
           FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents))
+    """,
+    "winnow_fingerprints": f"""
+        SELECT doc_id, unnest(mins) AS fingerprint
+        FROM (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(hs) - {text.WINNOW_WINDOW - 1}),
+                   i -> list_min(hs[i:i+{text.WINNOW_WINDOW - 1}]))) AS mins
+          FROM (
+            SELECT doc_id,
+                   list_transform({_SHINGLES3}, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS hs
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+          )
+        )
+        WHERE mins IS NOT NULL
     """,
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
@@ -491,6 +510,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

@@ -40,7 +40,10 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "text_quality",
+    "sessionize",
+    "trailing_time_avg",
 ]
 
 

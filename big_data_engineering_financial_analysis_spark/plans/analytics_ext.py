@@ -169,6 +169,56 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def trailing_time_avg(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Time-based RANGE window: trailing 1-hour mean per key.
+
+    The reference's rolling windows are row-count frames (SURVEY §2.6);
+    this is the wall-clock variant — ``RANGE BETWEEN <interval> PRECEDING``
+    over a numeric epoch ordering so Spark and the oracle agree exactly on
+    frame membership (interval semantics vary across engines; epoch
+    microseconds do not).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("local_time"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.avg("value").over(w), 6).alias("avg_trailing"),
+    )
+
+
+def value_quartiles(events: DataFrame) -> DataFrame:
+    """ntile ranking: quartile assignment per event_type with a unique-key
+    tiebreak (value ties otherwise make ntile nondeterministic)."""
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        events.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def pricing_cube(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """CUBE grouping-sets: all 4 grouping combinations in one pass."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def time_functions(events: DataFrame) -> DataFrame:
     """Scalar time-function surface (F1-F4): epoch extraction, formatting,
     truncation — pinned to the wire formats the reference uses."""

@@ -87,6 +87,18 @@ def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.time_functions(load_table(spark, sf_dir, "events"))
 
 
+def q_trailing_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.trailing_time_avg(load_table(spark, sf_dir, "events"))
+
+
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.value_quartiles(load_table(spark, sf_dir, "events"))
+
+
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ext.pricing_cube(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_ilp_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.ilp_lines(_enriched(spark, sf_dir, ["7", "23"]))
 
@@ -285,6 +297,32 @@ ORACLES: dict[str, str] = {
                CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
         FROM events
     """,
+    "trailing_time_avg": """
+        SELECT event_id, user_id, ts AS local_time,
+               count(*) OVER wr AS n_trailing,
+               round(avg(value) OVER wr, 6) AS avg_trailing
+        FROM events
+        WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "value_quartiles": """
+        SELECT event_type, quartile, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value
+        FROM (
+          SELECT event_type, value,
+                 CAST(ntile(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS BIGINT) AS quartile
+          FROM events
+        )
+        GROUP BY event_type, quartile
+    """,
+    "pricing_cube": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "lstm_dataset": """
         SELECT user_id, ts AS local_time, value AS label,
                round((value - mn) / nullif(mx - mn, 0.0), 6) AS scaled_label,
@@ -357,6 +395,9 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "nation_customer_orders": q_nation_customer_orders,
     "salted_event_stats": q_salted_event_stats,
+    "trailing_time_avg": q_trailing_time_avg,
+    "value_quartiles": q_value_quartiles,
+    "pricing_cube": q_pricing_cube,
 }
 for _panel in dashboard.PANEL_SQL:
     QUERIES[_panel] = _panel_fn(_panel)

@@ -1,0 +1,62 @@
+"""As-of (point-in-time) join — the canonical time-series operator Spark
+lacks natively.
+
+For every left row, attach the latest right row of the same key with
+``right.time <= left.time`` (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+backward-inclusive semantics).  The scalable formulation is NOT a join at
+all: union both sides, sort per key by (time, side) with the right side
+first at equal timestamps, forward-fill the right payload with
+``last(..., ignorenulls=True)``, keep left rows.
+
+One shuffle (by key), one window pass, output linear in input — versus the
+naive range-join which is quadratic per key.  An ``applyInPandas``
+``pd.merge_asof`` per key would also work but pays Arrow transfer and a
+Python stage for something window primitives express exactly.
+
+Right-side rows must be unique per (key, time) for the result to be
+well-defined (the same caveat DuckDB's ASOF JOIN has with duplicate right
+timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward-inclusive as-of join; unmatched left rows keep NULLs."""
+    lcols = left.columns
+    marked_left = left.withColumn("__side", F.lit(1))
+    for c in right_value_cols:
+        marked_left = marked_left.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    marked_right = right.select(
+        key,
+        time_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    ).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in (key, time_col):
+            marked_right = marked_right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    unioned = marked_left.unionByName(marked_right)
+    # right rows (side 0) sort before left rows at equal timestamps ->
+    # an exact-time right row is visible to the left row (inclusive <=)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in right_value_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("__side") == 1).drop("__side")

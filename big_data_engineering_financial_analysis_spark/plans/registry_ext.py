@@ -87,6 +87,28 @@ def q_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.time_functions(load_table(spark, sf_dir, "events"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event picks up the
+    latest prior-or-equal 'view' value of the same user.  Oracle: DuckDB's
+    native ASOF LEFT JOIN — two completely different formulations, same
+    result."""
+    from big_data_engineering_financial_analysis_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, "user_id", "ts", ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("local_time"),
+        "value",
+        F.col("value_asof").alias("last_view_value"),
+    )
+
+
 def q_trailing_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.trailing_time_avg(load_table(spark, sf_dir, "events"))
 
@@ -297,6 +319,15 @@ ORACLES: dict[str, str] = {
                CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
         FROM events
     """,
+    "asof_join": """
+        SELECT l.event_id, l.user_id, l.ts AS local_time, l.value,
+               r.value AS last_view_value
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "trailing_time_avg": """
         SELECT event_id, user_id, ts AS local_time,
                count(*) OVER wr AS n_trailing,
@@ -395,6 +426,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "nation_customer_orders": q_nation_customer_orders,
     "salted_event_stats": q_salted_event_stats,
+    "asof_join": q_asof_join,
     "trailing_time_avg": q_trailing_time_avg,
     "value_quartiles": q_value_quartiles,
     "pricing_cube": q_pricing_cube,

@@ -42,6 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # a non-UTC session would shift every collected timestamp relative
+        # to DuckDB's naive reading of the same files
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

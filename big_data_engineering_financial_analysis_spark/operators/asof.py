@@ -24,6 +24,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_pairs(
+    events: DataFrame,
+    key: str,
+    time_col: str,
+    id_col: str,
+    max_gap_s: int,
+) -> DataFrame:
+    """Self range-join: pairs of same-key rows within ``max_gap_s`` seconds.
+
+    The naive formulation is a per-key cross join filtered on the time
+    difference — quadratic per key and not an equi-join, so Spark plans a
+    nested loop.  The scalable pattern (per the standard bucketize recipe):
+    quantize time into ``max_gap_s`` buckets, explode one side into its own
+    and the NEXT bucket, equi-join on (key, bucket), then apply the exact
+    predicate.  Pairs are emitted time-ordered (``t_a <= t_b``, id
+    tiebreak): the later row of a qualifying pair is at most one bucket
+    after the earlier one, so the earlier-as-left explode provably covers
+    every pair (an id-ordered filter would miss pairs whose earlier row
+    has the larger id); dedup handles pairs caught in both buckets.
+    """
+    gap_us = max_gap_s * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(gap_us)).cast("long")
+    left = events.select(
+        F.col(key),
+        F.col(id_col).alias("id_a"),
+        F.col(time_col).alias("t_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    right = events.select(
+        F.col(key),
+        F.col(id_col).alias("id_b"),
+        F.col(time_col).alias("t_b"),
+        bucket.alias("bucket"),
+    )
+    earlier = (F.col("t_a") < F.col("t_b")) | (
+        (F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        left.join(right, [key, "bucket"])
+        .filter(
+            earlier
+            & (F.unix_micros("t_b") - F.unix_micros("t_a") <= gap_us)
+        )
+        .select(key, "id_a", "id_b", "t_a", "t_b")
+        .distinct()
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

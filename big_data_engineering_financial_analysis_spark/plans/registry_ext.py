@@ -109,6 +109,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/asof.py): same-user event pairs
+    within 10 minutes, time-ordered.  Oracle: plain inequality join."""
+    from big_data_engineering_financial_analysis_spark.operators.asof import range_join_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return range_join_pairs(ev, "user_id", "ts", "event_id", max_gap_s=600)
+
+
 def q_trailing_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics_ext.trailing_time_avg(load_table(spark, sf_dir, "events"))
 
@@ -328,6 +337,14 @@ ORACLES: dict[str, str] = {
                         WHERE event_type = 'view') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
+    "range_join_pairs": """
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               a.ts AS t_a, b.ts AS t_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+    """,
     "trailing_time_avg": """
         SELECT event_id, user_id, ts AS local_time,
                count(*) OVER wr AS n_trailing,
@@ -427,6 +444,7 @@ QUERIES = {
     "nation_customer_orders": q_nation_customer_orders,
     "salted_event_stats": q_salted_event_stats,
     "asof_join": q_asof_join,
+    "range_join_pairs": q_range_join_pairs,
     "trailing_time_avg": q_trailing_time_avg,
     "value_quartiles": q_value_quartiles,
     "pricing_cube": q_pricing_cube,

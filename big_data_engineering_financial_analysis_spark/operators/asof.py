@@ -42,33 +42,37 @@ def range_join_pairs(
     tiebreak): the later row of a qualifying pair is at most one bucket
     after the earlier one, so the earlier-as-left explode provably covers
     every pair (an id-ordered filter would miss pairs whose earlier row
-    has the larger id); dedup handles pairs caught in both buckets.
+    has the larger id).  No dedup pass is needed: the right row carries
+    exactly one bucket value, which matches at most one of the left row's
+    two (distinct) exploded buckets — every qualifying pair joins exactly
+    once.
     """
+    if max_gap_s <= 0:
+        raise ValueError("max_gap_s must be positive")
     gap_us = max_gap_s * 1_000_000
     bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(gap_us)).cast("long")
     left = events.select(
         F.col(key),
         F.col(id_col).alias("id_a"),
         F.col(time_col).alias("t_a"),
-        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        F.explode(F.array(bucket, bucket + 1)).alias("__bucket"),
     )
     right = events.select(
         F.col(key),
         F.col(id_col).alias("id_b"),
         F.col(time_col).alias("t_b"),
-        bucket.alias("bucket"),
+        bucket.alias("__bucket"),
     )
     earlier = (F.col("t_a") < F.col("t_b")) | (
         (F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b"))
     )
     return (
-        left.join(right, [key, "bucket"])
+        left.join(right, [key, "__bucket"])
         .filter(
             earlier
             & (F.unix_micros("t_b") - F.unix_micros("t_a") <= gap_us)
         )
         .select(key, "id_a", "id_b", "t_a", "t_b")
-        .distinct()
     )
 
 

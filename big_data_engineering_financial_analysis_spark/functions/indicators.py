@@ -92,18 +92,24 @@ def with_indicators(
     close = F.col(close_col)
     alpha = 2.0 / (ema_span + 1.0)
 
+    # output names track the window sizes so non-default parameters cannot
+    # silently produce mislabeled columns (defaults keep the sma_5/... names)
+    sma_col, ema_col = f"sma_{sma_window}", f"ema_{ema_span}"
+    avg_gain_col, avg_loss_col = f"avg_gain_{rsi_window}", f"avg_loss_{rsi_window}"
+    rsi_col = f"rsi_{rsi_window}"
+
     delta = close - F.lag(close, 1).over(w)
 
     df = (
         df.withColumn(
-            "sma_5",
+            sma_col,
             F.when(
                 F.count(close_col).over(frame_sma) >= sma_window,
                 F.avg(close_col).over(frame_sma),
             ),
         )
         .withColumn(
-            "ema_10",
+            ema_col,
             F.when(
                 F.count(close_col).over(hist) >= ema_span,
                 _ema_fold(F.collect_list(close_col).over(hist), alpha),
@@ -118,29 +124,34 @@ def with_indicators(
     # are NaN exactly where delta is, so gate on count(delta) over the frame.
     gate = F.count("delta").over(frame_rsi) >= rsi_window
     df = (
-        df.withColumn("avg_gain_10", F.when(gate, F.avg("gain").over(frame_rsi)))
-        .withColumn("avg_loss_10", F.when(gate, F.avg("loss").over(frame_rsi)))
+        df.withColumn(avg_gain_col, F.when(gate, F.avg("gain").over(frame_rsi)))
+        .withColumn(avg_loss_col, F.when(gate, F.avg("loss").over(frame_rsi)))
         # divisor 0 -> NULL (reference .replace({0: None}), consumer.py:123);
         # NULL divisor falls through to otherwise() and propagates NULL.
         .withColumn(
             "rs",
-            F.when(F.col("avg_loss_10") == 0, F.lit(None).cast("double")).otherwise(
-                F.col("avg_gain_10") / F.col("avg_loss_10")
+            F.when(F.col(avg_loss_col) == 0, F.lit(None).cast("double")).otherwise(
+                F.col(avg_gain_col) / F.col(avg_loss_col)
             ),
         )
         # rs NULL (zero-loss streak) -> RSI NULL, NOT 100 — reference parity.
-        .withColumn("rsi_10", F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("rs")))
+        .withColumn(rsi_col, F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("rs")))
     )
     return df
 
 
-def with_signal(df: DataFrame) -> DataFrame:
+def with_signal(
+    df: DataFrame,
+    sma_col: str = "sma_5",
+    ema_col: str = "ema_10",
+    rsi_col: str = "rsi_10",
+) -> DataFrame:
     """BUY/SELL/HOLD rule as a codegen'd CASE expression (no UDF).
 
     Reference rule at consumer.py:147-152 with the any-NaN guard at
     consumer.py:143-145 (NaN in SMA/EMA/RSI -> HOLD).
     """
-    sma, ema, rsi = F.col("sma_5"), F.col("ema_10"), F.col("rsi_10")
+    sma, ema, rsi = F.col(sma_col), F.col(ema_col), F.col(rsi_col)
     return df.withColumn(
         "signal",
         F.when(sma.isNull() | ema.isNull() | rsi.isNull(), HOLD)
@@ -176,12 +187,10 @@ def enrich_pandas(
     """
     import pandas as pd  # noqa: F401  (worker-side import)
 
+    from big_data_engineering_financial_analysis_spark.streaming.state import enriched_ddl_suffix
+
     out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    out_schema = (
-        f"{out_fields}, sma_5 double, ema_10 double, delta double, gain double, "
-        "loss double, avg_gain_10 double, avg_loss_10 double, rs double, "
-        "rsi_10 double, signal string"
-    )
+    out_schema = f"{out_fields}, {enriched_ddl_suffix()}"
 
     def compute(pdf):
         pdf = pdf.sort_values(time_col).reset_index(drop=True)

@@ -344,17 +344,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    raw = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # threshold on the UNROUNDED value (the SQL oracle filters raw too;
+        # filtering post-round would keep boundary pairs the oracle drops)
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )

@@ -117,8 +117,6 @@ def _enriched(spark: SparkSession, sf_dir: str, symbols: list[str] | None = None
     window partition key commutes with the per-symbol window enrichment,
     so results are identical to filtering afterwards.
     """
-    from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
-
     ev = load_table(spark, sf_dir, "events")
     if symbols is not None:
         ev = ev.filter(F.col("user_id").isin([int(s) for s in symbols]))
@@ -162,16 +160,27 @@ def q_enrich_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_enrich_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming keyed-state kernel (streaming/state.py), run in batch
     via applyInPandas and checked against the SAME SQL oracle as the
-    window-function pipeline — proving incremental == declarative."""
-    from big_data_engineering_financial_analysis_spark.streaming.state import SymbolState, process_group
+    window-function pipeline — proving incremental == declarative.
 
-    candles = candles_from_events(spark, sf_dir)
-    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
-    out_schema = (
-        f"{fields}, sma_5 double, ema_10 double, delta double, gain double, "
-        "loss double, avg_gain_10 double, avg_loss_10 double, rs double, "
-        "rsi_10 double, signal string"
+    The kernel drops (symbol, time) ties (first-writer-wins, its streaming
+    contract) while the window oracle enriches every row, so the input is
+    deduped to the min-event_id row per (symbol, time) FIRST and the oracle
+    (below) applies the identical dedup — keeping the equivalence valid on
+    any dataset, not just fixtures that happen to have unique keys.
+    """
+    from big_data_engineering_financial_analysis_spark.operators.windows import last_per_group
+    from big_data_engineering_financial_analysis_spark.streaming.state import (
+        SymbolState,
+        enriched_ddl_suffix,
+        process_group,
     )
+
+    candles = candles_from_events(spark, sf_dir).withColumn(
+        "__neg_id", -F.col("event_id")
+    )
+    candles = last_per_group(candles, ["stock_symbol", "local_time"], "__neg_id").drop("__neg_id")
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
+    out_schema = f"{fields}, {enriched_ddl_suffix()}"
 
     def run(pdf):
         return process_group(SymbolState(), pdf, "local_time", "close")
@@ -398,7 +407,14 @@ _PIVOT_SQL = ", ".join(
 ORACLES: dict[str, str] = {
     "enrich_indicators": ENRICHED_CTE
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
-    "enrich_incremental": ENRICHED_CTE
+    # same pipeline, but over min-event_id-per-(symbol,time) deduped input
+    # (mirrors the kernel's first-writer-wins tie handling; see the query)
+    "enrich_incremental": ENRICHED_CTE.replace(
+        "  FROM events\n",
+        """  FROM (SELECT * FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1)
+""",
+    )
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
     "enrich_pandas": ENRICHED_CTE
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",

@@ -49,12 +49,10 @@ def enrich_stream(
     symbols; each micro-batch does O(rows) work.  Contrast with the
     reference's O(history) per batch.
     """
+    from big_data_engineering_financial_analysis_spark.streaming.state import enriched_ddl_suffix
+
     in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
-    out_schema = (
-        f"{in_fields}, sma_5 double, ema_10 double, delta double, gain double, "
-        "loss double, avg_gain_10 double, avg_loss_10 double, rs double, "
-        "rsi_10 double, signal string"
-    )
+    out_schema = f"{in_fields}, {enriched_ddl_suffix()}"
 
     def update(key, pdfs, group_state):
         import pandas as pd
@@ -63,11 +61,12 @@ def enrich_stream(
             st = SymbolState.from_tuple(group_state.get)
         else:
             st = SymbolState()
-        outs = [process_group(st, pdf, time_col, close_col) for pdf in pdfs]
+        outs = [o for o in (process_group(st, pdf, time_col, close_col) for pdf in pdfs) if len(o)]
         group_state.update(st.to_tuple())
-        out = pd.concat([o for o in outs if len(o)], ignore_index=True) if outs else pd.DataFrame()
-        if len(out):
-            yield out
+        # a batch can be entirely late/duplicate rows -> nothing to emit
+        # (pd.concat of an empty list raises, so guard the FILTERED list)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return candles.groupBy(symbol_col).applyInPandasWithState(
         update,

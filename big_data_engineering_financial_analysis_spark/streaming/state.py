@@ -97,6 +97,14 @@ OUT_COLS = [
 ]
 
 
+def enriched_ddl_suffix() -> str:
+    """DDL fragment for the indicator output columns — the single source
+    the applyInPandas/applyInPandasWithState schemas derive from."""
+    return ", ".join(
+        f"{c} string" if c == "signal" else f"{c} double" for c in OUT_COLS
+    )
+
+
 def step(state: SymbolState, close: float, time_us: int) -> dict | None:
     """Advance one row; return the enriched output row or None if late.
 

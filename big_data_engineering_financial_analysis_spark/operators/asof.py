@@ -84,17 +84,25 @@ def asof_join(
     right_value_cols: list[str],
     suffix: str = "_asof",
 ) -> DataFrame:
-    """Backward-inclusive as-of join; unmatched left rows keep NULLs."""
-    lcols = left.columns
-    marked_left = left.withColumn("__side", F.lit(1))
-    for c in right_value_cols:
-        marked_left = marked_left.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    """Backward-inclusive as-of join; unmatched left rows keep NULLs.
+
+    The right payload forward-fills as ONE struct, not per column: the
+    struct of a matched row is non-null even when its fields are NULL, so
+    a right row carrying a legitimate NULL value is still "the match"
+    (DuckDB ASOF semantics) instead of being skipped by ignorenulls in
+    favor of an older row.
+    """
+    rtypes = dict(right.dtypes)
+    payload_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_value_cols) + ">"
+    marked_left = left.withColumn("__side", F.lit(1)).withColumn(
+        "__payload", F.lit(None).cast(payload_ddl)
+    )
     marked_right = right.select(
         key,
         time_col,
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__payload"),
     ).withColumn("__side", F.lit(0))
-    for c in lcols:
+    for c in left.columns:
         if c not in (key, time_col):
             marked_right = marked_right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
@@ -106,9 +114,10 @@ def asof_join(
         .orderBy(F.col(time_col), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
+    filled = unioned.withColumn(
+        "__payload", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1)
     for c in right_value_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"{c}{suffix}", F.col("__payload")[c])
+    return out.drop("__side", "__payload")

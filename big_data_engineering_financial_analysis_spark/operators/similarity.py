@@ -68,7 +68,8 @@ def cosine_topk(
     # corpora are a single partition, which would serialize all the dot
     # products onto one task
     c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
-    c = with_norm(c, "vec")
+    # the normed corpus feeds both the query extraction and the scored scan
+    c = with_norm(c, "vec").persist()
     q = c.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -125,7 +126,8 @@ def lsh_ann_topk(
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
     c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
-    c = with_norm(c, "vec")
+    # referenced by bucket explode, query extraction, and the scored join
+    c = with_norm(c, "vec").persist()
     buckets = F.array(
         *[
             F.struct(
@@ -214,7 +216,9 @@ def ivf_ann_topk(
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
     c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     c = with_norm(c, "vec").withColumn("dists", _sq_dists(F.col("vec"), centroids))
-    c = c.withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int"))
+    # the 16-centroid distance arrays are the dominant cost and the frame
+    # feeds cell assignment, probes, query vectors, and the scored join
+    c = c.withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int")).persist()
 
     thr = F.element_at(F.array_sort("dists"), n_probe)
     probes = (

@@ -90,7 +90,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality_score",
             F.round(
                 length_score * 0.5
-                + F.coalesce(stop_ratio, F.lit(0.0)) * 3.0
+                + F.coalesce(stop_ratio, F.lit(0.0)) * 0.3
                 + (F.lit(1.0) - F.coalesce(punct_ratio, F.lit(0.0))) * 0.2,
                 6,
             ),

@@ -25,22 +25,41 @@ def last_per_group(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__lpg_rn", F.row_number().over(w))
+        .filter(F.col("__lpg_rn") == 1)
+        .drop("__lpg_rn")
     )
 
 
-def latest_per_key(df: DataFrame, key: str, time_col: str, value_cols: list[str]) -> DataFrame:
-    """Latest value(s) per key via ``max_by`` (W9) — a single hash aggregate.
+def latest_per_key(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Latest value(s) per key (W9).
 
-    Cheaper than window+filter at scale: partial ``max_by`` runs map-side,
-    so the shuffle carries one row per key per mapper instead of all rows.
+    Without ``tiebreak_col``: a single ``max_by`` hash aggregate — partial
+    aggregation runs map-side, so the shuffle carries one row per key per
+    mapper.  This path requires unique (key, time) pairs; on ties max_by
+    picks an arbitrary row.  With ``tiebreak_col``: deterministic
+    window-rank selection ordered by (time desc, tiebreak desc) — one full
+    shuffle, but stable on any data.
     """
-    aggs = [F.max(time_col).alias(time_col)] + [
-        F.expr(f"max_by(`{c}`, `{time_col}`)").alias(c) for c in value_cols
-    ]
-    return df.groupBy(key).agg(*aggs)
+    if tiebreak_col is None:
+        aggs = [F.max(time_col).alias(time_col)] + [
+            F.expr(f"max_by(`{c}`, `{time_col}`)").alias(c) for c in value_cols
+        ]
+        return df.groupBy(key).agg(*aggs)
+    w = Window.partitionBy(key).orderBy(
+        F.col(time_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("__lpk_rn", F.row_number().over(w))
+        .filter(F.col("__lpk_rn") == 1)
+        .select(key, time_col, *value_cols)
+    )
 
 
 def feature_windows(
@@ -76,14 +95,14 @@ def minmax_scale(df: DataFrame, value_col: str, out_col: str = "scaled") -> Data
     cross join (1 row) — stays fully distributed.
     """
     stats = df.agg(
-        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
+        F.min(value_col).alias("__mms_mn"), F.max(value_col).alias("__mms_mx")
     )
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn(
             out_col,
-            (F.col(value_col) - F.col("__mn"))
-            / F.nullif(F.col("__mx") - F.col("__mn"), F.lit(0)),
+            (F.col(value_col) - F.col("__mms_mn"))
+            / F.nullif(F.col("__mms_mx") - F.col("__mms_mn"), F.lit(0)),
         )
-        .drop("__mn", "__mx")
+        .drop("__mms_mn", "__mms_mx")
     )

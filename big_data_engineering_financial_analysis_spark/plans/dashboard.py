@@ -43,7 +43,7 @@ PANEL_SQL: dict[str, str] = {
     "panel_latest_signal": """
         SELECT stock_symbol, local_time, signal FROM stock_data
         WHERE stock_symbol = '42'
-        ORDER BY local_time DESC LIMIT 1
+        ORDER BY local_time DESC, event_id DESC LIMIT 1
     """,
     # dashboard.json:689 — global close stats
     "panel_close_stats": """

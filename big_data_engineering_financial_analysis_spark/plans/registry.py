@@ -238,9 +238,12 @@ def q_last_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9: latest row per key via max_by (dashboard.json:604 generalized)."""
+    """W9: latest row per key (dashboard.json:604 generalized) with an
+    event_id tiebreak so (key, ts) ties cannot flake the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    return latest_per_key(ev, "user_id", "ts", ["value", "event_type"]).select(
+    return latest_per_key(
+        ev, "user_id", "ts", ["value", "event_type"], tiebreak_col="event_id"
+    ).select(
         "user_id",
         F.col("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
@@ -344,8 +347,8 @@ def q_candlestick_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_latest_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9/O3: current-signal stat — ORDER BY time DESC LIMIT 1
-    (dashboard.json:604)."""
-    return serving.latest_signal(_enriched(spark, sf_dir, ["7"]), "7")
+    (dashboard.json:604), event_id tiebreak for tie determinism."""
+    return serving.latest_signal(_enriched(spark, sf_dir, ["7"]), "7", tiebreak_col="event_id")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,10 +443,11 @@ ORACLES: dict[str, str] = {
         ) WHERE rn = 1
     """,
     "latest_per_key": """
-        SELECT user_id, max(ts) AS last_ts,
-               max_by(value, ts) AS last_value,
-               max_by(event_type, ts) AS last_event_type
-        FROM events GROUP BY user_id
+        SELECT user_id, ts AS last_ts, value AS last_value,
+               event_type AS last_event_type
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
     """,
     "feature_windows": f"""
         SELECT user_id, local_time, label, f_len,
@@ -500,7 +504,7 @@ ORACLES: dict[str, str] = {
            AND sma_5 > 0 AND ema_10 > 0""",
     "latest_signal": ENRICHED_CTE
     + """SELECT stock_symbol, local_time, close, signal FROM enriched
-        WHERE stock_symbol = '7' ORDER BY local_time DESC LIMIT 1""",
+        WHERE stock_symbol = '7' ORDER BY local_time DESC, event_id DESC LIMIT 1""",
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)      AS sum_qty,

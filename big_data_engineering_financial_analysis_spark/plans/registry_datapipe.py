@@ -164,7 +164,7 @@ _SHINGLES3 = (
 )
 
 
-def _lang_case() -> str:
+def _lang_case() -> tuple[str, str]:
     markers = {k: v[1] for k, v in text.LANG_MARKERS.items()}
     prio = {k: v[0] for k, v in text.LANG_MARKERS.items()}
     scores = ", ".join(
@@ -254,7 +254,7 @@ ORACLES: dict[str, str] = {
                round(stop / nullif(n_tokens, 0.0), 6) AS stopword_ratio,
                round(punct / nullif(n_chars, 0.0), 6) AS punct_ratio,
                round(least(1.0, n_tokens / 100.0) * 0.5
-                     + coalesce(stop / nullif(n_tokens, 0.0), 0.0) * 3.0
+                     + coalesce(stop / nullif(n_tokens, 0.0), 0.0) * 0.3
                      + (1.0 - coalesce(punct / nullif(n_chars, 0.0), 0.0)) * 0.2, 6) AS quality_score
         FROM q
     """,

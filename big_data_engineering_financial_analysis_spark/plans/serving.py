@@ -172,13 +172,18 @@ def latest_signal(
     symbol: str,
     time_col: str = "local_time",
     symbol_col: str = "stock_symbol",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """W9/O3: current-signal stat panel (dashboard.json:604) —
     ``ORDER BY local_time DESC LIMIT 1`` planned as TakeOrderedAndProject
-    (no global sort; each partition contributes its top row)."""
+    (no global sort; each partition contributes its top row).  Pass a
+    unique ``tiebreak_col`` to make the pick deterministic on time ties."""
+    order = [F.col(time_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
     return (
         df.filter(F.col(symbol_col) == symbol)
-        .select(symbol_col, time_col, "close", "signal")
-        .orderBy(F.col(time_col).desc())
+        .orderBy(*order)
         .limit(1)
+        .select(symbol_col, time_col, "close", "signal")
     )

@@ -61,7 +61,12 @@ def parse_candle_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     7-column schema, then the timestamp is cast.  Malformed JSON -> NULL
     columns (from_json default), matching the reference.
     """
-    wire = "stock_symbol string, local_time string, open double, high double, low double, close double, volume double"
+    # wire schema derives from CANDLE_SCHEMA (local_time widened to the
+    # string wire format) so a schema change cannot silently drift
+    wire = ", ".join(
+        f"{f.name} {'string' if f.name == 'local_time' else f.dataType.simpleString()}"
+        for f in CANDLE_SCHEMA.fields
+    )
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), wire).alias("data")
     ).select("data.*")

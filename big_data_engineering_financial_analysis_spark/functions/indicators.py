@@ -117,8 +117,16 @@ def with_indicators(
         )
         .withColumn("delta", delta)
         # pandas clip keeps NaN; Spark greatest/least skip NULLs -> guard.
-        .withColumn("gain", F.when(F.col("delta").isNotNull(), F.greatest(F.col("delta"), F.lit(0.0))))
-        .withColumn("loss", F.when(F.col("delta").isNotNull(), -F.least(F.col("delta"), F.lit(0.0))))
+        # "+ 0.0" folds IEEE -0.0 to +0.0 (-least(0.0, ...) negates zero) so
+        # every engine path and the DuckDB oracle agree bit-for-bit.
+        .withColumn(
+            "gain",
+            F.when(F.col("delta").isNotNull(), F.greatest(F.col("delta"), F.lit(0.0)) + F.lit(0.0)),
+        )
+        .withColumn(
+            "loss",
+            F.when(F.col("delta").isNotNull(), -F.least(F.col("delta"), F.lit(0.0)) + F.lit(0.0)),
+        )
     )
     # rolling(10).mean() with min_periods=10 counts non-NaN inputs; gain/loss
     # are NaN exactly where delta is, so gate on count(delta) over the frame.
@@ -198,8 +206,10 @@ def enrich_pandas(
         pdf["sma_5"] = close.rolling(window=SMA_WINDOW).mean()
         pdf["ema_10"] = close.ewm(span=EMA_SPAN, adjust=False, min_periods=EMA_SPAN).mean()
         pdf["delta"] = close.diff()
-        pdf["gain"] = pdf["delta"].clip(lower=0)
-        pdf["loss"] = -pdf["delta"].clip(upper=0)
+        # "+ 0.0" folds IEEE -0.0 (from negating the clip) to +0.0 — parity
+        # with the window-expression path and the DuckDB oracle.
+        pdf["gain"] = pdf["delta"].clip(lower=0) + 0.0
+        pdf["loss"] = -pdf["delta"].clip(upper=0) + 0.0
         pdf["avg_gain_10"] = pdf["gain"].rolling(window=RSI_WINDOW).mean()
         pdf["avg_loss_10"] = pdf["loss"].rolling(window=RSI_WINDOW).mean()
         pdf["rs"] = pdf["avg_gain_10"] / pdf["avg_loss_10"].replace({0: None})

@@ -81,8 +81,8 @@ ind1 AS (
 ),
 ind2 AS (
   SELECT ind1.*,
-    CASE WHEN delta IS NOT NULL THEN greatest(delta, 0) END AS gain,
-    CASE WHEN delta IS NOT NULL THEN -least(delta, 0) END AS loss
+    CASE WHEN delta IS NOT NULL THEN greatest(delta, 0) + 0.0 END AS gain,
+    CASE WHEN delta IS NOT NULL THEN -least(delta, 0) + 0.0 END AS loss
   FROM ind1
 ),
 ind3 AS (

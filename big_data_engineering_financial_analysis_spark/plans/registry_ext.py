@@ -298,8 +298,9 @@ ORACLES: dict[str, str] = {
         ),
         sess AS (
           SELECT user_id, ts, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, count(*) AS n_events,
@@ -387,7 +388,7 @@ ORACLES: dict[str, str] = {
     "nation_customer_orders": """
         WITH co AS (
           SELECT c_nationkey, count(*) AS n_customers,
-                 sum(coalesce(n_orders, 0)) AS n_orders,
+                 CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
                  round(sum(coalesce(total_spend, 0.0)), 2) AS total_spend
           FROM customer
           LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,

@@ -131,8 +131,9 @@ def step(state: SymbolState, close: float, time_us: int) -> dict | None:
         delta = gain = loss = math.nan
     else:
         delta = close - state.last_close
-        gain = max(delta, 0.0)
-        loss = -min(delta, 0.0)
+        # "+ 0.0" folds IEEE -0.0 to +0.0, matching the batch paths/oracle.
+        gain = max(delta, 0.0) + 0.0
+        loss = -min(delta, 0.0) + 0.0
         state.n_delta += 1
 
     if not math.isnan(delta):

@@ -28,9 +28,10 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.isna(v):
             return "<null>"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
+            # Driver-strict: keep float-vs-int dtype visible (1.0 != 1) and
+            # preserve IEEE zero sign (-0.0 != 0.0) so a local pass implies a
+            # driver hash match.  float() unwraps np.float64 (numpy 2 repr).
+            return repr(float(v))
         return str(v)
 
     out = df.map(cell)

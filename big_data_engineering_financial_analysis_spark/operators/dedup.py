@@ -14,15 +14,14 @@ minhash + LSH      k md5-family minhashes over 3-shingles,      1 explode x
 simhash            frequency-weighted 32-bit sign sketch;       row-local
                    8-bit chunk blocking for candidate pairs     sketch + tiny
                                                                 join
-n-gram jaccard     exact set-similarity join over exploded      worst case
-                   shingles (ground truth / verifier)           O(pairs per
-                                                                shingle) —
-                                                                LSH-prefilter
-                                                                first at scale
-embedding cosine   exact pairwise cosine above a threshold      O(n²) — use
-                                                                similarity.py
-                                                                LSH buckets
-                                                                at scale
+n-gram jaccard     exact Jaccard over minhash-LSH candidates    LSH bucket
+                   (ngram_jaccard_lsh_pairs, the default);      join + per-
+                   standalone explode-join kept as the          candidate
+                   ground-truth verifier                        intersect
+embedding cosine   exact cosine verify over sign-LSH bucket     (tbl, bucket)
+                   candidates (similarity.py                    equi-join +
+                   embedding_dedup_pairs_lsh, the default);     per-candidate
+                   all-pairs kept as the verifier               fold
 =================  ==========================================  ============
 
 All sketches are md5-derived (functions/hashing.py) so the DuckDB oracle
@@ -40,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import hash64, shingles, tokens
+from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
 
 DEFAULT_SHINGLE = 3
 DEFAULT_NUM_PERM = 16
@@ -107,8 +107,8 @@ def minhash_signatures(
     from big_data_engineering_financial_analysis_spark.functions.hashing import MINHASH_PRIME, minhash_params
 
     # small-file corpora arrive as one partition; the md5 work per row is
-    # heavy, so spread it across the cluster first
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # heavy, so spread it across the cluster first (no-op when already wide)
+    df = spread(df)
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
     with_h = df.withColumn(
         "_mh_base", F.transform(sh, lambda s: hash64(s, None, 8))
@@ -233,7 +233,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     tokens in the raw list).  The hash array is materialized as a column so
     md5 runs once per row, not once per bit position.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = spread(df)
     hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, None, 14))
     with_hs = df.withColumn("_sh_hs", hs)
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
@@ -327,9 +327,10 @@ def ngram_jaccard_pairs(
 
     Explode distinct shingles, count co-occurrences per pair, then
     ``|A ∩ B| / (|A| + |B| - |A ∩ B|)``.  Integer counts -> the double
-    division is bit-identical across engines.  At 100 TB this runs AFTER
-    LSH candidate pruning (the explode-join is the verifier, not the
-    search); standing alone it is quadratic in per-shingle frequency.
+    division is bit-identical across engines.  Ground-truth VERIFIER for
+    tests/recall measurement; standing alone it is quadratic in
+    per-shingle frequency, so the registered/scale path is
+    :func:`ngram_jaccard_lsh_pairs` (exact Jaccard over LSH candidates).
     """
     sh = df.select(
         F.col(id_col),
@@ -352,6 +353,50 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         # threshold on the UNROUNDED value (the SQL oracle filters raw too;
         # filtering post-round would keep boundary pairs the oracle drops)
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over minhash-LSH candidates — the 100 TB
+    default.
+
+    Candidate generation is the banded-LSH bucket join
+    (:func:`lsh_candidate_pairs`, near-linear); the exact Jaccard is then
+    computed only for candidates, via ``array_intersect`` on each side's
+    distinct shingle set — integer counts, so the double division is
+    bit-identical across engines.  Versus the standalone
+    :func:`ngram_jaccard_pairs` explode-join (quadratic in per-shingle
+    frequency), only bucket recall is approximate
+    (``1 - (1 - s^r)^b`` for true Jaccard s); precision stays exact.
+
+    The signature frame is persisted (banding + pair explosion); callers
+    own the cache lifetime (``spark.catalog.clearCache()`` sweeps).
+    """
+    df = spread(df)
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_perm).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    raw = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        # threshold the UNROUNDED value (the SQL oracle filters raw too)
         .filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes
+from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
 
 DEFAULT_K = 10
 DEFAULT_PLANES = 8
@@ -66,8 +67,8 @@ def cosine_topk(
     )
     # broadcast-join output inherits the corpus partitioning; small-file
     # corpora are a single partition, which would serialize all the dot
-    # products onto one task
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    # products onto one task (no-op on well-partitioned corpora)
+    c = spread(c)
     # the normed corpus feeds both the query extraction and the scored scan
     c = with_norm(c, "vec").persist()
     q = c.filter(F.col(id_col).isin(query_ids)).select(
@@ -125,7 +126,7 @@ def lsh_ann_topk(
     """
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    c = spread(c)
     # referenced by bucket explode, query extraction, and the scored join
     c = with_norm(c, "vec").persist()
     buckets = F.array(
@@ -214,7 +215,7 @@ def ivf_ann_topk(
 
     centroids = ivf_centroids(n_cells, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
+    c = spread(c)
     c = with_norm(c, "vec").withColumn("dists", _sq_dists(F.col("vec"), centroids))
     # the 16-centroid distance arrays are the dominant cost and the frame
     # feeds cell assignment, probes, query vectors, and the scored join
@@ -263,13 +264,13 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Exact near-duplicate pairs by cosine >= threshold.
 
-    Brute-force O(n²) — correct-by-construction verifier; at scale, run
-    inside LSH buckets (compose with :func:`lsh_bucket` as the join key)
-    exactly like minhash-LSH prunes the jaccard join.
+    Brute-force O(n²) — the correct-by-construction VERIFIER, kept for
+    tests and recall measurement only.  The registered/scale path is
+    :func:`embedding_dedup_pairs_lsh`, which generates candidates inside
+    sign-LSH buckets exactly like minhash-LSH prunes the jaccard join.
     """
     c = with_norm(
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        spread(corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))),
         "vec",
     )
     a = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
@@ -279,4 +280,74 @@ def embedding_dedup_pairs(
         .withColumn("cos_sim", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+DEDUP_TABLES = 8
+
+
+def embedding_dedup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = DEDUP_TABLES,
+    planes_per_table: int = DEFAULT_PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed — the
+    100 TB default.
+
+    Candidate pairs are generated INSIDE multi-table sign-LSH buckets (a
+    pair is considered iff it collides in at least one of the L tables),
+    then verified with the exact fold cosine, so precision is 1 and the
+    only approximation is bucket recall: for a pair at angle θ it is
+    ``1 - (1 - (1-θ/π)^p)^L`` — ≈0.98 at cos 0.8 with the default 8x4
+    tables.  Replaces the all-pairs O(n²) self-join of
+    :func:`embedding_dedup_pairs` with an equi-join on small
+    (table, bucket) keys: candidates shuffle only on bucket keys, exactly
+    like minhash-LSH prunes the jaccard join.
+
+    The normed corpus is persisted (bucket explode + both verify sides);
+    callers own the cache lifetime (``spark.catalog.clearCache()`` sweeps).
+    """
+    all_planes = hyperplanes(n_tables * planes_per_table, dim)
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    c = spread(c)
+    c = with_norm(c, "vec").persist()
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col("vec"),
+                    all_planes[t * planes_per_table : (t + 1) * planes_per_table],
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
+        id_col, "tb.tbl", "tb.bucket"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = c.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    raw = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        # threshold the UNROUNDED cosine (the oracle filters raw too)
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("cos_sim"))
     )

@@ -65,9 +65,12 @@ def shipping_priority(
     date: str = "1997-06-01",
     k: int = 10,
 ) -> DataFrame:
-    """TPC-H Q3 shape: broadcast dim filter + fact-fact join + grouped top-k.
+    """TPC-H Q3 shape: dim filter + fact-fact join + grouped top-k.
 
-    ``customer`` (filtered to one segment) is broadcast into ``orders``;
+    ``customer`` is fact-scale in TPC-H (1.5M rows/SF), so no explicit
+    broadcast hint: the optimizer broadcasts the filtered segment while it
+    fits ``autoBroadcastJoinThreshold`` and AQE falls back to a shuffle on
+    ``o_custkey`` beyond that — a forced hint would OOM executors at scale.
     orders ⋈ lineitem shuffles on orderkey once.  Deterministic top-k via
     (revenue desc, orderkey) ordering.
     """
@@ -80,7 +83,7 @@ def shipping_priority(
     )
     revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
     return (
-        li.join(ord_f.join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey), li.l_orderkey == ord_f.o_orderkey)
+        li.join(ord_f.join(cust, ord_f.o_custkey == cust.c_custkey), li.l_orderkey == ord_f.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -94,9 +97,13 @@ def local_supplier_volume(
     start: str = "1996-01-01",
     end: str = "1997-01-01",
 ) -> DataFrame:
-    """TPC-H Q5 shape: 6-table join, dims broadcast, facts shuffled once.
+    """TPC-H Q5 shape: 6-table join, true dims broadcast, facts shuffled once.
 
     customer ⋈ supplier on nationkey enforces the "local supplier" rule.
+    region/nation/supplier are genuinely small -> explicit broadcast;
+    ``customer`` is fact-scale (1.5M rows/SF), so it carries no hint — the
+    optimizer broadcasts it while small and AQE shuffles on ``o_custkey``
+    at scale instead of OOMing executors.
     """
     r = tables["region"].filter(F.col("r_name") == region)
     n = tables["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -112,7 +119,7 @@ def local_supplier_volume(
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s.select("s_suppkey", "s_nationkey", "n_name")), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(c), (F.col("o_custkey") == c.c_custkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(c, (F.col("o_custkey") == c.c_custkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
     )
     return joined.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")

@@ -83,8 +83,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard verified over minhash-LSH candidates — the scale path
+    (the standalone explode-join verifier stays test-only)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.ngram_jaccard_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
 def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,8 +140,10 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs generated inside sign-LSH buckets — the scale
+    path (the all-pairs verifier stays test-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_dedup_pairs(emb, threshold=EMB_DEDUP_THRESHOLD)
+    return similarity.embedding_dedup_pairs_lsh(emb, threshold=EMB_DEDUP_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +200,17 @@ _BUCKET_SQL = " || ".join(
 # multi-table ANN buckets: table t uses planes [t*p, (t+1)*p)
 _ANN_PLANES = hyperplanes(N_TABLES * PLANES_PER_TABLE, EMB_DIM)
 
+# embedding-dedup buckets: 8 tables for near-dup recall (~0.98 at cos 0.8)
+_DEDUP_PLANES = hyperplanes(similarity.DEDUP_TABLES * PLANES_PER_TABLE, EMB_DIM)
+
+
+def _dedup_table_bucket_sql(t: int) -> str:
+    planes = _DEDUP_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
+    return " || ".join(
+        f"(CASE WHEN {_DOT.format(a='vec', b=_plane_literal(p))} > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
 
 def _table_bucket_sql(t: int) -> str:
     planes = _ANN_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
@@ -208,6 +223,11 @@ def _table_bucket_sql(t: int) -> str:
 _CB_SQL = "\n          UNION ALL ".join(
     f"SELECT vec_id, {t} AS tbl, {_table_bucket_sql(t)} AS bucket FROM n"
     for t in range(N_TABLES)
+)
+
+_DEDUP_CB_SQL = "\n          UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_dedup_table_bucket_sql(t)} AS bucket FROM n"
+    for t in range(similarity.DEDUP_TABLES)
 )
 
 # IVF centroids + squared-distance list (same fold order as Spark)
@@ -377,19 +397,42 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, list_distinct({_SHINGLES3}) AS shingles
           FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
         ),
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        common AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
+        mh AS (
+          SELECT doc_id, len(shingles) AS nsh,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN nsh > 0 THEN
+                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), i ->
+                     list_min(list_transform(hs,
+                       h -> ({_MH_A}[i + 1] * h + {_MH_B}[i + 1]) % {_MH_P})))
+                 END AS sig
+          FROM mh
+        ),
+        banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
+          WHERE sig IS NOT NULL
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b,
-               round(CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON id_a = sa.doc_id
-        JOIN sizes sb ON id_b = sb.doc_id
-        WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / CAST(len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) AS jaccard
+        FROM cands
+        JOIN sh sa ON id_a = sa.doc_id
+        JOIN sh sb ON id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
     """,
     "binary_payload": """
         SELECT doc_id,
@@ -497,10 +540,20 @@ ORACLES: dict[str, str] = {
         WITH n AS (
           SELECT vec_id, vec, sqrt({_DOT.format(a="vec", b="vec")}) AS norm
           FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        ),
+        cb AS (
+          {_DEDUP_CB_SQL}
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cb a JOIN cb b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT id_a, id_b,
                round({_DOT.format(a="a.vec", b="b.vec")} / nullif(a.norm * b.norm, 0.0), 6) AS cos_sim
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        FROM cands
+        JOIN n a ON id_a = a.vec_id
+        JOIN n b ON id_b = b.vec_id
         WHERE {_DOT.format(a="a.vec", b="b.vec")} / nullif(a.norm * b.norm, 0.0) >= {EMB_DEDUP_THRESHOLD}
     """,
 }

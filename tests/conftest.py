@@ -19,6 +19,13 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(scope="module")
+def sf_medium_embeddings(spark):
+    from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+    return load_table(spark, SF_MEDIUM, "embeddings")
+
+
 @pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with every test table registered as a view,

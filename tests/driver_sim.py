@@ -63,6 +63,7 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, SF).toPandas()
+            spark.catalog.clearCache()
             if name not in oracles:
                 status = f"ROWS-ONLY ({len(sdf)} rows)" if len(sdf) >= 0 else "FAIL"
                 print(f"{name}: {status}")

@@ -72,3 +72,32 @@ def test_minhash_signature_null_for_tiny_docs(spark):
     tiny = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     sigs = dedup.minhash_signatures(tiny).toPandas()
     assert sigs["minhash_sig"].isna().all()
+
+
+def test_ngram_jaccard_lsh_subset_of_exact(spark, docs):
+    """The LSH-composed default is exact-precision: every emitted pair is in
+    the brute-force result with the identical jaccard, and on planted
+    high-similarity dups recall is total."""
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    lsh = dedup.ngram_jaccard_lsh_pairs(docs, threshold=0.5).toPandas()
+    exact_map = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
+    lsh_map = {(r.id_a, r.id_b): r.jaccard for r in lsh.itertuples()}
+    assert set(lsh_map) <= set(exact_map)
+    for k, v in lsh_map.items():
+        assert v == exact_map[k]
+    assert (1, 2) in lsh_map and (1, 4) in lsh_map  # planted dups found
+
+
+def test_embedding_dedup_lsh_subset_of_bruteforce(spark, sf_medium_embeddings):
+    """On the real fixture corpus: LSH-bucketed pairs ⊆ brute-force pairs,
+    identical cosines, and recall stays high at the dedup threshold."""
+    from big_data_engineering_financial_analysis_spark.operators import similarity
+
+    exact = similarity.embedding_dedup_pairs(sf_medium_embeddings, threshold=0.45).toPandas()
+    lsh = similarity.embedding_dedup_pairs_lsh(sf_medium_embeddings, threshold=0.45).toPandas()
+    exact_map = {(r.id_a, r.id_b): r.cos_sim for r in exact.itertuples()}
+    lsh_map = {(r.id_a, r.id_b): r.cos_sim for r in lsh.itertuples()}
+    assert set(lsh_map) <= set(exact_map)
+    for k, v in lsh_map.items():
+        assert v == exact_map[k]
+    assert len(lsh_map) >= 0.8 * len(exact_map)  # bucket recall

@@ -46,6 +46,9 @@ def test_query_matches_oracle(name, spark, duck):
         assert QUERIES[name](spark, SF_MEDIUM).count() > 0
         return
     spark_df = QUERIES[name](spark, SF_MEDIUM).toPandas()
+    # sweep per-query persisted intermediates (operators cache sketch
+    # frames; the session lives for all 71 queries)
+    spark.catalog.clearCache()
     oracle_df = duck.execute(ORACLES[name]).fetchdf()
 
     assert len(spark_df) == len(oracle_df), (

@@ -176,15 +176,19 @@ DEFAULT_IVF_CELLS = 16
 DEFAULT_IVF_PROBE = 4
 
 
-def _sq_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of squared L2 distances to every centroid (sequential folds)."""
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of per-centroid scores ``‖c‖² − 2·(x·c)`` (sequential folds).
+
+    Orders identically to squared L2 distance — ``‖x−c‖² = ‖x‖² − 2x·c +
+    ‖c‖²`` and the ``‖x‖²`` term is constant within a row's array — so
+    argmin (cell assignment) and the probe-threshold comparisons are
+    unchanged, but each fold is a plain multiply-accumulate instead of
+    subtract-square-accumulate, and ``‖c‖²`` is a Python-time constant.
+    """
     return F.array(
         *[
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            F.lit(sum(x * x for x in c))
+            - F.lit(2.0) * _dot(vec, F.array(*[F.lit(x) for x in c]))
             for c in centroids
         ]
     )
@@ -204,20 +208,22 @@ def ivf_ann_topk(
     (nearest deterministic centroid), search only the query's ``n_probe``
     nearest cells.
 
-    Cell id = 1-based position of the minimum distance (first-occurrence
-    tie-break — identical in the SQL oracle via ``list_position``).  The
-    probe set is "cells with distance <= the n_probe-th smallest" so ties
-    expand the probe deterministically on both engines.  At scale the
-    corpus is written partitioned by ``cell`` and a query touches n_probe
-    partitions instead of the full table.
+    Cell id = 1-based position of the minimum centroid score
+    (first-occurrence tie-break — identical in the SQL oracle via
+    ``list_position``); scores are the dot-based ``‖c‖² − 2x·c`` form of
+    squared distance (:func:`_cell_scores`), which halves the per-row fold
+    work.  The probe set is "cells with score <= the n_probe-th smallest"
+    so ties expand the probe deterministically on both engines.  At scale
+    the corpus is written partitioned by ``cell`` and a query touches
+    n_probe partitions instead of the full table.
     """
     from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
 
     centroids = ivf_centroids(n_cells, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
     c = spread(c)
-    c = with_norm(c, "vec").withColumn("dists", _sq_dists(F.col("vec"), centroids))
-    # the 16-centroid distance arrays are the dominant cost and the frame
+    c = with_norm(c, "vec").withColumn("dists", _cell_scores(F.col("vec"), centroids))
+    # the 16-centroid score arrays are the dominant cost and the frame
     # feeds cell assignment, probes, query vectors, and the scored join
     c = c.withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int")).persist()
 

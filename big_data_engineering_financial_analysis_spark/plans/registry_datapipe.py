@@ -230,16 +230,18 @@ _DEDUP_CB_SQL = "\n          UNION ALL ".join(
     for t in range(similarity.DEDUP_TABLES)
 )
 
-# IVF centroids + squared-distance list (same fold order as Spark)
+# IVF centroids + dot-based score list ‖c‖² − 2·(x·c) (same fold order and
+# scalar association as Spark's _cell_scores: lit - 2.0 * fold)
 from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids as _ivf_centroids  # noqa: E402
 
 _IVF_CENTROIDS = _ivf_centroids(similarity.DEFAULT_IVF_CELLS, EMB_DIM)
 _IVF_DISTS = (
     "["
     + ", ".join(
+        f"{sum(x * x for x in c)!r} - 2.0 * "
         "list_reduce(list_transform(list_zip(vec, "
         + _plane_literal(c)
-        + "), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, v) -> acc + v)"
+        + "), x -> x[1] * x[2]), (acc, v) -> acc + v)"
         for c in _IVF_CENTROIDS
     )
     + "]"

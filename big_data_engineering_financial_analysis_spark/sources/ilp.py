@@ -1,0 +1,90 @@
+"""InfluxDB Line Protocol TCP sink (K4) — QuestDB-compatible.
+
+The reference ships enriched rows to QuestDB by formatting ILP text and
+``sendall``-ing it over a raw TCP socket, one connection per message
+(services/kafka-to-questdb/consumer.py:18-24,67-80).  The engine edition
+keeps the wire format byte-identical — the ``line`` column comes from the
+oracle-checked :func:`plans.analytics_ext.ilp_lines` expression — but
+distributes the send: each partition opens ONE connection and streams its
+rows through it, so a 1000-executor write fans out to 1000 sockets instead
+of hammering one driver-side connection per row.
+
+Batch path: :func:`write_ilp` (``foreachPartition``).  Streaming path:
+:func:`ilp_stream_writer` (``foreachBatch`` reusing the same partition
+sender, preserving exactly-once per epoch via the caller's checkpoint).
+"""
+
+from __future__ import annotations
+
+import socket
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+DEFAULT_ILP_PORT = 9009  # QuestDB default (reference consumer.py:14)
+
+
+def send_lines(lines: list[str], host: str, port: int = DEFAULT_ILP_PORT) -> int:
+    """Send ILP lines over one TCP connection; returns bytes written.
+
+    Reference parity: ``socket.create_connection`` + ``sendall`` of
+    newline-terminated UTF-8 (consumer.py:18-24); lines already ending in
+    a newline are sent as-is.
+    """
+    payload = "".join(ln if ln.endswith("\n") else ln + "\n" for ln in lines)
+    data = payload.encode("utf-8")
+    if not data:
+        return 0
+    with socket.create_connection((host, port)) as sock:
+        sock.sendall(data)
+    return len(data)
+
+
+def _partition_sender(host: str, port: int, line_col_idx: int):
+    """A pickle-able per-partition send closure (runs on executors)."""
+
+    def _send(rows: Iterator) -> None:
+        batch: list[str] = []
+        for row in rows:
+            batch.append(row[line_col_idx])
+            # flush in chunks so a huge partition never materializes fully
+            if len(batch) >= 10_000:
+                send_lines(batch, host, port)
+                batch = []
+        if batch:
+            send_lines(batch, host, port)
+
+    return _send
+
+
+def write_ilp(
+    df: DataFrame,
+    host: str,
+    port: int = DEFAULT_ILP_PORT,
+    line_col: str = "line",
+) -> None:
+    """Write a batch frame's ILP ``line`` column to a QuestDB-style TCP
+    endpoint, one connection per partition (distributed, no driver
+    collect)."""
+    proj = df.select(line_col)
+    proj.foreachPartition(_partition_sender(host, port, 0))
+
+
+def ilp_stream_writer(host: str, port: int = DEFAULT_ILP_PORT, line_col: str = "line"):
+    """``foreachBatch`` function streaming micro-batches to the ILP socket.
+
+    Usage::
+
+        (ilp_lines(enriched_stream).writeStream
+         .foreachBatch(ilp_stream_writer(host, port))
+         .option("checkpointLocation", ...).start())
+
+    Delivery is at-least-once (ILP appends are idempotent downstream when
+    the designated timestamp + symbol form the dedup key, QuestDB's
+    standard dedup config).
+    """
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_ilp(batch_df, host, port, line_col)
+
+    return _write

@@ -28,19 +28,34 @@ LOOKBACK_S = 120  # reference: from = now - 120 (ingest.py:63)
 POLL_INTERVAL_S = 60  # reference cadence (ingest.py:121)
 
 
-def default_fetch(symbol: str, from_s: int, to_s: int) -> list[dict]:
-    """HTTP fetch against a UDF-history-style endpoint (gated: requires
-    network + requests; raises cleanly when unavailable)."""
+DEFAULT_BASE_URL = "https://api.nobitex.ir/market/udf/history"
+
+
+def default_fetch(
+    symbol: str,
+    from_s: int,
+    to_s: int,
+    base_url: str = DEFAULT_BASE_URL,
+    timeout_s: float = 10.0,
+) -> list[dict]:
+    """HTTP fetch against a UDF-history-style endpoint.
+
+    Mirrors the reference request/response handling
+    (services/data-ingestion/app/ingest.py:60-121): GET with
+    symbol/resolution/from/to params; a response whose ``s`` field is not
+    ``"ok"`` (``"no_data"``, ``"error"``) yields no candles.  ``base_url``
+    is injectable so tests drive the real HTTP branch against a local stub
+    server; gated behind an import-try for stripped-down interpreters.
+    """
     try:
         import urllib.request
     except Exception as exc:  # pragma: no cover
         raise NotImplementedError("no HTTP stack available") from exc
-    url = (
-        "https://api.nobitex.ir/market/udf/history"
-        f"?symbol={symbol}&resolution=1&from={from_s}&to={to_s}"
-    )
-    with urllib.request.urlopen(url, timeout=10) as resp:  # pragma: no cover
+    url = f"{base_url}?symbol={symbol}&resolution=1&from={from_s}&to={to_s}"
+    with urllib.request.urlopen(url, timeout=timeout_s) as resp:
         data = json.loads(resp.read())
+    if data.get("s") != "ok":
+        return []
     return [
         {"t": t, "o": o, "h": h, "l": l, "c": c, "v": v}
         for t, o, h, l, c, v in zip(
@@ -51,7 +66,7 @@ def default_fetch(symbol: str, from_s: int, to_s: int) -> list[dict]:
 
 
 def poll_once(
-    fetch: FetchFn,
+    fetch: FetchFn = default_fetch,
     symbols: list[str] | None = None,
     now_s: int | None = None,
 ) -> list[dict]:

@@ -94,3 +94,163 @@ def test_pipeline_cli_batch(spark, tmp_path, capsys):
     # enriched store written date-partitioned
     stored = spark.read.parquet(str(tmp_path / "stock_data"))
     assert "dt" in stored.columns and stored.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Real-fetch branch (S1): default_fetch over HTTP against a local stub server
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def udf_stub_server():
+    """Minimal UDF-history HTTP endpoint: /ok, /nodata, /error paths."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            u = urlparse(self.path)
+            qs = parse_qs(u.query)
+            if u.path == "/ok":
+                body = {
+                    "s": "ok",
+                    "t": [int(qs["from"][0]) + 60, int(qs["to"][0])],
+                    "o": [1.0, 1.5], "h": [2.0, 2.5], "l": [0.5, 1.0],
+                    "c": [1.5, 2.0], "v": [10, 20],
+                }
+            elif u.path == "/nodata":
+                body = {"s": "no_data"}
+            else:
+                body = {"s": "error", "errmsg": "boom"}
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_default_fetch_parses_candles(udf_stub_server):
+    candles = rest_poller.default_fetch("BTCIRT", 100, 220, base_url=f"{udf_stub_server}/ok")
+    assert [c["t"] for c in candles] == [160, 220]
+    assert candles[-1] == {"t": 220, "o": 1.5, "h": 2.5, "l": 1.0, "c": 2.0, "v": 20}
+
+
+def test_default_fetch_honors_status_field(udf_stub_server):
+    # reference treats s != "ok" as no candles (ingest.py:109-115)
+    assert rest_poller.default_fetch("X", 0, 1, base_url=f"{udf_stub_server}/nodata") == []
+    assert rest_poller.default_fetch("X", 0, 1, base_url=f"{udf_stub_server}/error") == []
+
+
+def test_poll_once_over_real_http(udf_stub_server):
+    import functools
+
+    fetch = functools.partial(rest_poller.default_fetch, base_url=f"{udf_stub_server}/ok")
+    rows = rest_poller.poll_once(fetch, symbols=["BTCIRT"], now_s=1_700_000_000)
+    assert len(rows) == 1 and rows[0]["close"] == 2.0 and rows[0]["volume"] == 20.0
+
+
+# ---------------------------------------------------------------------------
+# ILP TCP sink (K4): distributed foreachPartition writer vs a local socket
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def tcp_sink():
+    """Accumulating TCP server; yields (host, port, received_chunks)."""
+    import socketserver
+    import threading
+
+    received: list[bytes] = []
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            data = self.rfile.read()
+            if data:
+                received.append(data)
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield "127.0.0.1", srv.server_address[1], received
+    srv.shutdown()
+
+
+def test_send_lines_roundtrip(tcp_sink):
+    from big_data_engineering_financial_analysis_spark.sources import ilp
+
+    host, port, received = tcp_sink
+    n = ilp.send_lines(["a b 1", "c d 2\n"], host, port)
+    assert n == len(b"a b 1\nc d 2\n")
+    import time as _t
+
+    for _ in range(50):
+        if received:
+            break
+        _t.sleep(0.05)
+    assert b"".join(received) == b"a b 1\nc d 2\n"
+
+
+def test_write_ilp_distributed_roundtrip(spark, tcp_sink):
+    """Batch ILP write: the oracle-checked ilp_lines formatting reaches the
+    socket byte-identically, one connection per partition."""
+    import time as _t
+
+    from big_data_engineering_financial_analysis_spark.plans import analytics_ext
+    from big_data_engineering_financial_analysis_spark.sources import ilp
+
+    host, port, received = tcp_sink
+    enriched = spark.createDataFrame(
+        [
+            (1, "BTCIRT", datetime(2024, 1, 1, 0, 0), 100.0, 99.0, 101.0, 55.0, "BUY"),
+            (2, "ETHIRT", datetime(2024, 1, 1, 0, 1), 50.0, None, None, None, "HOLD"),
+        ],
+        "event_id long, stock_symbol string, local_time timestamp, close double, "
+        "sma_5 double, ema_10 double, rsi_10 double, signal string",
+    ).repartition(2)
+    lines_df = analytics_ext.ilp_lines(enriched)
+    expected = {r.line for r in lines_df.collect()}
+    ilp.write_ilp(lines_df, host, port)
+    for _ in range(100):
+        if len(received) >= 2:
+            break
+        _t.sleep(0.05)
+    got = set(b"".join(received).decode().splitlines())
+    assert got == expected
+    assert len(received) == 2  # one connection per partition
+
+
+def test_ilp_stream_writer_foreachbatch(spark, tcp_sink, tmp_path):
+    """Streaming path: foreachBatch ships each micro-batch over the socket."""
+    import time as _t
+
+    from big_data_engineering_financial_analysis_spark.sources import ilp
+
+    host, port, received = tcp_sink
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.json").write_text('{"line": "stock_data,s=X close=1.0 1"}\n')
+    stream = spark.readStream.schema("line string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(ilp.ilp_stream_writer(host, port))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    for _ in range(100):
+        if received:
+            break
+        _t.sleep(0.05)
+    assert b"stock_data,s=X close=1.0 1\n" in b"".join(received)

@@ -194,6 +194,56 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def ivf_refit_centroids(
+    corpus: DataFrame,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Lloyd-iteration k-means refit of the IVF coarse quantizer.
+
+    Starts from the deterministic md5 centroids and runs ``iters``
+    distributed assignment→mean steps: each is one corpus scan (cell
+    argmin via :func:`_cell_scores`) plus a ``groupBy(cell)`` of
+    ``n_cells × dim`` partial means — a shuffle of kilobytes, not data.
+    The collected model is ``n_cells × dim`` doubles (driver-side by
+    design, like any fitted model); empty cells keep their previous
+    centroid.  At 100 TB pass ``sample_fraction`` to fit on a uniform
+    sample (assignment quality degrades only marginally; the serving-path
+    cell assignment still scans everything once at write time).
+    """
+    from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
+
+    c = corpus.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    if sample_fraction is not None:
+        c = c.sample(fraction=sample_fraction, seed=7)
+    c = spread(c).persist()
+    centroids = ivf_centroids(n_cells, dim)
+    try:
+        for _ in range(iters):
+            assigned = c.withColumn(
+                "cell",
+                F.array_position(
+                    (s := _cell_scores(F.col("vec"), centroids)), F.array_min(s)
+                ).cast("int"),
+            )
+            means = (
+                assigned.groupBy("cell")
+                .agg(*[F.avg(F.element_at("vec", i + 1)).alias(f"m{i}") for i in range(dim)])
+                .collect()
+            )
+            new = list(centroids)
+            for row in means:
+                new[row["cell"] - 1] = [float(row[f"m{i}"]) for i in range(dim)]
+            centroids = new
+    finally:
+        c.unpersist()
+    return centroids
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -203,6 +253,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into cells
     (nearest deterministic centroid), search only the query's ``n_probe``
@@ -219,7 +270,8 @@ def ivf_ann_topk(
     """
     from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
 
-    centroids = ivf_centroids(n_cells, dim)
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
     c = spread(c)
     c = with_norm(c, "vec").withColumn("dists", _cell_scores(F.col("vec"), centroids))

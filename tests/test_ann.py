@@ -1,0 +1,61 @@
+"""ANN quality: recall of the approximate paths against the exact
+brute-force baseline, and the Lloyd-refit coarse quantizer."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_engineering_financial_analysis_spark.operators import similarity
+
+QUERY_IDS = list(range(20))
+K = 10
+
+
+def _topk_sets(df):
+    pdf = df.toPandas()
+    return {
+        q: set(g.sort_values("rank")["neighbor_id"].head(K))
+        for q, g in pdf.groupby("query_id")
+    }
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+    return hits / sum(len(exact[q]) for q in exact)
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, sf_medium_embeddings):
+    out = _topk_sets(similarity.cosine_topk(sf_medium_embeddings, QUERY_IDS, k=K))
+    spark.catalog.clearCache()
+    return out
+
+
+def test_ivf_recall_fixed_centroids(spark, sf_medium_embeddings, exact_topk):
+    got = _topk_sets(similarity.ivf_ann_topk(sf_medium_embeddings, QUERY_IDS, k=K))
+    spark.catalog.clearCache()
+    assert _recall(got, exact_topk) >= 0.9
+
+
+def test_ivf_refit_improves_or_matches_recall(spark, sf_medium_embeddings, exact_topk):
+    """Trained centroids must not lose recall vs the fixed md5 seeds, and
+    training must actually move them (the corpus is not centered on the
+    deterministic seeds)."""
+    from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
+
+    fixed = ivf_centroids(similarity.DEFAULT_IVF_CELLS, 64)
+    trained = similarity.ivf_refit_centroids(sf_medium_embeddings, iters=2)
+    assert trained != fixed
+    got_fixed = _topk_sets(similarity.ivf_ann_topk(sf_medium_embeddings, QUERY_IDS, k=K))
+    spark.catalog.clearCache()
+    got_trained = _topk_sets(
+        similarity.ivf_ann_topk(sf_medium_embeddings, QUERY_IDS, k=K, centroids=trained)
+    )
+    spark.catalog.clearCache()
+    assert _recall(got_trained, exact_topk) >= _recall(got_fixed, exact_topk) - 0.02
+
+
+def test_ivf_refit_sampled_is_deterministic(spark, sf_medium_embeddings):
+    a = similarity.ivf_refit_centroids(sf_medium_embeddings, iters=1, sample_fraction=0.5)
+    b = similarity.ivf_refit_centroids(sf_medium_embeddings, iters=1, sample_fraction=0.5)
+    assert a == b

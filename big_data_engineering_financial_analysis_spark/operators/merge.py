@@ -1,0 +1,114 @@
+"""Keyed merge (upsert) and type-2 slowly-changing-dimension apply.
+
+A 100 TB training-data pipeline re-ingests sources incrementally: new
+snapshots must replace matching rows (MERGE / upsert) and dimension
+attributes must keep history (SCD2).  Lakehouse table formats bake these
+in; on plain DataFrames both are join+union compositions, which is exactly
+how Delta/Iceberg execute the rewrite side of MERGE anyway:
+
+* :func:`upsert` — WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT with
+  source-wins semantics: one anti-join (shuffle on the merge key, or a
+  broadcast when the update batch is small — left to AQE) + union.
+* :func:`scd2_apply` — close out current rows whose tracked attributes
+  changed, append the new versions, insert unseen keys, and leave
+  untouched rows alone (a value-identical change row is a no-op, so
+  re-delivered batches don't spawn phantom versions).  One full-outer
+  shuffle on the key; every output branch derives from that single join.
+
+Both return plain DataFrames: write with ``.write.parquet`` (or feed the
+bucketed store) — at scale, partition the target by the merge key so the
+rewrite touches only affected partitions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Source-wins keyed merge: rows of ``updates`` replace same-key rows
+    of ``target``; unmatched update rows are inserted.
+
+    ``updates`` must carry the full target schema (this is a whole-row
+    upsert, the reference's INSERT-or-replace pattern for the serving
+    store).  Plan: target ⟕̸ (anti) update-keys, then union — a single
+    shuffle on ``keys`` for the anti-join; Catalyst broadcasts the
+    (usually tiny) update key set automatically.
+    """
+    surviving = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return surviving.unionByName(updates.select(*target.columns))
+
+
+def _any_differs(tracked: list[str], left: str, right: str) -> Column:
+    """NULL-safe "any tracked attribute differs" predicate."""
+    return reduce(
+        lambda a, b: a | b,
+        [~F.col(f"{left}.{t}").eqNullSafe(F.col(f"{right}.{t}")) for t in tracked],
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_ts: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply a change batch to a type-2 dimension.
+
+    ``dim`` is the full history (``to_col`` NULL marks current rows);
+    ``changes`` carries ``key`` + ``tracked`` attribute values effective at
+    ``effective_ts``.  Output = closed history (untouched) ∪ still-current
+    rows (unmatched or value-identical) ∪ closed-out changed rows
+    (``to_col`` = effective) ∪ new versions ∪ brand-new keys.
+
+    Single full-outer join on ``key`` feeds every branch; the frame is
+    persisted for the four selects and unpersisting is the caller's
+    choice (``spark.catalog.clearCache()`` sweeps).
+    """
+    eff = F.lit(effective_ts).cast("timestamp")
+    closed_hist = dim.filter(F.col(to_col).isNotNull())
+    cur = dim.filter(F.col(to_col).isNull())
+    out_cols = [key, *tracked, from_col, to_col]
+
+    joined = (
+        cur.alias("c")
+        .join(changes.alias("u"), F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
+        .persist()
+    )
+    matched = F.col(f"c.{key}").isNotNull() & F.col(f"u.{key}").isNotNull()
+    diff = _any_differs(tracked, "c", "u")
+
+    kept = joined.filter(
+        F.col(f"c.{key}").isNotNull() & (F.col(f"u.{key}").isNull() | ~diff)
+    ).select([F.col(f"c.{c}") for c in out_cols])
+    closed_now = joined.filter(matched & diff).select(
+        F.col(f"c.{key}"),
+        *[F.col(f"c.{t}") for t in tracked],
+        F.col(f"c.{from_col}"),
+        eff.alias(to_col),
+    )
+    new_versions = joined.filter(matched & diff).select(
+        F.col(f"u.{key}"),
+        *[F.col(f"u.{t}") for t in tracked],
+        eff.alias(from_col),
+        F.lit(None).cast("timestamp").alias(to_col),
+    )
+    inserts = joined.filter(F.col(f"c.{key}").isNull()).select(
+        F.col(f"u.{key}"),
+        *[F.col(f"u.{t}") for t in tracked],
+        eff.alias(from_col),
+        F.lit(None).cast("timestamp").alias(to_col),
+    )
+    return (
+        closed_hist.select(*out_cols)
+        .unionByName(kept)
+        .unionByName(closed_now)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )

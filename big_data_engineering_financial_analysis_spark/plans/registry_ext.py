@@ -234,6 +234,36 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    # expected-result construction (independent of the join algorithm):
+    # surviving originals ∪ repriced update batch
+    "orders_upsert": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    # SCD2 expected output by case: untouched current rows (incl. the
+    # value-identical re-delivery, which must NOT version-bump) ∪ closed-out
+    # changed rows ∪ their new versions ∪ brand-new keys
+    "supplier_scd2": """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               TIMESTAMP '1995-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM supplier WHERE s_suppkey % 5 <> 0
+        UNION ALL
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               TIMESTAMP '1995-01-01', TIMESTAMP '1996-06-01'
+        FROM supplier WHERE s_suppkey % 5 = 0
+        UNION ALL
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0,
+               TIMESTAMP '1996-06-01', CAST(NULL AS TIMESTAMP)
+        FROM supplier WHERE s_suppkey % 5 = 0
+        UNION ALL
+        SELECT s_suppkey + 1000000, 'NEW#' || CAST(s_suppkey AS VARCHAR), s_nationkey, 0.0,
+               TIMESTAMP '1996-06-01', CAST(NULL AS TIMESTAMP)
+        FROM supplier WHERE s_suppkey % 3 = 0
+    """,
     "order_priority_check": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
@@ -428,7 +458,60 @@ def _ilp_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# incremental ingest: keyed upsert + SCD2 (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-wins MERGE: a synthetic update batch (every 7th order,
+    repriced +10% and statused 'U') replaces matching rows of orders."""
+    from big_data_engineering_financial_analysis_spark.operators.merge import upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return upsert(orders, updates, ["o_orderkey"])
+
+
+SCD2_EFFECTIVE = "1996-06-01"
+SCD2_BASE = "1995-01-01"
+
+
+def q_supplier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 apply on the supplier dim: every 5th supplier's balance
+    moves (+100 -> close + new version), every (5k+1)th is re-delivered
+    unchanged (no-op, no phantom version), every 3rd spawns a brand-new
+    key (insert)."""
+    from big_data_engineering_financial_analysis_spark.operators.merge import scd2_apply
+
+    sup = load_table(spark, sf_dir, "supplier")
+    dim = sup.withColumn("valid_from", F.lit(SCD2_BASE).cast("timestamp")).withColumn(
+        "valid_to", F.lit(None).cast("timestamp")
+    )
+    changed = sup.filter(F.col("s_suppkey") % 5 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 100.0
+    )
+    noop = sup.filter(F.col("s_suppkey") % 5 == 1)
+    fresh = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+        F.concat(F.lit("NEW#"), F.col("s_suppkey").cast("string")).alias("s_name"),
+        F.col("s_nationkey"),
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    changes = changed.unionByName(noop).unionByName(fresh)
+    return scd2_apply(
+        dim, changes, "s_suppkey",
+        ["s_name", "s_nationkey", "s_acctbal"], SCD2_EFFECTIVE,
+    )
+
+
 QUERIES = {
+    "orders_upsert": q_orders_upsert,
+    "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,
     "top_orders_per_customer": q_top_orders_per_customer,

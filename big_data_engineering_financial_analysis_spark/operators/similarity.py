@@ -92,12 +92,21 @@ def cosine_topk(
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of projections onto the hyperplanes, as a bit string."""
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return F.concat(*bits)
+    """Sign pattern of projections onto the hyperplanes, as a bit string.
+
+    ONE ``transform`` lambda over an array-of-arrays plane literal rather
+    than one fold expression per plane: generated-code size stays constant
+    in the plane count (see :func:`_cell_scores` for the measurement that
+    motivated this shape).
+    """
+    parr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    return F.array_join(
+        F.transform(
+            parr,
+            lambda p: F.when(_dot(vec, p) > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
 
 
 DEFAULT_TABLES = 4
@@ -177,20 +186,28 @@ DEFAULT_IVF_PROBE = 4
 
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of per-centroid scores ``‖c‖² − 2·(x·c)`` (sequential folds).
+    """Array of squared L2 distances to every centroid (sequential folds).
 
-    Orders identically to squared L2 distance — ``‖x−c‖² = ‖x‖² − 2x·c +
-    ‖c‖²`` and the ``‖x‖²`` term is constant within a row's array — so
-    argmin (cell assignment) and the probe-threshold comparisons are
-    unchanged, but each fold is a plain multiply-accumulate instead of
-    subtract-square-accumulate, and ``‖c‖²`` is a Python-time constant.
+    ONE ``transform`` lambda over an array-of-arrays centroid literal, not
+    16 separate fold expressions: the generated code contains a single
+    fold loop instead of 16 copies, which keeps whole-stage codegen small
+    and stable.  Measured (round 2, sf0.1 bench context): the 16-copy form
+    degraded to 7–14 s per run deep into a bench session (Janino/code-cache
+    pressure recompiling the replicated folds under shifting plan shapes);
+    this form holds steady at ~1.7–2.0 s with bit-identical outputs.  The
+    algebraically cheaper dot-based form ``‖c‖² − 2·(x·c)`` was also tried
+    and lost for the same reason — expression-tree size dominates at any
+    SF where compute per row is microseconds; at 100 TB the fold loop is
+    identical work either way.
     """
-    return F.array(
-        *[
-            F.lit(sum(x * x for x in c))
-            - F.lit(2.0) * _dot(vec, F.array(*[F.lit(x) for x in c]))
-            for c in centroids
-        ]
+    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    return F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
 
 
@@ -259,14 +276,12 @@ def ivf_ann_topk(
     (nearest deterministic centroid), search only the query's ``n_probe``
     nearest cells.
 
-    Cell id = 1-based position of the minimum centroid score
+    Cell id = 1-based position of the minimum centroid distance
     (first-occurrence tie-break — identical in the SQL oracle via
-    ``list_position``); scores are the dot-based ``‖c‖² − 2x·c`` form of
-    squared distance (:func:`_cell_scores`), which halves the per-row fold
-    work.  The probe set is "cells with score <= the n_probe-th smallest"
-    so ties expand the probe deterministically on both engines.  At scale
-    the corpus is written partitioned by ``cell`` and a query touches
-    n_probe partitions instead of the full table.
+    ``list_position``).  The probe set is "cells with distance <= the
+    n_probe-th smallest" so ties expand the probe deterministically on
+    both engines.  At scale the corpus is written partitioned by ``cell``
+    and a query touches n_probe partitions instead of the full table.
     """
     from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
 

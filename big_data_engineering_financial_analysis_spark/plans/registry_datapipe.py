@@ -187,15 +187,20 @@ def _lang_case() -> tuple[str, str]:
 _LANG_SCORES, _LANG_CASE = _lang_case()
 
 
-def _plane_literal(p: list[float]) -> str:
-    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+def _bucket_sql(planes: list[list[float]]) -> str:
+    """Single list_transform over a DOUBLE[][] plane literal — mirrors the
+    one-lambda shape of similarity.lsh_bucket exactly (same fold, same
+    concat order)."""
+    arr = "[" + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes) + "]::DOUBLE[][]"
+    return (
+        f"array_to_string(list_transform({arr}, p -> CASE WHEN "
+        + _DOT.format(a="vec", b="p")
+        + " > 0 THEN '1' ELSE '0' END), '')"
+    )
 
 
 _PLANES = hyperplanes(N_PLANES, EMB_DIM)
-_BUCKET_SQL = " || ".join(
-    f"(CASE WHEN {_DOT.format(a='vec', b=_plane_literal(p))} > 0 THEN '1' ELSE '0' END)"
-    for p in _PLANES
-)
+_BUCKET_SQL = _bucket_sql(_PLANES)
 
 # multi-table ANN buckets: table t uses planes [t*p, (t+1)*p)
 _ANN_PLANES = hyperplanes(N_TABLES * PLANES_PER_TABLE, EMB_DIM)
@@ -205,19 +210,11 @@ _DEDUP_PLANES = hyperplanes(similarity.DEDUP_TABLES * PLANES_PER_TABLE, EMB_DIM)
 
 
 def _dedup_table_bucket_sql(t: int) -> str:
-    planes = _DEDUP_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
-    return " || ".join(
-        f"(CASE WHEN {_DOT.format(a='vec', b=_plane_literal(p))} > 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+    return _bucket_sql(_DEDUP_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE])
 
 
 def _table_bucket_sql(t: int) -> str:
-    planes = _ANN_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
-    return " || ".join(
-        f"(CASE WHEN {_DOT.format(a='vec', b=_plane_literal(p))} > 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+    return _bucket_sql(_ANN_PLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE])
 
 
 _CB_SQL = "\n          UNION ALL ".join(
@@ -230,21 +227,18 @@ _DEDUP_CB_SQL = "\n          UNION ALL ".join(
     for t in range(similarity.DEDUP_TABLES)
 )
 
-# IVF centroids + dot-based score list ‖c‖² − 2·(x·c) (same fold order and
-# scalar association as Spark's _cell_scores: lit - 2.0 * fold)
+# IVF centroids + squared-distance list (same single-transform shape and
+# fold order as Spark's _cell_scores)
 from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids as _ivf_centroids  # noqa: E402
 
 _IVF_CENTROIDS = _ivf_centroids(similarity.DEFAULT_IVF_CELLS, EMB_DIM)
+_IVF_CENTROID_ARR = (
+    "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in _IVF_CENTROIDS) + "]::DOUBLE[][]"
+)
 _IVF_DISTS = (
-    "["
-    + ", ".join(
-        f"{sum(x * x for x in c)!r} - 2.0 * "
-        "list_reduce(list_transform(list_zip(vec, "
-        + _plane_literal(c)
-        + "), x -> x[1] * x[2]), (acc, v) -> acc + v)"
-        for c in _IVF_CENTROIDS
-    )
-    + "]"
+    f"list_transform({_IVF_CENTROID_ARR}, c -> "
+    "list_reduce(list_transform(list_zip(vec, c), x -> (x[1] - x[2]) * (x[1] - x[2])),"
+    " (acc, v) -> acc + v))"
 )
 
 _EN = ", ".join(repr(m) for m in text.LANG_MARKERS["en"][1])

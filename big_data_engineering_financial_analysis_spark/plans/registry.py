@@ -633,7 +633,7 @@ _DRIVER_PRIORITY = [
     "pricing_cube", "time_functions", "ilp_lines", "lstm_dataset",
     "approx_distinct", "nation_customer_orders", "salted_event_stats",
     # new in round 2 — first driver rows
-    "orders_upsert", "supplier_scd2",
+    "orders_upsert", "supplier_scd2", "corpus_prep",
     "panel_price_series", "panel_indicator_series", "panel_gain_loss",
     "panel_latest_signal", "panel_close_stats", "panel_candlestick",
     "panel_avg_gain_pivot", "panel_avg_loss_pivot",

@@ -139,6 +139,40 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_FLOOR = 0.5
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep — the composed pipeline a 100 TB
+    data build runs, as ONE registered query:
+
+    language gate (en) -> quality gate (score >= floor) -> exact dedup
+    (keep the lowest doc_id per canonical-content hash) -> minhash-LSH
+    near-dedup (drop the higher id of each verified pair) -> surviving
+    docs with their language/quality features.
+
+    Every stage is an already-oracle-proven operator; this query proves
+    the COMPOSITION end-to-end against one SQL oracle.  Plan shape: the
+    gates are row-local and pushed into the scan projection, exact dedup
+    is one map-side-combined shuffle, and the LSH stage only sees the
+    (much smaller) surviving corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.with_quality(text.with_lang_guess(docs))
+    kept = scored.filter(
+        (F.col("lang_guess") == "en") & (F.col("quality_score") >= QUALITY_FLOOR)
+    )
+    keepers = dedup.exact_dedup_groups(kept).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    surv = kept.join(keepers, "doc_id")
+    pairs = dedup.minhash_lsh_dedup(surv, threshold=JACCARD_THRESHOLD)
+    near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return surv.join(near_dups, "doc_id", "left_anti").select(
+        "doc_id", "lang_guess", "quality_score"
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs generated inside sign-LSH buckets — the scale
     path (the all-pairs verifier stays test-only)."""
@@ -311,6 +345,80 @@ ORACLES: dict[str, str] = {
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
                min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    # composed pipeline: every stage reuses the per-operator oracle logic
+    # verbatim (lang CASE, quality arithmetic, canonical-hash dedup,
+    # minhash-LSH verify) over the previous stage's survivors
+    "corpus_prep": f"""
+        WITH sc AS (
+          SELECT doc_id, text, {{LANG_SCORES}}
+          FROM (SELECT doc_id, text, {{TOKS}} AS t FROM documents)
+        ),
+        g AS (SELECT doc_id, text, {{LANG_CASE}} AS lang_guess FROM sc),
+        q AS (
+          SELECT doc_id,
+                 round(least(1.0, n_tokens / 100.0) * 0.5
+                       + coalesce(stop / nullif(n_tokens, 0.0), 0.0) * 0.3
+                       + (1.0 - coalesce(punct / nullif(n_chars, 0.0), 0.0)) * 0.2, 6) AS quality_score
+          FROM (
+            SELECT doc_id,
+                   CAST(len(list_filter(t, x -> x IN ({{EN}}))) AS DOUBLE) AS stop,
+                   CAST(len(t) AS DOUBLE) AS n_tokens,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '{{PUNCT}}', '', 'g')) AS DOUBLE) AS punct
+            FROM (SELECT doc_id, text, {{TOKS}} AS t FROM documents))
+        ),
+        kept AS (
+          SELECT g.doc_id, g.text, g.lang_guess, q.quality_score
+          FROM g JOIN q ON g.doc_id = q.doc_id
+          WHERE g.lang_guess = 'en' AND q.quality_score >= {{FLOOR}}
+        ),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id
+          FROM kept
+          GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ),
+        surv AS (SELECT kept.* FROM kept JOIN keepers USING (doc_id)),
+        sh AS (
+          SELECT doc_id, list_distinct({{SHINGLES}}) AS shingles
+          FROM (SELECT doc_id, {{TOKS}} AS t FROM surv)
+        ),
+        mh AS (
+          SELECT doc_id, len(shingles) AS nsh,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN nsh > 0 THEN
+                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), i ->
+                     list_min(list_transform(hs,
+                       h -> ({{MH_A}}[i + 1] * h + {{MH_B}}[i + 1]) % {{MH_P}})))
+                 END AS sig
+          FROM mh
+        ),
+        banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
+          WHERE sig IS NOT NULL
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        drops AS (
+          SELECT DISTINCT id_b AS doc_id
+          FROM cands
+          JOIN sigs sa ON id_a = sa.doc_id
+          JOIN sigs sb ON id_b = sb.doc_id
+          WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                  p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                / {float(dedup.DEFAULT_NUM_PERM)} >= {{JT}}
+        )
+        SELECT doc_id, lang_guess, quality_score
+        FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     "dedup_minhash_lsh": f"""
         WITH sh AS (
@@ -554,8 +662,25 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# corpus_prep composes per-operator oracle fragments; the stage snippets are
+# substituted here (PUNCT_RE and friends contain no brace characters)
+ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
+    LANG_SCORES=_LANG_SCORES,
+    LANG_CASE=_LANG_CASE,
+    TOKS=_TOKS,
+    EN=_EN,
+    PUNCT=text.PUNCT_RE,
+    FLOOR=QUALITY_FLOOR,
+    SHINGLES=_SHINGLES3,
+    MH_A=_MH_A,
+    MH_B=_MH_B,
+    MH_P=_MH_P,
+    JT=JACCARD_THRESHOLD,
+)
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "corpus_prep": q_corpus_prep,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,

@@ -1,0 +1,94 @@
+"""Deterministic sampling / splitting / capping for training-data builds.
+
+A 100 TB corpus build needs reproducible selection operators — every one
+here is a pure function of the data (md5-derived hashes, rank orders), so
+re-running the pipeline on the same input yields byte-identical splits,
+and the DuckDB oracle reproduces them exactly:
+
+* :func:`hash_split` — train/val/test assignment by keyed hash bucket.
+  Row-local (no shuffle, no RNG state): the split survives repartitioning,
+  incremental appends, and distributed re-runs — the property
+  ``df.sample()`` (partition-seeded RNG) does NOT have.
+* :func:`cap_per_group` — at most N rows per group by a deterministic
+  order (one window shuffle on the group key; at scale this is the
+  standard per-domain / per-source cap).
+* :func:`vocab_topk` — global token vocabulary with counts, deterministic
+  (count desc, token) ordering.  Explode + map-side-combined count + one
+  ``TakeOrderedAndProject`` — no full sort of the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import hash64, tokens
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a named split by deterministic keyed hash.
+
+    ``fractions`` maps split name -> fraction (must sum to <= 1; any
+    remainder falls into the LAST listed split).  The key is hashed with
+    ``salt`` into one of 10k buckets; cumulative fraction boundaries cut
+    the bucket range, so the same key always lands in the same split —
+    across runs, partitionings, and engines (md5-derived, oracle-exact).
+    """
+    bucket = hash64(F.col(key_col).cast("string"), salt, 8) % SPLIT_BUCKETS
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(cum * SPLIT_BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, by (order_col, then order_col's
+    column as tie-break is the caller's duty — pass a unique column).
+
+    One window shuffle on the group key; rank <= n prunes before any
+    downstream work.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Top-k corpus vocabulary with counts; deterministic ties by token.
+
+    Whitespace tokens, lowercased; explode feeds a map-side-combined
+    count, then a single top-k (no global sort of the full vocabulary).
+    """
+    toks = F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    return (
+        df.select(toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -139,6 +139,36 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+CAP_PER_LANG = 20
+VOCAB_K = 100
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed-hash train/val/test assignment (row-local, no
+    RNG state — reproducible across runs/partitionings/engines)."""
+    from big_data_engineering_financial_analysis_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+def q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group downsampling: at most N docs per language, lowest ids."""
+    from big_data_engineering_financial_analysis_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, ["lang"], "doc_id", CAP_PER_LANG).select("doc_id", "lang")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k token vocabulary with counts."""
+    from big_data_engineering_financial_analysis_spark.operators.sampling import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", VOCAB_K)
+
+
 QUALITY_FLOOR = 0.5
 
 
@@ -345,6 +375,32 @@ ORACLES: dict[str, str] = {
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
                min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    # deterministic split: same Python-computed bucket boundaries as
+    # sampling.hash_split (int(cum * 10000)); md5 bucket identical in both
+    # engines
+    "train_val_split": f"""
+        SELECT doc_id,
+               CASE WHEN b < {int(SPLIT_FRACTIONS["train"] * 10000)} THEN 'train'
+                    WHEN b < {int((SPLIT_FRACTIONS["train"] + SPLIT_FRACTIONS["val"]) * 10000)} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT % 10000 AS b
+          FROM documents)
+    """,
+    "cap_per_lang": f"""
+        SELECT doc_id, lang
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= {CAP_PER_LANG}
+    """,
+    "vocab_topk": f"""
+        SELECT token, count(*) AS n
+        FROM (
+          SELECT unnest({{TOKS_LOWER}}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT {VOCAB_K}
     """,
     # composed pipeline: every stage reuses the per-operator oracle logic
     # verbatim (lang CASE, quality arithmetic, canonical-hash dedup,
@@ -664,6 +720,9 @@ ORACLES: dict[str, str] = {
 
 # corpus_prep composes per-operator oracle fragments; the stage snippets are
 # substituted here (PUNCT_RE and friends contain no brace characters)
+ORACLES["vocab_topk"] = ORACLES["vocab_topk"].format(
+    TOKS_LOWER="string_split_regex(trim(lower(text)), '\\s+')"
+)
 ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
     LANG_SCORES=_LANG_SCORES,
     LANG_CASE=_LANG_CASE,
@@ -681,6 +740,9 @@ ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "corpus_prep": q_corpus_prep,
+    "train_val_split": q_train_val_split,
+    "cap_per_lang": q_cap_per_lang,
+    "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,

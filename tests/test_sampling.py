@@ -1,0 +1,50 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from big_data_engineering_financial_analysis_spark.operators import sampling
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(10_000).toDF("id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(df, "id", fr).groupBy("split").count().collect()
+    b = sampling.hash_split(df.repartition(7), "id", fr).groupBy("split").count().collect()
+    ca = {r.split: r["count"] for r in a}
+    cb = {r.split: r["count"] for r in b}
+    assert ca == cb  # partitioning-independent
+    assert 0.77 <= ca["train"] / 10_000 <= 0.83
+    assert 0.08 <= ca["val"] / 10_000 <= 0.12
+    assert sum(ca.values()) == 10_000
+
+
+def test_hash_split_stable_under_append(spark):
+    """A key's split never changes when more data arrives — the property
+    partition-seeded df.sample() lacks."""
+    small = spark.range(100).toDF("id")
+    big = spark.range(1_000).toDF("id")
+    fr = {"train": 0.5, "val": 0.5}
+    s = {r.id: r.split for r in sampling.hash_split(small, "id", fr).collect()}
+    g = {r.id: r.split for r in sampling.hash_split(big, "id", fr).collect()}
+    assert all(g[k] == v for k, v in s.items())
+
+
+def test_cap_per_group(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)], "id long, g string"
+    )
+    out = sampling.cap_per_group(df, ["g"], "id", 3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.id)
+    assert sorted(by_g["a"]) == [0, 2, 4]  # lowest ids kept
+    assert sorted(by_g["b"]) == [1, 3, 5]
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("b b a a c",), ("A B x",)], "text string"
+    )
+    rows = sampling.vocab_topk(df, "text", 3).collect()
+    # counts: a=3 (a,a,A) b=3 (b,b,B) c=1 x=1 -> ties broken by token asc
+    assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 1)]

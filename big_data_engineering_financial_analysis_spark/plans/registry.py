@@ -638,14 +638,15 @@ _DRIVER_PRIORITY = [
     "panel_price_series", "panel_indicator_series", "panel_gain_loss",
     "panel_latest_signal", "panel_close_stats", "panel_candlestick",
     "panel_avg_gain_pivot", "panel_avg_loss_pivot",
+    # changed in round 2 (LSH-composed defaults, one-lambda bucket shape)
+    # — must re-prove with fresh driver rows
+    "dedup_ngram_jaccard", "dedup_embedding", "ann_lsh", "ann_ivf",
+    "lsh_bucket_histogram", "ann_bruteforce",
     # representative green round-1 queries kept under re-check
-    "last_per_minute", "latest_per_key", "feature_windows", "api_avg",
-    "summarize_multiple", "candlestick_feed", "pricing_summary",
-    "pricing_rollup", "shipping_priority", "local_supplier_volume",
-    "top_orders", "event_type_stats", "text_quality", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "binary_payload", "ann_bruteforce", "ann_lsh", "ann_ivf",
-    "dedup_embedding", "top_orders_per_customer", "returned_items",
+    "last_per_minute", "feature_windows", "summarize_multiple",
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+    "top_orders", "text_quality", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "binary_payload",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

@@ -84,6 +84,7 @@ def minhash_signatures(
     text_col: str = "text",
     shingle_n: int = DEFAULT_SHINGLE,
     num_perm: int = DEFAULT_NUM_PERM,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Per-document minhash signature (array<long>, one value per permutation).
 
@@ -109,7 +110,13 @@ def minhash_signatures(
     # small-file corpora arrive as one partition; the md5 work per row is
     # heavy, so spread it across the cluster first (no-op when already wide)
     df = spread(df)
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    # shingles_col lets callers that already materialized (and persisted)
+    # the distinct-shingle arrays share that pass instead of re-scanning
+    sh = (
+        F.col(shingles_col)
+        if shingles_col is not None
+        else F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    )
     with_h = df.withColumn(
         "_mh_base", F.transform(sh, lambda s: hash64(s, None, 8))
     )
@@ -379,16 +386,17 @@ def ngram_jaccard_lsh_pairs(
     frequency), only bucket recall is approximate
     (``1 - (1 - s^r)^b`` for true Jaccard s); precision stays exact.
 
-    The signature frame is persisted (banding + pair explosion); callers
+    The shingle frame is computed ONCE and persisted — it feeds the
+    signature derivation AND both verify-join sides (without the persist,
+    the dominant tokenize+shingle scan would run three times).  Callers
     own the cache lifetime (``spark.catalog.clearCache()`` sweeps).
     """
-    df = spread(df)
-    sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_perm).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
-    )
+    ).persist()
+    sigs = minhash_signatures(sh, id_col, num_perm=num_perm, shingles_col="sh").persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

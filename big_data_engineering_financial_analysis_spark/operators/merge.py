@@ -76,17 +76,26 @@ def scd2_apply(
     cur = dim.filter(F.col(to_col).isNull())
     out_cols = [key, *tracked, from_col, to_col]
 
+    # explicit presence indicators: testing `key IS NULL` to detect join
+    # misses would silently drop / fabricate rows when the key column
+    # itself is nullable (a NULL-key dim row never matches but IS present)
     joined = (
-        cur.alias("c")
-        .join(changes.alias("u"), F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
+        cur.withColumn("_c", F.lit(1)).alias("c")
+        .join(
+            changes.withColumn("_u", F.lit(1)).alias("u"),
+            F.col(f"c.{key}") == F.col(f"u.{key}"),
+            "full_outer",
+        )
         .persist()
     )
-    matched = F.col(f"c.{key}").isNotNull() & F.col(f"u.{key}").isNotNull()
+    c_present = F.col("c._c").isNotNull()
+    u_present = F.col("u._u").isNotNull()
+    matched = c_present & u_present
     diff = _any_differs(tracked, "c", "u")
 
-    kept = joined.filter(
-        F.col(f"c.{key}").isNotNull() & (F.col(f"u.{key}").isNull() | ~diff)
-    ).select([F.col(f"c.{c}") for c in out_cols])
+    kept = joined.filter(c_present & (~u_present | ~diff)).select(
+        [F.col(f"c.{c}") for c in out_cols]
+    )
     closed_now = joined.filter(matched & diff).select(
         F.col(f"c.{key}"),
         *[F.col(f"c.{t}") for t in tracked],
@@ -99,7 +108,7 @@ def scd2_apply(
         eff.alias(from_col),
         F.lit(None).cast("timestamp").alias(to_col),
     )
-    inserts = joined.filter(F.col(f"c.{key}").isNull()).select(
+    inserts = joined.filter(~c_present).select(
         F.col(f"u.{key}"),
         *[F.col(f"u.{t}") for t in tracked],
         eff.alias(from_col),

@@ -241,11 +241,14 @@ def ivf_refit_centroids(
     centroids = ivf_centroids(n_cells, dim)
     try:
         for _ in range(iters):
+            # materialize the score array as a column first — HOF arguments
+            # are not common-subexpression-eliminated, so inlining it into
+            # both array_position and array_min would run the dominant
+            # fold twice per row
             assigned = c.withColumn(
-                "cell",
-                F.array_position(
-                    (s := _cell_scores(F.col("vec"), centroids)), F.array_min(s)
-                ).cast("int"),
+                "dists", _cell_scores(F.col("vec"), centroids)
+            ).withColumn(
+                "cell", F.array_position("dists", F.array_min("dists")).cast("int")
             )
             means = (
                 assigned.groupBy("cell")

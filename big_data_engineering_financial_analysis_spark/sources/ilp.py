@@ -41,18 +41,33 @@ def send_lines(lines: list[str], host: str, port: int = DEFAULT_ILP_PORT) -> int
 
 
 def _partition_sender(host: str, port: int, line_col_idx: int):
-    """A pickle-able per-partition send closure (runs on executors)."""
+    """A pickle-able per-partition send closure (runs on executors).
+
+    Opens at most ONE connection per partition (lazily, so empty
+    partitions open none) and streams the rows through it in bounded
+    chunks — a huge partition never materializes fully in memory and
+    never re-pays connect/teardown per chunk.
+    """
 
     def _send(rows: Iterator) -> None:
+        sock = None
         batch: list[str] = []
-        for row in rows:
-            batch.append(row[line_col_idx])
-            # flush in chunks so a huge partition never materializes fully
-            if len(batch) >= 10_000:
-                send_lines(batch, host, port)
-                batch = []
-        if batch:
-            send_lines(batch, host, port)
+        try:
+            for row in rows:
+                ln = row[line_col_idx]
+                batch.append(ln if ln.endswith("\n") else ln + "\n")
+                if len(batch) >= 10_000:
+                    if sock is None:
+                        sock = socket.create_connection((host, port))
+                    sock.sendall("".join(batch).encode("utf-8"))
+                    batch = []
+            if batch:
+                if sock is None:
+                    sock = socket.create_connection((host, port))
+                sock.sendall("".join(batch).encode("utf-8"))
+        finally:
+            if sock is not None:
+                sock.close()
 
     return _send
 

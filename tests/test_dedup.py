@@ -86,6 +86,7 @@ def test_ngram_jaccard_lsh_subset_of_exact(spark, docs):
     for k, v in lsh_map.items():
         assert v == exact_map[k]
     assert (1, 2) in lsh_map and (1, 4) in lsh_map  # planted dups found
+    spark.catalog.clearCache()
 
 
 def test_embedding_dedup_lsh_subset_of_bruteforce(spark, sf_medium_embeddings):
@@ -101,3 +102,4 @@ def test_embedding_dedup_lsh_subset_of_bruteforce(spark, sf_medium_embeddings):
     for k, v in lsh_map.items():
         assert v == exact_map[k]
     assert len(lsh_map) >= 0.8 * len(exact_map)  # bucket recall
+    spark.catalog.clearCache()

@@ -77,3 +77,17 @@ def test_scd2_null_safe_diff(spark):
     # … while x -> NULL is a real change (close + new version)
     assert len(by_id[2]) == 2
     spark.catalog.clearCache()
+
+
+def test_scd2_null_key_dim_row_survives(spark):
+    """A current dim row whose KEY is NULL can never match a change, but it
+    must pass through untouched — not vanish or spawn a phantom insert."""
+    t0 = datetime(2020, 1, 1)
+    dim = _dim(spark, [(None, "orphan", t0, None), (1, "x", t0, None)])
+    changes = spark.createDataFrame([(1, "y")], "id long, attr string")
+    out = scd2_apply(dim, changes, "id", ["attr"], "2022-06-01").collect()
+    orphans = [r for r in out if r.id is None]
+    assert len(orphans) == 1
+    assert orphans[0].attr == "orphan" and orphans[0].valid_to is None
+    assert len(out) == 3  # orphan + closed x + new y
+    spark.catalog.clearCache()

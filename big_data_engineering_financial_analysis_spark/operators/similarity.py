@@ -427,3 +427,74 @@ def embedding_dedup_pairs_lsh(
         .filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("cos_sim"))
     )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched numpy matmul — the
+    vectorized Pandas-UDF scale path.
+
+    Same semantics as :func:`cosine_topk` but the per-batch scoring is one
+    BLAS ``matrix @ queries.T`` instead of per-row JVM folds: at high
+    dimensionality / large k the SIMD matmul wins, and this is the shape
+    that extends to GPU scoring.  Each Arrow batch emits only its LOCAL
+    top-k per query (top-k is monotone under union), so the final exact
+    rank runs over ≤ batches × k × queries rows — the corpus is scanned
+    once, nothing non-local ever shuffles.
+
+    Float caveat: numpy's pairwise summation orders additions differently
+    from the sequential fold, so cosines can differ in the last ulp from
+    :func:`cosine_topk` (ranking ties near equality may swap) — use the
+    fold variant when bit-stable cross-engine output is required.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+        .filter(F.col(id_col).isin(query_ids))
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["vec"].to_numpy())
+            norms = np.linalg.norm(mat, axis=1)
+            denom = np.outer(norms, q_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (mat @ q_mat.T) / denom, np.nan)
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                mask = ids != qid
+                cand = np.flatnonzero(mask & ~np.isnan(col))
+                if cand.size == 0:
+                    continue
+                take = cand[np.argsort(-col[cand], kind="stable")][: k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[take], "cos_sim": col[take]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    c = spread(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    )
+    local = c.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -59,3 +59,13 @@ def test_ivf_refit_sampled_is_deterministic(spark, sf_medium_embeddings):
     a = similarity.ivf_refit_centroids(sf_medium_embeddings, iters=1, sample_fraction=0.5)
     b = similarity.ivf_refit_centroids(sf_medium_embeddings, iters=1, sample_fraction=0.5)
     assert a == b
+
+
+def test_pandas_topk_agrees_with_fold_baseline(spark, sf_medium_embeddings, exact_topk):
+    """The Arrow/numpy variant returns the same neighbors as the JVM-fold
+    baseline (allowing last-ulp rank swaps at ties: recall >= 0.95)."""
+    got = _topk_sets(
+        similarity.cosine_topk_pandas(sf_medium_embeddings, QUERY_IDS, k=K)
+    )
+    spark.catalog.clearCache()
+    assert _recall(got, exact_topk) >= 0.95

@@ -96,3 +96,40 @@ def test_streaming_survivor_hashes_match_batch_dedup(spark, tmp_path):
     gated = corpus.corpus_gate_stream(batch_df)  # stateless -> works on batch
     batch_hashes = {r.content_hash for r in dedup.exact_dedup_groups(gated).collect()}
     assert stream_hashes == batch_hashes
+
+
+def test_corpus_dedup_state_survives_restart(spark, tmp_path):
+    """Restart-safety (T6 for the datapipe): a duplicate arriving AFTER a
+    checkpointed stop is still suppressed, and prior survivors are not
+    re-emitted."""
+    src = tmp_path / "rin"
+    src.mkdir()
+    ckpt = str(tmp_path / "rckpt")
+    out = str(tmp_path / "rout")
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = (
+            corpus.corpus_ingest_stream(stream)
+            .select("doc_id", "content_hash")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    _write_batch(src / "b0.json", [{"doc_id": 1, "text": EN_A, "lang": "en"}])
+    assert run_once() == [1]
+    # after restart: a re-delivery of EN_A (dup vs pre-restart state) + new B
+    _write_batch(
+        src / "b1.json",
+        [
+            {"doc_id": 2, "text": EN_A, "lang": "en"},
+            {"doc_id": 3, "text": EN_B, "lang": "en"},
+        ],
+    )
+    assert run_once() == [1, 3]

@@ -83,6 +83,7 @@ def asof_join(
     time_col: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join; unmatched left rows keep NULLs.
 
@@ -91,16 +92,31 @@ def asof_join(
     a right row carrying a legitimate NULL value is still "the match"
     (DuckDB ASOF semantics) instead of being skipped by ignorenulls in
     favor of an older row.
+
+    ``tolerance_seconds`` bounds match staleness (pandas
+    ``merge_asof(tolerance=...)``): a right row older than the bound
+    yields NULLs, same as no match.  The right row's own timestamp rides
+    inside the payload struct, so the bound is checked after the fill —
+    still one shuffle, no join explosion.
     """
     rtypes = dict(right.dtypes)
     payload_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_value_cols) + ">"
+    if tolerance_seconds is not None:
+        payload_ddl = (
+            "struct<"
+            + ",".join(f"{c}:{rtypes[c]}" for c in right_value_cols)
+            + f",__rt:{rtypes[time_col]}>"
+        )
     marked_left = left.withColumn("__side", F.lit(1)).withColumn(
         "__payload", F.lit(None).cast(payload_ddl)
     )
+    payload_fields = [F.col(c) for c in right_value_cols]
+    if tolerance_seconds is not None:
+        payload_fields.append(F.col(time_col).alias("__rt"))
     marked_right = right.select(
         key,
         time_col,
-        F.struct(*[F.col(c) for c in right_value_cols]).alias("__payload"),
+        F.struct(*payload_fields).alias("__payload"),
     ).withColumn("__side", F.lit(0))
     for c in left.columns:
         if c not in (key, time_col):
@@ -118,6 +134,13 @@ def asof_join(
         "__payload", F.last("__payload", ignorenulls=True).over(w)
     )
     out = filled.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col(time_col)) - F.unix_micros(F.col("__payload")["__rt"])
+        ) > int(tolerance_seconds * 1_000_000)
+        out = out.withColumn(
+            "__payload", F.when(stale, F.lit(None)).otherwise(F.col("__payload"))
+        )
     for c in right_value_cols:
         out = out.withColumn(f"{c}{suffix}", F.col("__payload")[c])
     return out.drop("__side", "__payload")

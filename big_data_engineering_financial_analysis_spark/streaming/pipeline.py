@@ -157,3 +157,69 @@ def write_parquet_sink(df: DataFrame, path: str, checkpoint: str, time_col: str 
         .partitionBy("dt")
         .outputMode("append")
     )
+
+
+def enrich_stream_tws(
+    candles: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    close_col: str = "close",
+) -> DataFrame:
+    """`transformWithStateInPandas` variant of :func:`enrich_stream`.
+
+    Same per-key indicator state machine (streaming/state.py) on Spark 4's
+    arbitrary-state API: state lives in a typed ValueState instead of the
+    applyInPandasWithState tuple, which buys per-state-variable TTLs,
+    multiple state variables per key, and timers when the pipeline needs
+    them.  Output is identical row-for-row for in-order input (asserted in
+    tests against both the applyInPandasWithState path and the batch
+    kernel).
+
+    Environment note: the TWS state-server protocol needs
+    ``google.protobuf`` and the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); the parity test is
+    skipped where protobuf is absent (this build container).
+    ``enrich_stream`` (applyInPandasWithState) is the default path and has
+    no such dependency.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructType
+
+    from big_data_engineering_financial_analysis_spark.streaming.state import enriched_ddl_suffix
+
+    in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
+    out_schema = f"{in_fields}, {enriched_ddl_suffix()}"
+    state_schema = StructType.fromDDL(STATE_DDL)
+
+    class EnrichProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("indicators", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                st = SymbolState.from_tuple(self._state.get())
+            else:
+                st = SymbolState()
+            outs = [
+                o
+                for o in (process_group(st, pdf, time_col, close_col) for pdf in rows)
+                if len(o)
+            ]
+            self._state.update(st.to_tuple())
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        def close(self) -> None:
+            pass
+
+    return candles.groupBy(symbol_col).transformWithStateInPandas(
+        statefulProcessor=EnrichProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

@@ -408,3 +408,53 @@ def ngram_jaccard_lsh_pairs(
         .filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, component) with
+    component = the minimum node id reachable — the cluster step that
+    turns pairwise dedup output into keep/drop decisions.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in <= graph-diameter
+    rounds (dup clusters are near-cliques, so 2-3 rounds in practice;
+    ``max_iter`` bounds pathological chains).  Each round is one self-join
+    + groupBy on the (tiny, pairs-only) node set — the full corpus never
+    enters the loop.  The per-round ``persist`` truncates lineage; the
+    driver-side loop carries only a converged? flag (standard for
+    iterative graph algorithms — at extreme scale swap in the
+    large-star/small-star formulation, same join shape).
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

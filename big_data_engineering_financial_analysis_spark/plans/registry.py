@@ -634,7 +634,7 @@ _DRIVER_PRIORITY = [
     "approx_distinct", "nation_customer_orders", "salted_event_stats",
     # new in round 2 — first driver rows
     "orders_upsert", "supplier_scd2", "corpus_prep",
-    "train_val_split", "cap_per_lang", "vocab_topk",
+    "train_val_split", "cap_per_lang", "vocab_topk", "dedup_clusters",
     "panel_price_series", "panel_indicator_series", "panel_gain_loss",
     "panel_latest_signal", "panel_close_stats", "panel_candlestick",
     "panel_avg_gain_pivot", "panel_avg_loss_pivot",

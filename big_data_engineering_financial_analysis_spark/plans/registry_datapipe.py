@@ -169,6 +169,23 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, "text", VOCAB_K)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: minhash-LSH pairs -> connected
+    components (min-label propagation) -> every document labeled with its
+    component and a keep/drop flag (keeper = lowest id in component;
+    singletons keep themselves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=JACCARD_THRESHOLD)
+    comp = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    out = docs.select("doc_id").join(comp, "doc_id", "left")
+    label = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        label.alias("component"),
+        (label == F.col("doc_id")).cast("int").alias("is_keeper"),
+    )
+
+
 QUALITY_FLOOR = 0.5
 
 
@@ -375,6 +392,64 @@ ORACLES: dict[str, str] = {
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
                min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    # pairs CTEs copied verbatim from the dedup_minhash_lsh oracle; the
+    # component label is the min reachable id via a recursive transitive
+    # closure (terminates: UNION dedups, closure is finite)
+    "dedup_clusters": f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct({{SHINGLES}}) AS shingles
+          FROM (SELECT doc_id, {{TOKS}} AS t FROM documents)
+        ),
+        mh AS (
+          SELECT doc_id, len(shingles) AS nsh,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN nsh > 0 THEN
+                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), i ->
+                     list_min(list_transform(hs,
+                       h -> ({{MH_A}}[i + 1] * h + {{MH_B}}[i + 1]) % {{MH_P}})))
+                 END AS sig
+          FROM mh
+        ),
+        banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
+          WHERE sig IS NOT NULL
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cands
+          JOIN sigs sa ON id_a = sa.doc_id
+          JOIN sigs sb ON id_b = sb.doc_id
+          WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                  p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                / {float(dedup.DEFAULT_NUM_PERM)} >= {{JT}}
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+        ),
+        comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
     """,
     # deterministic split: same Python-computed bucket boundaries as
     # sampling.hash_split (int(cum * 10000)); md5 bucket identical in both
@@ -723,6 +798,14 @@ ORACLES: dict[str, str] = {
 ORACLES["vocab_topk"] = ORACLES["vocab_topk"].format(
     TOKS_LOWER="string_split_regex(trim(lower(text)), '\\s+')"
 )
+ORACLES["dedup_clusters"] = ORACLES["dedup_clusters"].format(
+    TOKS=_TOKS,
+    SHINGLES=_SHINGLES3,
+    MH_A=_MH_A,
+    MH_B=_MH_B,
+    MH_P=_MH_P,
+    JT=JACCARD_THRESHOLD,
+)
 ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
     LANG_SCORES=_LANG_SCORES,
     LANG_CASE=_LANG_CASE,
@@ -741,6 +824,7 @@ QUERIES = {
     "text_token_stats": q_text_token_stats,
     "corpus_prep": q_corpus_prep,
     "train_val_split": q_train_val_split,
+    "dedup_clusters": q_dedup_clusters,
     "cap_per_lang": q_cap_per_lang,
     "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,

@@ -103,3 +103,17 @@ def test_embedding_dedup_lsh_subset_of_bruteforce(spark, sf_medium_embeddings):
         assert v == exact_map[k]
     assert len(lsh_map) >= 0.8 * len(exact_map)  # bucket recall
     spark.catalog.clearCache()
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter > 1 round) collapses to one component;
+    disjoint pairs stay separate; labels are the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert {k: v for k, v in out.items() if k <= 5} == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert out[10] == 10 and out[11] == 10
+    assert out[20] == 20 and out[21] == 20
+    spark.catalog.clearCache()

@@ -13,10 +13,20 @@ def spread(df: DataFrame) -> DataFrame:
     md5/fold-heavy sketch work onto one task; but a genuinely large corpus
     is already well-partitioned, and an unconditional ``repartition()``
     would add a pointless full shuffle AND collapse the partition count to
-    ``defaultParallelism``.  Checking the current partition count triggers
-    physical planning but runs no job.
+    ``defaultParallelism``.
+
+    The under-partitioned check is plan-side only: ``df.inputFiles()`` is a
+    driver metadata call (file listing already cached by the scan relation),
+    unlike ``df.rdd.getNumPartitions()`` which materializes the RDD lineage
+    — a planning-time job trigger that gets expensive on a 100 TB table.
+    File count lower-bounds the scan's partition count for splittable
+    parquet; when it is below ``defaultParallelism`` the scan cannot feed
+    every core, so a one-off spread shuffle pays for itself before the
+    md5/fold-heavy sketch stage.  Non-file sources (in-memory test frames)
+    report zero files and take the repartition, which is the safe default
+    for exactly those tiny frames.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df

@@ -35,7 +35,7 @@ separately by ``streaming/dedup.py`` and operators/windows.py W8.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import hash64, shingles, tokens
@@ -139,18 +139,68 @@ def minhash_signatures(
     )
 
 
+#: Per-(band, bucket) membership cap.  A degenerate bucket of m docs emits
+#: O(m²) candidate pairs; on an adversarial corpus (boilerplate, empty-ish
+#: docs) one hot bucket becomes the straggler task of the whole join.  Keep
+#: the ``cap`` smallest ids per bucket: work is bounded at cap² per bucket,
+#: the kept set is deterministic (id order), and the semantics mirror
+#: one-to-one into the DuckDB oracle via QUALIFY row_number().
+DEFAULT_BUCKET_CAP = 1000
+
+
+def _cap_buckets(
+    exploded: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None
+) -> DataFrame:
+    """Bound bucket membership to the ``cap`` smallest ids — adaptively.
+
+    The row_number window costs a shuffle+sort of the exploded frame, which
+    is pure overhead on healthy corpora where no bucket is hot.  So probe
+    first: one partial-aggregated count per bucket (map-side combine, then
+    a LIMIT-1 existence check on over-cap groups).  When nothing exceeds
+    the cap — the common case — the capped plan IS the uncapped plan and
+    the window never runs; the probe's scan is shared work anyway because
+    callers persist the sketch frame the buckets derive from.  When a hot
+    bucket exists, the window engages and its output is deterministic
+    (smallest ids kept), mirroring the oracle's unconditional QUALIFY
+    (which is a no-op exactly when the probe says skip).
+    """
+    if cap is None:
+        return exploded
+    over = (
+        exploded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .limit(1)
+        .count()
+    )
+    if not over:
+        return exploded
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
+    return (
+        exploded.withColumn("_br", F.row_number().over(w))
+        .filter(F.col("_br") <= cap)
+        .drop("_br")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Banded-LSH candidate generation: explode each signature into
     ``bands`` band keys, self-join per (band, key) bucket, keep a < b.
 
     The join key is (band index, band signature string) — buckets are tiny
     for non-duplicate corpora, so the self-join output is near-linear; the
-    per-band explode is the only data blow-up (x bands).
+    per-band explode is the only data blow-up (x bands).  ``bucket_cap``
+    bounds hot buckets (see :data:`DEFAULT_BUCKET_CAP`): within an
+    over-full bucket only the ``bucket_cap`` smallest ids pair up — true
+    duplicates that large are better handled by exact dedup first, and a
+    capped bucket still links its survivors into one component.  ``None``
+    disables the cap.
     """
     rows = num_perm // bands
     banded = sigs.filter(F.col("minhash_sig").isNotNull()).select(
@@ -167,6 +217,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
+    banded = _cap_buckets(banded, ["band", "band_key"], id_col, bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -423,7 +474,10 @@ def connected_components(
     Min-label propagation: each round every node takes the min of its own
     label and its neighbors' labels; converges in <= graph-diameter
     rounds (dup clusters are near-cliques, so 2-3 rounds in practice;
-    ``max_iter`` bounds pathological chains).  Each round is one self-join
+    ``max_iter`` bounds pathological chains — exhausting it without
+    convergence raises rather than silently returning wrong components,
+    since a partial labeling would split real clusters).  Each round is
+    one self-join
     + groupBy on the (tiny, pairs-only) node set — the full corpus never
     enters the loop.  The per-round ``persist`` truncates lineage; the
     driver-side loop carries only a converged? flag (standard for
@@ -434,6 +488,7 @@ def connected_components(
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
     edges = fwd.unionByName(rev).distinct().persist()
     labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -455,6 +510,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the dup graph has a longer chain than expected; raise max_iter "
+            "or switch to the large-star/small-star formulation"
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

@@ -28,7 +28,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def _check_merge_batch(batch: DataFrame, keys: list[str], what: str) -> None:
+    """Reject NULL or duplicate merge keys in a change batch.
+
+    Standard MERGE (Delta, Iceberg, ANSI) errors when a source row matches
+    more than once or carries a NULL key; silently proceeding here would
+    duplicate NULL-key rows across target∪updates (they never match the
+    anti-join) and multiply duplicate-key rows through the full-outer join.
+    One aggregate job over the (typically small) batch.
+    """
+    any_null = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    n, nulls, distinct = batch.agg(
+        F.count(F.lit(1)),
+        F.count_if(any_null),
+        F.count_distinct(*[F.col(k) for k in keys]),
+    ).first()
+    if nulls:
+        raise ValueError(
+            f"{what}: {nulls} row(s) with NULL merge key {keys} — "
+            "MERGE semantics require non-null keys"
+        )
+    if n != distinct:
+        raise ValueError(
+            f"{what}: duplicate merge keys ({n} rows, {distinct} distinct "
+            f"{keys}) — each source key may match at most once"
+        )
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    validate: bool = True,
+) -> DataFrame:
     """Source-wins keyed merge: rows of ``updates`` replace same-key rows
     of ``target``; unmatched update rows are inserted.
 
@@ -37,7 +71,13 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     store).  Plan: target ⟕̸ (anti) update-keys, then union — a single
     shuffle on ``keys`` for the anti-join; Catalyst broadcasts the
     (usually tiny) update key set automatically.
+
+    ``validate`` (default on) rejects NULL / duplicate keys in ``updates``
+    the way lakehouse MERGE does; pass ``False`` only when the batch is
+    already proven unique upstream and the extra aggregate job matters.
     """
+    if validate:
+        _check_merge_batch(updates, keys, "upsert updates batch")
     surviving = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return surviving.unionByName(updates.select(*target.columns))
 
@@ -58,6 +98,7 @@ def scd2_apply(
     effective_ts: str,
     from_col: str = "valid_from",
     to_col: str = "valid_to",
+    validate: bool = True,
 ) -> DataFrame:
     """Apply a change batch to a type-2 dimension.
 
@@ -71,6 +112,8 @@ def scd2_apply(
     persisted for the four selects and unpersisting is the caller's
     choice (``spark.catalog.clearCache()`` sweeps).
     """
+    if validate:
+        _check_merge_batch(changes, [key], "scd2 changes batch")
     eff = F.lit(effective_ts).cast("timestamp")
     closed_hist = dim.filter(F.col(to_col).isNotNull())
     cur = dim.filter(F.col(to_col).isNull())

@@ -29,6 +29,13 @@ from big_data_engineering_financial_analysis_spark.operators.partitioning import
 DEFAULT_K = 10
 DEFAULT_PLANES = 8
 
+#: Per-(table, bucket) membership cap for the sign-LSH dedup join — same
+#: rationale and semantics as operators/dedup.DEFAULT_BUCKET_CAP: a hot
+#: bucket on an adversarial corpus emits O(m²) candidates and stragglers
+#: the join; keeping the cap smallest ids bounds it at cap², mirrored in
+#: the oracle via QUALIFY row_number().
+DEFAULT_BUCKET_CAP = 1000
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (DuckDB twin:
@@ -370,6 +377,7 @@ def embedding_dedup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed — the
     100 TB default.
@@ -386,6 +394,8 @@ def embedding_dedup_pairs_lsh(
 
     The normed corpus is persisted (bucket explode + both verify sides);
     callers own the cache lifetime (``spark.catalog.clearCache()`` sweeps).
+    ``bucket_cap`` bounds hot buckets to the ``bucket_cap`` smallest ids
+    (see :data:`DEFAULT_BUCKET_CAP`); ``None`` disables.
     """
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
@@ -406,6 +416,9 @@ def embedding_dedup_pairs_lsh(
     exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
         id_col, "tb.tbl", "tb.bucket"
     )
+    from big_data_engineering_financial_analysis_spark.operators.dedup import _cap_buckets
+
+    exploded = _cap_buckets(exploded, ["tbl", "bucket"], id_col, bucket_cap)
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
@@ -479,7 +492,11 @@ def cosine_topk_pandas(
                 cand = np.flatnonzero(mask & ~np.isnan(col))
                 if cand.size == 0:
                     continue
-                take = cand[np.argsort(-col[cand], kind="stable")][: k]
+                # lexsort on (cos desc, neighbor_id asc) so the local k-th
+                # boundary cuts ties exactly like the final window ordering;
+                # a plain argsort(-cos) would cut exact-equal cosines by
+                # batch row order and could drop the smaller-id neighbor.
+                take = cand[np.lexsort((ids[cand], -col[cand]))][: k]
                 out.append(
                     pd.DataFrame(
                         {"query_id": qid, "neighbor_id": ids[take], "cos_sim": col[take]}

@@ -23,48 +23,74 @@ from pyspark.sql import DataFrame
 
 DEFAULT_ILP_PORT = 9009  # QuestDB default (reference consumer.py:14)
 
+#: Connect/send timeout.  A hung endpoint must fail the task (Spark retries
+#: it) rather than block an executor thread forever on an unbounded
+#: ``sendall``.
+DEFAULT_TIMEOUT_S = 30.0
 
-def send_lines(lines: list[str], host: str, port: int = DEFAULT_ILP_PORT) -> int:
+
+def send_lines(
+    lines: list[str],
+    host: str,
+    port: int = DEFAULT_ILP_PORT,
+    timeout: float = DEFAULT_TIMEOUT_S,
+) -> int:
     """Send ILP lines over one TCP connection; returns bytes written.
 
     Reference parity: ``socket.create_connection`` + ``sendall`` of
     newline-terminated UTF-8 (consumer.py:18-24); lines already ending in
-    a newline are sent as-is.
+    a newline are sent as-is.  ``timeout`` bounds both connect and send.
     """
     payload = "".join(ln if ln.endswith("\n") else ln + "\n" for ln in lines)
     data = payload.encode("utf-8")
     if not data:
         return 0
-    with socket.create_connection((host, port)) as sock:
+    with socket.create_connection((host, port), timeout=timeout) as sock:
         sock.sendall(data)
     return len(data)
 
 
-def _partition_sender(host: str, port: int, line_col_idx: int):
+def _partition_sender(
+    host: str, port: int, line_col_idx: int, timeout: float = DEFAULT_TIMEOUT_S
+):
     """A pickle-able per-partition send closure (runs on executors).
 
     Opens at most ONE connection per partition (lazily, so empty
     partitions open none) and streams the rows through it in bounded
     chunks — a huge partition never materializes fully in memory and
-    never re-pays connect/teardown per chunk.
+    never re-pays connect/teardown per chunk.  The socket carries a
+    timeout so a hung endpoint raises ``socket.timeout`` and fails the
+    task (surfacing the partition + host in the error) instead of
+    stalling the executor thread indefinitely; Spark's task retry is the
+    retry policy.
     """
 
     def _send(rows: Iterator) -> None:
         sock = None
+        sent = 0
         batch: list[str] = []
+
+        def _flush(chunk: list[str]) -> int:
+            nonlocal sock
+            if sock is None:
+                sock = socket.create_connection((host, port), timeout=timeout)
+            data = "".join(chunk).encode("utf-8")
+            sock.sendall(data)
+            return len(data)
+
         try:
             for row in rows:
                 ln = row[line_col_idx]
                 batch.append(ln if ln.endswith("\n") else ln + "\n")
                 if len(batch) >= 10_000:
-                    if sock is None:
-                        sock = socket.create_connection((host, port))
-                    sock.sendall("".join(batch).encode("utf-8"))
+                    sent += _flush(batch)
                     batch = []
             if batch:
-                if sock is None:
-                    sock = socket.create_connection((host, port))
-                sock.sendall("".join(batch).encode("utf-8"))
+                sent += _flush(batch)
+        except OSError as exc:  # timeout subclasses OSError
+            raise RuntimeError(
+                f"ILP send to {host}:{port} failed after {sent} bytes: {exc}"
+            ) from exc
         finally:
             if sock is not None:
                 sock.close()

@@ -117,3 +117,38 @@ def test_connected_components_chain_and_islands(spark):
     assert out[10] == 10 and out[11] == 10
     assert out[20] == 20 and out[21] == 20
     spark.catalog.clearCache()
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    # a 5-node chain has diameter 4: min-label propagation needs ~4 rounds,
+    # so max_iter=1 must raise instead of returning a partial labeling
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+    out = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(out.values()) == {1}
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket(spark):
+    """One degenerate bucket (identical docs = 30% of corpus) must emit a
+    bounded candidate set under bucket_cap, and survivors still pair."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df).persist()
+    uncapped = dedup.lsh_candidate_pairs(sigs, bucket_cap=None)
+    capped = dedup.lsh_candidate_pairs(sigs, bucket_cap=5)
+    hot_uncapped = uncapped.filter("id_a < 100 AND id_b < 100").count()
+    hot_capped = capped.filter("id_a < 100 AND id_b < 100").count()
+    assert hot_uncapped == 30 * 29 // 2  # full clique without the cap
+    assert hot_capped == 5 * 4 // 2      # cap smallest ids: C(5,2)
+    # the kept ids are the 5 smallest, so the survivors stay linked
+    kept = {r.id_a for r in capped.filter("id_a < 100").collect()} | {
+        r.id_b for r in capped.filter("id_b < 100").collect()
+    }
+    assert kept == {0, 1, 2, 3, 4}
+    sigs.unpersist()

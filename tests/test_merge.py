@@ -91,3 +91,36 @@ def test_scd2_null_key_dim_row_survives(spark):
     assert orphans[0].attr == "orphan" and orphans[0].valid_to is None
     assert len(out) == 3  # orphan + closed x + new y
     spark.catalog.clearCache()
+
+
+def test_upsert_rejects_null_key_in_updates(spark):
+    import pytest
+
+    target = spark.createDataFrame([(1, "a")], "id long, name string")
+    updates = spark.createDataFrame([(None, "n")], "id long, name string")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        upsert(target, updates, ["id"])
+    # explicit opt-out still runs (documented escape hatch)
+    assert upsert(target, updates, ["id"], validate=False).count() == 2
+
+
+def test_upsert_rejects_duplicate_keys_in_updates(spark):
+    import pytest
+
+    target = spark.createDataFrame([(1, "a")], "id long, name string")
+    updates = spark.createDataFrame([(2, "b"), (2, "c")], "id long, name string")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        upsert(target, updates, ["id"])
+
+
+def test_scd2_rejects_bad_changes_batch(spark):
+    import pytest
+
+    t0 = datetime(2020, 1, 1)
+    dim = _dim(spark, [(1, "x", t0, None)])
+    dup = spark.createDataFrame([(1, "y"), (1, "z")], "id long, attr string")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        scd2_apply(dim, dup, "id", ["attr"], "2022-06-01")
+    nullkey = spark.createDataFrame([(None, "y")], "id long, attr string")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        scd2_apply(dim, nullkey, "id", ["attr"], "2022-06-01")

@@ -420,6 +420,7 @@ ORACLES: dict[str, str] = {
                  array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
           FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
           WHERE sig IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= {dedup.DEFAULT_BUCKET_CAP}
         ),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -533,6 +534,7 @@ ORACLES: dict[str, str] = {
                  array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
           FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
           WHERE sig IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= {dedup.DEFAULT_BUCKET_CAP}
         ),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -575,6 +577,7 @@ ORACLES: dict[str, str] = {
                  array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
           FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
           WHERE sig IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= {dedup.DEFAULT_BUCKET_CAP}
         ),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -651,6 +654,7 @@ ORACLES: dict[str, str] = {
                  array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
           FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
           WHERE sig IS NOT NULL
+          QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= {dedup.DEFAULT_BUCKET_CAP}
         ),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -779,9 +783,13 @@ ORACLES: dict[str, str] = {
         cb AS (
           {_DEDUP_CB_SQL}
         ),
+        cbc AS (
+          SELECT vec_id, tbl, bucket FROM cb
+          QUALIFY row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) <= {similarity.DEFAULT_BUCKET_CAP}
+        ),
         cands AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM cb a JOIN cb b
+          FROM cbc a JOIN cbc b
             ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b,

@@ -69,3 +69,23 @@ def test_pandas_topk_agrees_with_fold_baseline(spark, sf_medium_embeddings, exac
     )
     spark.catalog.clearCache()
     assert _recall(got, exact_topk) >= 0.95
+
+
+def test_embedding_dedup_bucket_cap_bounds_hot_bucket(spark):
+    """Identical vectors all collide in every sign-LSH table; bucket_cap
+    keeps the smallest ids and bounds the candidate clique."""
+    import random
+
+    rng = random.Random(7)
+    dup = [1.0] + [0.0] * 15
+    rows = [(i, dup) for i in range(10)]
+    rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.embedding_dedup_pairs_lsh(
+        df, threshold=0.99, dim=16, bucket_cap=3
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.filter("id_a < 100 AND id_b < 100").collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    uncapped = similarity.embedding_dedup_pairs_lsh(df, threshold=0.99, dim=16, bucket_cap=None)
+    assert uncapped.filter("id_a < 100 AND id_b < 100").count() == 10 * 9 // 2
+    spark.catalog.clearCache()

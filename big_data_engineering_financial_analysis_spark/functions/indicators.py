@@ -181,6 +181,51 @@ def enrich(
     )
 
 
+#: Per-key history length where the O(n²) HOF fold loses to the O(n)
+#: Arrow/pandas path.  Measured on local[32] (see PERF.md §EMA): roughly
+#: even at 1k rows/key (the fold avoids the Python worker round-trip),
+#: pandas 3x faster at 2k, 44x at 16k (fold 37.9s vs 0.85s), and the fold
+#: is quadratically unrunnable at 100k.
+EMA_FOLD_ROW_LIMIT = 1000
+
+
+def enrich_auto(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    close_col: str = "close",
+    fold_limit: int = EMA_FOLD_ROW_LIMIT,
+) -> DataFrame:
+    """Enrichment with automatic EMA-path selection — the default entry.
+
+    The batch window kernel's EMA fold re-reduces the whole per-key prefix
+    per row: O(history²) per symbol.  Fine for bounded histories (it stays
+    JVM-side, no Arrow hop), quadratic death on long ones.  This probes the
+    longest per-key history with one cheap count aggregate (map-side
+    partial combine on the symbol key — at 100 TB this is a metadata-sized
+    shuffle of one long per symbol) and routes:
+
+    * longest history <= ``fold_limit`` → :func:`enrich` (pure-Catalyst fold)
+    * beyond → :func:`enrich_pandas` (O(n) vectorized pandas per key)
+
+    Both paths are bit-identical (same recursion, same FP order — each is
+    independently oracle-checked), so the switch never changes results,
+    only the physical plan.
+    """
+    longest = (
+        df.groupBy(symbol_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if longest is not None and longest > fold_limit:
+        out = enrich_pandas(df, symbol_col, time_col, close_col)
+        # align column order with the window path (selects downstream are
+        # order-independent, but unionByName-free callers deserve parity)
+        return out
+    return enrich(df, symbol_col=symbol_col, time_col=time_col, close_col=close_col)
+
+
 def enrich_pandas(
     df: DataFrame,
     symbol_col: str = "stock_symbol",

@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_engineering_financial_analysis_spark.functions.indicators import enrich
+from big_data_engineering_financial_analysis_spark.functions.indicators import enrich_auto
 from big_data_engineering_financial_analysis_spark.operators.windows import (
     feature_windows,
     last_per_group,
@@ -127,7 +127,7 @@ def _enriched(spark: SparkSession, sf_dir: str, symbols: list[str] | None = None
         F.col("value").alias("close"),
         F.col("event_type"),
     )
-    return enrich(candles)
+    return enrich_auto(candles)
 
 
 def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -615,38 +615,35 @@ QUERIES.update(_ext.QUERIES)
 ORACLES.update(_ext.build_oracles())
 
 #: Driver-facing ordering.  The per-round correctness check covers the first
-#: 50 registered queries; round 1 gave green rows to ranks 1-50 of the old
-#: order, so round 2 front-loads (a) the 21 queries that have no driver row
-#: yet (as-of/range joins, percentile/cube/time ops, the 8 Grafana panel
-#: queries) and (b) the 5 queries whose round-1 rows are being re-proven
-#: after the -0.0 / dtype oracle fixes.  Queries demoted past rank 50 all
-#: hold green round-1 rows and are parity twins of queries still in the
-#: top 50 (e.g. sma_5/ema_10/signal_rule are projections of
-#: enrich_indicators).
+#: 50 registered queries.  Rounds 1+2 together gave every query a green row,
+#: but the 28 queries checked only in round 1 went stale after round-2
+#: commits touched shared modules — round 3 front-loads (a) those 28 for
+#: fresh rows, (b) every query whose code path changed in round 3
+#: (enrich_auto switch, LSH bucket caps, merge-batch validation, the new
+#: exact_distinct twin), and (c) the three bench-regression queries plus
+#: the sketch/ANN family as representatives under re-check.  Queries
+#: demoted past rank 50 all hold green round-2 rows and are untouched this
+#: round (as-of/range joins, panels, percentile/cube/time ops, sampling).
 _DRIVER_PRIORITY = [
-    # fixed this round — need fresh green rows
+    # (a) round-1-only rows, stale since round-2 commits — re-prove all 28
+    "sma_5", "ema_10", "signal_rule", "latest_per_key", "minmax_scale",
+    "api_avg", "api_highest", "api_lowest", "summarize", "global_stats",
+    "pivot_avg", "candlestick_feed", "latest_signal", "pricing_rollup",
+    "event_type_stats", "events_union", "text_token_stats", "lang_id",
+    "doc_fingerprints", "winnow_fingerprints", "emb_norms",
+    "order_priority_check", "customers_without_orders",
+    "top_orders_per_customer", "promo_revenue", "returned_items",
+    "parts_above_avg_price",
+    # (b) round-3 code changes — first/fresh rows
+    "exact_distinct",           # new oracle-checked twin of approx_distinct
     "enrich_indicators", "enrich_incremental", "enrich_pandas", "rsi_10",
-    "sessionize",
-    # no driver row yet (round-1 ranks 51-71)
-    "asof_join", "range_join_pairs", "trailing_time_avg",
-    "tumbling_window_stats", "value_percentiles", "value_quartiles",
-    "pricing_cube", "time_functions", "ilp_lines", "lstm_dataset",
-    "approx_distinct", "nation_customer_orders", "salted_event_stats",
-    # new in round 2 — first driver rows
-    "orders_upsert", "supplier_scd2", "corpus_prep",
-    "train_val_split", "cap_per_lang", "vocab_topk", "dedup_clusters",
-    "panel_price_series", "panel_indicator_series", "panel_gain_loss",
-    "panel_latest_signal", "panel_close_stats", "panel_candlestick",
-    "panel_avg_gain_pivot", "panel_avg_loss_pivot",
-    # changed in round 2 (LSH-composed defaults, one-lambda bucket shape)
-    # — must re-prove with fresh driver rows
-    "dedup_ngram_jaccard", "dedup_embedding", "ann_lsh", "ann_ivf",
-    "lsh_bucket_histogram", "ann_bruteforce",
-    # representative green round-1 queries kept under re-check
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding",
+    "dedup_clusters", "corpus_prep",   # LSH bucket caps (Spark + oracle)
+    "orders_upsert", "supplier_scd2",  # merge-batch validation
+    # (c) bench-regression trio + sketch/ANN representatives
+    "sessionize", "trailing_time_avg", "text_quality",
+    "ann_lsh", "ann_ivf", "ann_bruteforce", "dedup_exact", "dedup_simhash",
     "last_per_minute", "feature_windows", "summarize_multiple",
-    "pricing_summary", "shipping_priority", "local_supplier_volume",
-    "top_orders", "text_quality", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "binary_payload",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

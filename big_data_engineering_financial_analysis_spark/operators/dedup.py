@@ -279,12 +279,20 @@ def minhash_lsh_dedup(
 # simhash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8-bit chunks for blocking
+#: 60-bit sketch: 15 hex chars of md5 per token ('0x'+15 hex stays inside
+#: signed 64-bit in BOTH engines; 16 hex could overflow DuckDB's BIGIGNT
+#: parse).  Width matters for BLOCKING, not just accuracy: with c-bit
+#: chunks there are only 2^c buckets per chunk, so candidate pairs grow
+#: O(n^2 / 2^c).  The original 32-bit/8-bit-chunk layout (256 buckets)
+#: went quadratic at 50k docs — 19x slower at a 10x corpus (PERF.md §sf1x);
+#: 15-bit chunks give 32768 buckets per chunk with the same pigeonhole
+#: guarantee (4 chunks -> any pair within hamming 3 shares one).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 15-bit chunks for blocking
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Frequency-weighted sign sketch, packed into a 32-bit long.
+    """Frequency-weighted sign sketch, packed into a 60-bit long.
 
     One md5 per token; bit b of the sketch aggregates the sign of bit b of
     the token hash (``h & 2^b``) weighted by term frequency (duplicate
@@ -292,21 +300,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     md5 runs once per row, not once per bit position.
     """
     df = spread(df)
-    hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, None, 14))
+    hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, None, 15))
     with_hs = df.withColumn("_sh_hs", hs)
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    # ONE fold over the token hashes carrying all SIMHASH_BITS counters as
+    # an array accumulator — SIMHASH_BITS separate aggregate() expressions
+    # would each rescan the hash array and bloat whole-stage codegen (the
+    # round-2 "one-lambda" rule; integer counters, so the restructuring is
+    # value-identical to the oracle's per-bit list_sum).
+    counts = F.aggregate(
+        F.col("_sh_hs"),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                F.col("_sh_hs"),
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.element_at(powers, b + 1)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+        counts, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
     )
     packed = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit)
     return with_hs.select(F.col(id_col), bits.alias("simhash_bits"), packed.alias("simhash"))
@@ -317,7 +329,7 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Chunk-blocked simhash near-dup pairs with exact hamming verify.
 
-    Chunk equality over the four 8-bit chunks is the blocking join key
+    Chunk equality over the four 15-bit chunks is the blocking join key
     (pigeonhole: any pair within hamming distance 3 shares a chunk);
     hamming over the bit arrays is the verifier.  The default cutoff is
     tight (2) because frequency-weighted sketches of same-domain documents
@@ -358,7 +370,7 @@ def simhash_candidate_pairs(
     )
     sa = sketches.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
     sb = sketches.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
-    # packed verify: popcount of XOR — two JVM ops vs a 32-element lambda
+    # packed verify: popcount of XOR — two JVM ops vs a 60-element lambda
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
     return (
         cands.join(sa, "id_a")

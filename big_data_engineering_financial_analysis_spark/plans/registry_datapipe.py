@@ -598,7 +598,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": f"""
         WITH hs AS (
           SELECT doc_id,
-                 list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 14))::BIGINT) AS hashes
+                 list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hashes
           FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
         ),
         sk AS (
@@ -615,7 +615,7 @@ ORACLES: dict[str, str] = {
         ),
         blocked AS (
           SELECT doc_id, j AS chunk,
-                 list_reduce(bits[j*8+1:j*8+8], (acc, bit) -> acc * 2 + bit) AS chunk_key
+                 list_reduce(bits[j*15+1:j*15+15], (acc, bit) -> acc * 2 + bit) AS chunk_key
           FROM packed CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_CHUNKS})) AS j) u
         ),
         cands AS (

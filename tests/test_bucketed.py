@@ -55,3 +55,67 @@ def test_unbucketed_join_does_shuffle(spark):
         assert "Exchange" in plan  # the baseline the bucketing removes
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+@pytest.fixture(scope="module")
+def symbol_store(spark):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    candles = ev.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("stock_symbol"),
+        F.col("ts").alias("local_time"),
+        F.col("value").alias("close"),
+    )
+    bucketed.write_symbol_store(candles, "candles_store", n_buckets=8)
+    yield "candles_store", candles
+    spark.sql("DROP TABLE IF EXISTS candles_store")
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    import shutil
+
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_symbol_store_window_plan_no_exchange_no_sort(spark, symbol_store):
+    from big_data_engineering_financial_analysis_spark.functions.indicators import with_indicators
+
+    table, _ = symbol_store
+    enriched = with_indicators(bucketed.read_symbol_store(spark, table))
+    plan = _physical_plan(enriched)
+    assert "Exchange" not in plan, f"symbol store window still shuffles:\n{plan}"
+    assert "Sort" not in plan, f"stored (symbol, time) sort not reused:\n{plan}"
+
+
+def test_symbol_store_grouped_agg_no_exchange(spark, symbol_store):
+    from pyspark.sql import functions as F
+
+    table, _ = symbol_store
+    agg = (
+        bucketed.read_symbol_store(spark, table)
+        .groupBy("stock_symbol")
+        .agg(F.avg("close").alias("avg_close"))
+    )
+    assert "Exchange" not in _physical_plan(agg)
+
+
+def test_symbol_store_matches_plain_enrichment(spark, symbol_store):
+    from big_data_engineering_financial_analysis_spark.functions.indicators import with_indicators
+
+    table, candles = symbol_store
+    got = (
+        with_indicators(bucketed.read_symbol_store(spark, table))
+        .orderBy("event_id")
+        .collect()
+    )
+    want = with_indicators(candles).orderBy("event_id").collect()
+    assert got == want
+
+
+def test_symbol_store_one_file_per_bucket(spark, symbol_store):
+    table, _ = symbol_store
+    files = spark.table(table).inputFiles()
+    # repartition(n_buckets, symbol) => at most 1 file per bucket (a bucket
+    # with no symbols hashing to it writes no file at all)
+    bucket_ids = [f.rsplit("_", 1)[1].split(".")[0] for f in files]
+    assert len(bucket_ids) == len(set(bucket_ids)) and len(files) <= 8

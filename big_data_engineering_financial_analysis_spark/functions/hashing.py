@@ -110,6 +110,25 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     ]
 
 
+def pq_codebooks(m: int, k: int, dsub: int) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``m`` subspaces, each
+    with ``k`` centroids of ``dsub`` dims (md5-derived, [-1, 1]).
+
+    Fixed pseudo-random codebooks instead of per-subspace k-means for the
+    same reason as :func:`ivf_centroids`: encoding is reproducible anywhere
+    (the DuckDB oracle embeds the identical literals), and at scale a
+    trained codebook would simply replace this constant table — the
+    encode / ADC plans are codebook-agnostic.
+    """
+    return [
+        [
+            [(hash64_py(f"pq-{j}-{c}-{d}") % 2001 - 1000) / 1000.0 for d in range(dsub)]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random-hyperplane constants for sign-LSH.
 

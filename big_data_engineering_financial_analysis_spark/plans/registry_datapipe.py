@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes
-from big_data_engineering_financial_analysis_spark.operators import dedup, similarity, text
+from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes, pq_codebooks
+from big_data_engineering_financial_analysis_spark.operators import dedup, pq, similarity, text
 from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
 
 QUERY_VEC_IDS = [0, 1, 2, 3, 4]
@@ -126,6 +126,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_adc_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
 
 
 def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +325,26 @@ _IVF_DISTS = (
     f"list_transform({_IVF_CENTROID_ARR}, c -> "
     "list_reduce(list_transform(list_zip(vec, c), x -> (x[1] - x[2]) * (x[1] - x[2])),"
     " (acc, v) -> acc + v))"
+)
+
+# PQ codebooks + per-subspace distance cube (m lists of k squared distances).
+# Same zip_with/fold shape as pq._sqdist so every double is bit-identical;
+# the cube doubles as the encoder (argmin -> code) and the query LUT.
+_PQ_DSUB = EMB_DIM // pq.DEFAULT_M
+_PQ_CB = pq_codebooks(pq.DEFAULT_M, pq.DEFAULT_CODES, _PQ_DSUB)
+_PQ_CB_ARR = (
+    "["
+    + ", ".join(
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cb_j) + "]"
+        for cb_j in _PQ_CB
+    )
+    + "]::DOUBLE[][][]"
+)
+_PQ_DCUBE = (
+    f"list_transform(range(0, {pq.DEFAULT_M}), j -> "
+    f"list_transform(({_PQ_CB_ARR})[j + 1], c -> "
+    f"list_reduce(list_transform(list_zip(vec[j * {_PQ_DSUB} + 1 : j * {_PQ_DSUB} + {_PQ_DSUB}], c),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, v) -> acc + v)))"
 )
 
 _EN = ", ".join(repr(m) for m in text.LANG_MARKERS["en"][1])
@@ -801,6 +826,37 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["ann_pq"] = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    enc0 AS (
+      SELECT vec_id, {_PQ_DCUBE} AS dcube FROM base
+    ),
+    enc AS (
+      SELECT vec_id,
+             list_transform(dcube,
+               ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER)) AS codes
+      FROM enc0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, dcube AS lut FROM enc0
+      WHERE vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {pq.DEFAULT_M} + 1),
+               j -> q.lut[j][e.codes[j] + 1]), (acc, v) -> acc + v) AS adc
+      FROM enc e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {pq.DEFAULT_K}
+"""
+
 # corpus_prep composes per-operator oracle fragments; the stage snippets are
 # substituted here (PUNCT_RE and friends contain no brace characters)
 ORACLES["vocab_topk"] = ORACLES["vocab_topk"].format(
@@ -848,6 +904,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "lsh_bucket_histogram": q_lsh_bucket_histogram,
     "dedup_embedding": q_dedup_embedding,
 }

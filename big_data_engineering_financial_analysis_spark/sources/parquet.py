@@ -50,6 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark 4.1 reads parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ (the legacy
+    # nanosAsLong flag no longer applies).  Normalize every NTZ column to
+    # the session-local TimestampType: the session is pinned UTC, so the
+    # wall-clock values are unchanged and still match DuckDB's naive read,
+    # while time functions that require TIMESTAMP (unix_micros, window)
+    # keep resolving.
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

@@ -120,6 +120,140 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", expr.otherwise(F.lit("und")))
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    count of the most frequent element — via ONE sequential fold (O(n)
+    row-local, no explode/shuffle).  Accumulator: (prev, run, best)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def _max_run_with_len(sorted_arr: Column) -> Column:
+    """(best_count, char_length_of_best_element) over a SORTED array.
+
+    Ties keep the FIRST element reaching the maximum — ascending scan, so
+    the lexicographically smallest, matching the SQL oracle's
+    ``ORDER BY count DESC, token ASC LIMIT 1``.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("bestlen"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, F.length(x).cast("long")).otherwise(acc["bestlen"]).alias("bestlen"),
+        )
+
+    return F.aggregate(
+        sorted_arr, zero, step, lambda acc: F.struct(acc["best"].alias("best"), acc["bestlen"].alias("bestlen"))
+    )
+
+
+def _dup_chars(sorted_arr: Column) -> Column:
+    """Characters covered by elements occurring MORE than once in a SORTED
+    array: every occurrence of a duplicated element contributes its length
+    (the Gopher "fraction of characters in duplicate n-grams" numerator)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        add = (
+            F.when(run == 2, F.length(x) * 2)
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup"))
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["dup"])
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1) as pure
+    row-local column expressions — the quality gates an LLM corpus build
+    applies before dedup:
+
+    * ``max_token_ratio`` — count of the most frequent token / token count
+      (catches "foo foo foo ..." degenerate pages);
+    * ``top_bigram_char_ratio`` — characters covered by occurrences of the
+      most frequent word 2-gram / total characters;
+    * ``dup_trigram_char_ratio`` — characters inside word 3-grams that
+      occur more than once / total characters.
+
+    Each metric sorts the token/shingle array once and runs ONE sequential
+    fold over it (O(n log n) row-local, the one-lambda rule) — no explode,
+    no shuffle, embarrassingly parallel at 100 TB.  The SQL oracle computes
+    the same statistics relationally (unnest -> GROUP BY), so the fold
+    logic is independently cross-checked.  NULL when the document has no
+    bigrams/trigrams (shorter than n tokens), mirrored by the oracle.
+    """
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    bigrams = shingles(t, 2)
+    trigrams = shingles(t, 3)
+    top_bg = _max_run_with_len(F.array_sort(bigrams))
+    return (
+        df.withColumn(
+            "max_token_ratio",
+            F.round(
+                _max_run(F.array_sort(t)).cast("double")
+                / F.nullif(n_tokens.cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn("_topbg", top_bg)
+        .withColumn(
+            "top_bigram_char_ratio",
+            F.when(
+                F.size(bigrams) >= 1,
+                F.round(
+                    (F.col("_topbg")["best"] * F.col("_topbg")["bestlen"]).cast("double")
+                    / F.nullif(n_chars, F.lit(0.0)),
+                    6,
+                ),
+            ),
+        )
+        .withColumn(
+            "dup_trigram_char_ratio",
+            F.when(
+                F.size(trigrams) >= 1,
+                F.round(
+                    _dup_chars(F.array_sort(trigrams)).cast("double")
+                    / F.nullif(n_chars, F.lit(0.0)),
+                    6,
+                ),
+            ),
+        )
+        .drop("_topbg")
+    )
+
+
 WINNOW_WINDOW = 4
 
 

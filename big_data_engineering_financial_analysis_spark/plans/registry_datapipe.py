@@ -133,6 +133,16 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (max-token / top-bigram /
+    dup-trigram character ratios) — row-local sorted-array folds; the
+    oracle recomputes them relationally (unnest -> GROUP BY)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_repetition(docs).select(
+        "doc_id", "max_token_ratio", "top_bigram_char_ratio", "dup_trigram_char_ratio"
+    )
+
+
 def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec"))
@@ -827,8 +837,21 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES["ann_pq"] = f"""
-    WITH base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    WITH base0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings
+    ),
+    -- L2-normalize exactly like pq._normalized: materialized norm, nullif
+    -- guard, same sequential fold shape, so every double is bit-identical.
+    -- (The synthetic embeddings are only float32-approximately unit-norm;
+    -- skipping this would leave ~1e-7 relative skew on every ADC value.)
+    nrm AS (
+      SELECT vec_id, vec0,
+             nullif(sqrt(list_reduce(list_transform(list_zip(vec0, vec0),
+               x -> x[1] * x[2]), (acc, v) -> acc + v)), 0.0) AS nn
+      FROM base0
+    ),
+    base AS (
+      SELECT vec_id, list_transform(vec0, x -> x / nn) AS vec FROM nrm
     ),
     enc0 AS (
       SELECT vec_id, {_PQ_DCUBE} AS dcube FROM base
@@ -855,6 +878,68 @@ ORACLES["ann_pq"] = f"""
                                    ORDER BY adc, neighbor_id) AS INTEGER) AS rank
     FROM scored
     QUALIFY rank <= {pq.DEFAULT_K}
+"""
+
+# Repetition filters: the Spark side is a sorted-array fold per document;
+# the oracle recomputes the same statistics relationally (unnest -> GROUP
+# BY), so the fold logic is cross-checked by an independent formulation.
+# Ratios are integer-count / integer-count divisions (double in both
+# engines) rounded to 6; NULL when the doc has no bigrams / trigrams.
+ORACLES["text_repetition"] = """
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text)::DOUBLE AS nc
+      FROM documents
+    ),
+    tokc AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS nt
+      FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+        GROUP BY doc_id, tok
+      )
+      GROUP BY doc_id
+    ),
+    bgtop AS (
+      SELECT doc_id, c, length(g) AS gl
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM base
+        )
+        GROUP BY doc_id, g
+      )
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1
+    ),
+    tgagg AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupc
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+          FROM base
+        )
+        GROUP BY doc_id, g
+      )
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           round(tokc.mx / tokc.nt, 6) AS max_token_ratio,
+           CASE WHEN len(b.toks) >= 2
+                THEN round(bgtop.c * bgtop.gl / b.nc, 6) END AS top_bigram_char_ratio,
+           CASE WHEN len(b.toks) >= 3
+                THEN round(coalesce(tgagg.dupc, 0) / b.nc, 6) END AS dup_trigram_char_ratio
+    FROM base b
+    JOIN tokc USING (doc_id)
+    LEFT JOIN bgtop USING (doc_id)
+    LEFT JOIN tgagg USING (doc_id)
 """
 
 # corpus_prep composes per-operator oracle fragments; the stage snippets are
@@ -892,6 +977,7 @@ QUERIES = {
     "cap_per_lang": q_cap_per_lang,
     "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -1,0 +1,90 @@
+"""Sequence packing: lay documents head-to-tail and cut fixed-size token
+windows — the standard GPT-style "concatenate then chunk" batch prep for
+LLM training.
+
+The reference pipeline has no notion of this (it is an OHLCV engine); this
+is part of the training-data extension surface.  Semantics: within each
+shard, documents are concatenated in (id) order into one virtual token
+stream; the stream is cut every ``chunk_tokens`` tokens; the output is one
+row per (document x chunk it overlaps), carrying which slice of the
+document lands in that chunk.  A chunk is therefore reassembled by reading
+its rows ordered by ``seg_start`` — no document is dropped, no padding is
+needed except in each shard's final chunk.
+
+Plan shape: ONE window cumsum per shard (a single shuffle on the shard
+key) followed by row-local arithmetic and an explode that emits at most
+``1 + n_tokens/chunk_tokens`` rows per document.  Determinism: the stream
+order is (shard, id) — a pure function of the data, so re-runs and
+engine ports produce byte-identical packing (the property RNG-shuffled
+packing does not have).
+
+At 100 TB the shard column is the unit of parallelism (ingest file,
+bucket, or hash(doc_id) % N): each shard's cumsum is independent, so the
+window never sees more than one shard's rows — pick shards sized to
+executor memory, exactly like any partitioned sort.  Positions are 64-bit:
+token offsets overflow 32 bits at ~4 G tokens/shard, which a 100 TB corpus
+reaches per shard only if shards are made absurdly large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import tokens
+
+DEFAULT_CHUNK_TOKENS = 256
+
+
+def pack_chunks(
+    df: DataFrame,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """(shard, chunk_id, id, seg_start, seg_len) chunk assignments.
+
+    ``seg_start`` is the 0-based token offset *within the document* where
+    the chunk's slice begins; ``seg_len`` its token count.  ``chunk_id``
+    is 0-based per shard.  Zero-token documents are dropped (they occupy
+    no stream positions).  Pass ``n_tokens_col`` when token counts are
+    already materialized (the usual case after :func:`text.with_token_stats`);
+    otherwise tokens are counted from ``text_col``.
+
+    Integer arithmetic only (``div``, not float ``floor``): exact at any
+    stream length, and the DuckDB oracle (``//``) agrees bit-for-bit.
+    """
+    b = int(chunk_tokens)
+    nt = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else F.size(tokens(F.col(text_col))).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = (
+        df.select(
+            F.col(shard_col).alias("shard"), F.col(id_col), nt.alias("n_tokens")
+        )
+        .withColumn("endpos", F.sum("n_tokens").over(w))
+        .withColumn("startpos", F.col("endpos") - F.col("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    d = d.withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"startpos div {b}"), F.expr(f"(endpos - 1) div {b}")
+            )
+        ),
+    )
+    seg_start = F.greatest(F.col("chunk_id") * b - F.col("startpos"), F.lit(0).cast("long"))
+    seg_end = F.least((F.col("chunk_id") + 1) * b, F.col("endpos")) - F.col("startpos")
+    return d.select(
+        "shard",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col(id_col),
+        seg_start.alias("seg_start"),
+        (seg_end - seg_start).alias("seg_len"),
+    )

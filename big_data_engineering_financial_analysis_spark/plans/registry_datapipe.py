@@ -143,6 +143,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: per-source token
+    stream cut into 256-token windows; one row per (doc x chunk) slice."""
+    from big_data_engineering_financial_analysis_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(docs)
+
+
 def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec"))
@@ -942,6 +951,34 @@ ORACLES["text_repetition"] = """
     LEFT JOIN tgagg USING (doc_id)
 """
 
+# Sequence packing: window cumsum per shard + integer chunk-span explode.
+# Both engines use pure integer division (Spark `div`, DuckDB `//`) so the
+# packing is exact at any stream length.
+ORACLES["seq_packing"] = """
+    WITH base AS (
+      SELECT source AS shard, doc_id,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)::BIGINT AS endpos,
+             (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)::BIGINT AS startpos
+      FROM base
+      QUALIFY n_tokens > 0
+    ),
+    exploded AS (
+      SELECT shard, doc_id, startpos, endpos,
+             unnest(generate_series(startpos // 256, (endpos - 1) // 256)) AS chunk_id
+      FROM spans
+    )
+    SELECT shard, chunk_id, doc_id,
+           greatest(chunk_id * 256 - startpos, 0) AS seg_start,
+           least((chunk_id + 1) * 256, endpos) - startpos
+             - greatest(chunk_id * 256 - startpos, 0) AS seg_len
+    FROM exploded
+"""
+
 # corpus_prep composes per-operator oracle fragments; the stage snippets are
 # substituted here (PUNCT_RE and friends contain no brace characters)
 ORACLES["vocab_topk"] = ORACLES["vocab_topk"].format(
@@ -978,6 +1015,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
+    "seq_packing": q_seq_packing,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -1,0 +1,62 @@
+"""Hand-computable semantics + invariants for sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_engineering_financial_analysis_spark.operators.packing import pack_chunks
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    # shard A stream: doc1 (3 tokens) + doc2 (6 tokens) = 9 tokens,
+    # chunked at 4: chunks 0..2.  doc2 straddles chunks 0->2.
+    # shard B: doc4 (4 tokens) exactly one chunk.
+    rows = [
+        ("A", 1, "t t t"),
+        ("A", 2, "u u u u u u"),
+        ("B", 4, "v v v v"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = pack_chunks(df, chunk_tokens=4)
+    return out.collect()
+
+
+def test_chunk_assignments(packed):
+    got = {(r["shard"], r["chunk_id"], r["doc_id"]): (r["seg_start"], r["seg_len"]) for r in packed}
+    assert got == {
+        ("A", 0, 1): (0, 3),   # doc1 fully in chunk 0
+        ("A", 0, 2): (0, 1),   # doc2 token 0 finishes chunk 0
+        ("A", 1, 2): (1, 4),   # doc2 tokens 1-4 fill chunk 1
+        ("A", 2, 2): (5, 1),   # doc2 token 5 starts chunk 2 (final, short)
+        ("B", 0, 4): (0, 4),   # doc4 exactly fills chunk 0
+    }
+
+
+def test_zero_token_doc_dropped(spark):
+    """Zero-token documents occupy no stream positions and emit no rows
+    (via the materialized n_tokens_col path — whitespace-split text can
+    never be 0 tokens since split('') is [''])."""
+    rows = [("A", 1, 3), ("A", 2, 0), ("A", 3, 2)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long")
+    out = pack_chunks(df, chunk_tokens=4, n_tokens_col="nt").collect()
+    assert all(r["doc_id"] != 2 for r in out)
+    # doc3 still starts at stream position 3 (doc2 contributed nothing)
+    got = {(r["chunk_id"], r["doc_id"]): (r["seg_start"], r["seg_len"]) for r in out}
+    assert got == {(0, 1): (0, 3), (0, 3): (0, 1), (1, 3): (1, 1)}
+
+
+def test_chunks_tile_exactly(packed):
+    """Within every chunk the segments sum to chunk_tokens (except each
+    shard's final chunk)."""
+    from collections import defaultdict
+
+    by_chunk = defaultdict(list)
+    for r in packed:
+        by_chunk[(r["shard"], r["chunk_id"])].append(r)
+    last = {s: max(c for (s2, c) in by_chunk if s2 == s) for (s, _) in by_chunk}
+    for (shard, chunk), rows in by_chunk.items():
+        total = sum(r["seg_len"] for r in rows)
+        assert total <= 4
+        if chunk != last[shard]:
+            assert total == 4

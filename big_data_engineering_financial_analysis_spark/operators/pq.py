@@ -177,6 +177,169 @@ def pq_refit_codebooks(
     return cb
 
 
+DEFAULT_SHORTLIST = 100
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    shortlist: int = DEFAULT_SHORTLIST,
+    m: int = DEFAULT_M,
+    n_codes: int = DEFAULT_CODES,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the production PQ serving shape
+    (IVFADC+R, Jegou et al. 2011 §VI): the compressed-code scan nominates
+    ``shortlist`` candidates per query, then ONLY those candidates' full
+    vectors are fetched and ranked by exact cosine.
+
+    This split is what makes PQ usable on corpora whose neighbor gaps are
+    smaller than the quantization error (true of the near-random synthetic
+    embeddings here: consecutive top-10 cosine gaps ~0.01): the codes only
+    need to be good enough to keep true neighbors inside the top-L, and
+    the exact re-rank fixes their order.  At 100 TB the full-vector fetch
+    is L point lookups per query against the id-partitioned vector table —
+    a few MB — while the scan stage reads codes only.
+    """
+    short = pq_adc_topk(
+        corpus,
+        query_ids,
+        k=shortlist,
+        m=m,
+        n_codes=n_codes,
+        codebooks=codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    c = _normalized(c)
+    q = c.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        short.join(c.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_sim", _dot(F.col("vec"), F.col("qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = DEFAULT_K,
+    m: int = DEFAULT_M,
+    n_codes: int = DEFAULT_CODES,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantize into IVF cells, ADC-rank inside the probed
+    cells only — the composition (Jegou et al. 2011 §V) that serves ANN at
+    100 TB: the PQ codes shrink the scan 30-60x AND the cell filter skips
+    (n_cells - n_probe)/n_cells of what remains.  At ingest you persist
+    (cell, id, codes) partitioned by cell; a query then reads ``n_probe``
+    partitions of codes, nothing else.
+
+    Cells are assigned on the L2-NORMALIZED vectors (same space the ADC
+    distance ranks in, ``||a-b||^2 = 2 - 2cos``), so probe and rank
+    optimize the same objective.  Probe set = "cells with centroid
+    distance <= the n_probe-th smallest" (ties expand deterministically,
+    mirroring :func:`similarity.ivf_ann_topk`).  No candidate distinct is
+    needed: a corpus row lives in exactly ONE cell, so the probe join
+    yields at most one row per (query, corpus) pair.
+    """
+    from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
+    from big_data_engineering_financial_analysis_spark.operators.similarity import _cell_scores
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    cb = codebooks or pq_codebooks(m, n_codes, dsub)
+    cents = centroids or ivf_centroids(n_cells, dim)
+    cb_lit = _cb_literal(cb)
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    c = spread(_normalized(c))
+    # one corpus scan computes cell + codes; the frame feeds probes, query
+    # LUTs, and candidate scoring (persisted shared subtree, as in IVF)
+    c = (
+        c.withColumn("dists", _cell_scores(F.col("vec"), cents))
+        .withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int"))
+        .withColumn("codes", pq_codes(F.col("vec"), cb))
+        .persist()
+    )
+
+    thr = F.element_at(F.array_sort("dists"), n_probe)
+    probes = (
+        c.filter(F.col(id_col).isin(query_ids))
+        .withColumn(
+            "pcell",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(1), F.lit(n_cells)),
+                    lambda i: F.element_at(F.col("dists"), i) <= thr,
+                )
+            ),
+        )
+        .select(F.col(id_col).alias("query_id"), F.col("pcell").cast("int").alias("pcell"))
+    )
+
+    def lut_for(cb_j: Column, j: Column) -> Column:
+        sub = F.slice(F.col("vec"), j * dsub + 1, dsub)
+        return F.transform(cb_j, lambda cent: _sqdist(sub, cent))
+
+    q = c.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(cb_lit, lut_for).alias("lut"),
+    )
+    scored = (
+        c.select(id_col, "cell", "codes")
+        .join(
+            F.broadcast(probes.join(q, "query_id")),
+            (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda code, j: F.element_at(
+                        F.element_at(F.col("lut"), (j + 1).cast("int")),
+                        (code + 1).cast("int"),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("adc", 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     query_ids: list[int],

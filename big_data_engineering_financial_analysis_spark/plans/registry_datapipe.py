@@ -133,6 +133,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
 
 
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact cosine re-rank (IVFADC+R serving shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_rerank_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: probe the nearest coarse cells, ADC-rank from
+    PQ codes alone — the partition-pruned compressed-scan ANN shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.ivf_pq_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (max-token / top-bigram /
     dup-trigram character ratios) — row-local sorted-array folds; the
@@ -951,6 +964,118 @@ ORACLES["text_repetition"] = """
     LEFT JOIN tgagg USING (doc_id)
 """
 
+# PQ shortlist + exact re-rank (IVFADC+R): the ADC stage nominates the
+# top-100 candidates per query from codes alone; only those candidates'
+# full (normalized) vectors are ranked by exact cosine.
+ORACLES["ann_pq_rerank"] = f"""
+    WITH base0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, vec0,
+             nullif(sqrt(list_reduce(list_transform(list_zip(vec0, vec0),
+               x -> x[1] * x[2]), (acc, v) -> acc + v)), 0.0) AS nn
+      FROM base0
+    ),
+    base AS (
+      SELECT vec_id, list_transform(vec0, x -> x / nn) AS vec FROM nrm
+    ),
+    enc0 AS (
+      SELECT vec_id, {_PQ_DCUBE} AS dcube FROM base
+    ),
+    enc AS (
+      SELECT vec_id,
+             list_transform(dcube,
+               ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER)) AS codes
+      FROM enc0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, dcube AS lut FROM enc0
+      WHERE vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    ),
+    adc_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {pq.DEFAULT_M} + 1),
+               j -> q.lut[j][e.codes[j] + 1]), (acc, v) -> acc + v) AS adc
+      FROM enc e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS r
+        FROM adc_scored
+      )
+      WHERE r <= {pq.DEFAULT_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_reduce(list_transform(list_zip(nv.vec, qv.vec),
+               x -> x[1] * x[2]), (acc, v) -> acc + v) AS cos
+      FROM short s
+      JOIN base nv ON s.neighbor_id = nv.vec_id
+      JOIN base qv ON s.query_id = qv.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+    FROM rer
+    QUALIFY rank <= {pq.DEFAULT_K}
+"""
+
+# IVF-PQ: cells + codes assigned on the L2-normalized vectors (one CTE
+# chain shared with ann_pq's normalization), probe the n_probe nearest
+# cells, ADC-rank candidates from codes alone.  No candidate DISTINCT: a
+# corpus row lives in exactly one cell.
+ORACLES["ann_ivf_pq"] = f"""
+    WITH base0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec0 FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, vec0,
+             nullif(sqrt(list_reduce(list_transform(list_zip(vec0, vec0),
+               x -> x[1] * x[2]), (acc, v) -> acc + v)), 0.0) AS nn
+      FROM base0
+    ),
+    base AS (
+      SELECT vec_id, list_transform(vec0, x -> x / nn) AS vec FROM nrm
+    ),
+    enc0 AS (
+      SELECT vec_id, {_IVF_DISTS} AS dists, {_PQ_DCUBE} AS dcube FROM base
+    ),
+    enc AS (
+      SELECT vec_id,
+             CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
+             list_transform(dcube,
+               ds -> CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER)) AS codes,
+             dists, dcube
+      FROM enc0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, dists,
+             list_sort(dists)[{similarity.DEFAULT_IVF_PROBE}] AS thr, dcube AS lut
+      FROM enc WHERE vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    ),
+    probes AS (
+      SELECT query_id, CAST(unnest(list_filter(range(1, {similarity.DEFAULT_IVF_CELLS} + 1),
+             i -> dists[i] <= thr)) AS INTEGER) AS pcell, lut
+      FROM q
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {pq.DEFAULT_M} + 1),
+               j -> p.lut[j][e.codes[j] + 1]), (acc, v) -> acc + v) AS adc
+      FROM enc e JOIN probes p ON e.cell = p.pcell AND e.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {pq.DEFAULT_K}
+"""
+
 # Sequence packing: window cumsum per shard + integer chunk-span explode.
 # Both engines use pure integer division (Spark `div`, DuckDB `//`) so the
 # packing is exact at any stream length.
@@ -1029,6 +1154,8 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivf_pq": q_ann_ivf_pq,
+    "ann_pq_rerank": q_ann_pq_rerank,
     "lsh_bucket_histogram": q_lsh_bucket_histogram,
     "dedup_embedding": q_dedup_embedding,
 }

@@ -89,3 +89,45 @@ def test_embedding_dedup_bucket_cap_bounds_hot_bucket(spark):
     uncapped = similarity.embedding_dedup_pairs_lsh(df, threshold=0.99, dim=16, bucket_cap=None)
     assert uncapped.filter("id_a < 100 AND id_b < 100").count() == 10 * 9 // 2
     spark.catalog.clearCache()
+
+
+def test_pq_rerank_recall(spark, sf_medium_embeddings, exact_topk):
+    """ADC shortlist + exact re-rank recovers most true neighbors even on
+    this near-random corpus (consecutive top-10 cosine gaps ~0.01, well
+    below PQ quantization error — raw ADC recall is ~0.18 by nature).
+    Random 100-of-2000 shortlisting would give recall ~0.05."""
+    from big_data_engineering_financial_analysis_spark.operators import pq
+
+    got = _topk_sets(pq.pq_rerank_topk(sf_medium_embeddings, QUERY_IDS, k=K))
+    spark.catalog.clearCache()
+    assert _recall(got, exact_topk) >= 0.6
+
+
+def test_pq_rerank_wider_shortlist_converges_to_exact(spark, sf_medium_embeddings, exact_topk):
+    from big_data_engineering_financial_analysis_spark.operators import pq
+
+    got = _topk_sets(
+        pq.pq_rerank_topk(sf_medium_embeddings, QUERY_IDS, k=K, shortlist=300)
+    )
+    spark.catalog.clearCache()
+    assert _recall(got, exact_topk) >= 0.9
+
+
+def test_pq_trained_codebooks_do_not_lose_recall(spark, sf_medium_embeddings, exact_topk):
+    """Per-subspace Lloyd refit must match-or-beat the fixed md5 books
+    (same contract as the IVF coarse-quantizer refit test)."""
+    from big_data_engineering_financial_analysis_spark.operators import pq
+
+    fixed = _recall(
+        _topk_sets(pq.pq_rerank_topk(sf_medium_embeddings, QUERY_IDS, k=K)), exact_topk
+    )
+    spark.catalog.clearCache()
+    cb = pq.pq_refit_codebooks(sf_medium_embeddings, iters=3)
+    trained = _recall(
+        _topk_sets(
+            pq.pq_rerank_topk(sf_medium_embeddings, QUERY_IDS, k=K, codebooks=cb)
+        ),
+        exact_topk,
+    )
+    spark.catalog.clearCache()
+    assert trained >= fixed - 0.02

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import hash64, shingles, tokens
+from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
 
 #: marker stopwords per language, with a deterministic priority used to
 #: break score ties (higher wins).  Keep in sync with LANG_MARKERS_SQL.
@@ -120,77 +121,39 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", expr.otherwise(F.lit("und")))
 
 
-def _max_run(sorted_arr: Column) -> Column:
-    """Longest run of equal adjacent elements in a SORTED array — i.e. the
-    count of the most frequent element — via ONE sequential fold (O(n)
-    row-local, no explode/shuffle).  Accumulator: (prev, run, best)."""
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
+def _run_starts(arr: Column, n: Column) -> Column:
+    """1-based indices opening each run of equal adjacent elements in a
+    SORTED array (empty when ``n`` is 0).
 
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
-
-
-def _max_run_with_len(sorted_arr: Column) -> Column:
-    """(best_count, char_length_of_best_element) over a SORTED array.
-
-    Ties keep the FIRST element reaching the maximum — ascending scan, so
-    the lexicographically smallest, matching the SQL oracle's
-    ``ORDER BY count DESC, token ASC LIMIT 1``.
+    Run-length encoding via an int-index filter instead of a fold carrying
+    a struct accumulator: higher-order functions evaluate interpreted, and
+    a struct-per-element accumulator allocates a row per step — measured
+    5-20x slower end-to-end (GC-bound) than this primitive formulation.
+    The ``when(i == 1, ...)`` guard keeps ``element_at(arr, 0)`` from ever
+    evaluating (ANSI mode errors on index 0).
     """
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-        F.lit(0).cast("long").alias("bestlen"),
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(arr, i) != F.element_at(arr, (i - 1).cast("int"))
+        ),
     )
+    # sequence(1, 0) counts DOWN ([1, 0]) instead of returning empty —
+    # same Spark quirk guarded in hashing.shingles
+    return F.when(n >= 1, starts).otherwise(F.array().cast("array<int>"))
 
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        better = run > acc["best"]
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc["best"]).alias("best"),
-            F.when(better, F.length(x).cast("long")).otherwise(acc["bestlen"]).alias("bestlen"),
-        )
 
-    return F.aggregate(
-        sorted_arr, zero, step, lambda acc: F.struct(acc["best"].alias("best"), acc["bestlen"].alias("bestlen"))
+def _run_lengths(starts: Column, n_starts: Column, n: Column) -> Column:
+    """Run lengths from run-start indices: diff against the next start,
+    with the array end (n+1) as sentinel.  All primitive array ops,
+    empty-safe (slice length clamped at 0)."""
+    shifted = F.concat(
+        F.slice(starts, 2, F.greatest(n_starts - 1, F.lit(0))),
+        F.when(n_starts >= 1, F.array((n + 1).cast("int"))).otherwise(
+            F.array().cast("array<int>")
+        ),
     )
-
-
-def _dup_chars(sorted_arr: Column) -> Column:
-    """Characters covered by elements occurring MORE than once in a SORTED
-    array: every occurrence of a duplicated element contributes its length
-    (the Gopher "fraction of characters in duplicate n-grams" numerator)."""
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("dup"),
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        add = (
-            F.when(run == 2, F.length(x) * 2)
-            .when(run > 2, F.length(x))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        return F.struct(x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup"))
-
-    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["dup"])
+    return F.zip_with(starts, shifted, lambda a, b: b - a)
 
 
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -201,57 +164,93 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``max_token_ratio`` — count of the most frequent token / token count
       (catches "foo foo foo ..." degenerate pages);
     * ``top_bigram_char_ratio`` — characters covered by occurrences of the
-      most frequent word 2-gram / total characters;
+      most frequent word 2-gram / total characters (ties keep the
+      lexicographically smallest bigram: first maximum of the ascending
+      sorted runs, matching the oracle's ``ORDER BY c DESC, g``);
     * ``dup_trigram_char_ratio`` — characters inside word 3-grams that
       occur more than once / total characters.
 
-    Each metric sorts the token/shingle array once and runs ONE sequential
-    fold over it (O(n log n) row-local, the one-lambda rule) — no explode,
-    no shuffle, embarrassingly parallel at 100 TB.  The SQL oracle computes
-    the same statistics relationally (unnest -> GROUP BY), so the fold
+    Each metric sorts the token/shingle array once and run-length-encodes
+    it with primitive index arrays (O(n log n) row-local) — no explode, no
+    shuffle, embarrassingly parallel at 100 TB.  The SQL oracle computes
+    the same statistics relationally (unnest -> GROUP BY), so the RLE
     logic is independently cross-checked.  NULL when the document has no
     bigrams/trigrams (shorter than n tokens), mirrored by the oracle.
+
+    The input is :func:`spread` first: shingle construction + sort is the
+    dominant cost, and a small-file corpus otherwise runs it all on one
+    task (no-op on well-partitioned input).  Intermediate arrays are bound
+    to real columns — HOF arguments are not common-subexpression-
+    eliminated, so inlining them would recompute the sort per consumer.
     """
+    df = spread(df)
     t = tokens(F.col(text_col))
-    n_tokens = F.size(t).cast("long")
     n_chars = F.length(F.col(text_col)).cast("double")
-    bigrams = shingles(t, 2)
-    trigrams = shingles(t, 3)
-    top_bg = _max_run_with_len(F.array_sort(bigrams))
-    return (
-        df.withColumn(
-            "max_token_ratio",
+
+    # --- most frequent token (tokens are never empty: split('') = ['']) ---
+    d = df.withColumn("_rt", F.array_sort(t)).withColumn("_rn", F.size("_rt"))
+    d = d.withColumn("_rs", _run_starts(F.col("_rt"), F.col("_rn")))
+    max_run = F.array_max(
+        _run_lengths(F.col("_rs"), F.size("_rs"), F.col("_rn"))
+    )
+    d = d.withColumn(
+        "max_token_ratio",
+        F.round(
+            max_run.cast("double") / F.nullif(F.col("_rn").cast("double"), F.lit(0.0)), 6
+        ),
+    )
+
+    # --- most frequent bigram ---
+    d = d.withColumn("_bg", F.array_sort(shingles(t, 2))).withColumn(
+        "_bn", F.size("_bg")
+    )
+    d = d.withColumn("_bs", _run_starts(F.col("_bg"), F.col("_bn")))
+    d = d.withColumn(
+        "_brl", _run_lengths(F.col("_bs"), F.size("_bs"), F.col("_bn"))
+    )
+    b_best = F.array_max(F.col("_brl"))
+    b_idx = F.array_position(F.col("_brl"), b_best).cast("int")
+    b_elem = F.element_at(F.col("_bg"), F.element_at(F.col("_bs"), b_idx))
+    d = d.withColumn(
+        "top_bigram_char_ratio",
+        F.when(
+            F.col("_bn") >= 1,
             F.round(
-                _max_run(F.array_sort(t)).cast("double")
-                / F.nullif(n_tokens.cast("double"), F.lit(0.0)),
+                (b_best * F.length(b_elem)).cast("double")
+                / F.nullif(n_chars, F.lit(0.0)),
                 6,
             ),
-        )
-        .withColumn("_topbg", top_bg)
-        .withColumn(
-            "top_bigram_char_ratio",
-            F.when(
-                F.size(bigrams) >= 1,
-                F.round(
-                    (F.col("_topbg")["best"] * F.col("_topbg")["bestlen"]).cast("double")
-                    / F.nullif(n_chars, F.lit(0.0)),
-                    6,
-                ),
-            ),
-        )
-        .withColumn(
-            "dup_trigram_char_ratio",
-            F.when(
-                F.size(trigrams) >= 1,
-                F.round(
-                    _dup_chars(F.array_sort(trigrams)).cast("double")
-                    / F.nullif(n_chars, F.lit(0.0)),
-                    6,
-                ),
-            ),
-        )
-        .drop("_topbg")
+        ),
     )
+
+    # --- duplicated trigram characters ---
+    d = d.withColumn("_tg", F.array_sort(shingles(t, 3))).withColumn(
+        "_tn", F.size("_tg")
+    )
+    d = d.withColumn("_ts", _run_starts(F.col("_tg"), F.col("_tn")))
+    d = d.withColumn(
+        "_trl", _run_lengths(F.col("_ts"), F.size("_ts"), F.col("_tn"))
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(
+            F.col("_trl"),
+            F.col("_ts"),
+            lambda rl, st: F.when(
+                rl > 1,
+                rl.cast("long") * F.length(F.element_at(F.col("_tg"), st)),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = d.withColumn(
+        "dup_trigram_char_ratio",
+        F.when(
+            F.col("_tn") >= 1,
+            F.round(dup_chars.cast("double") / F.nullif(n_chars, F.lit(0.0)), 6),
+        ),
+    )
+    return d.drop("_rt", "_rn", "_rs", "_bg", "_bn", "_bs", "_brl", "_tg", "_tn", "_ts", "_trl")
 
 
 WINNOW_WINDOW = 4

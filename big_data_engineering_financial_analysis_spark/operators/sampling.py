@@ -74,6 +74,36 @@ def cap_per_group(
     )
 
 
+def downsample_groups(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 1.0,
+    salt: str = "downsample",
+) -> DataFrame:
+    """Deterministic per-group downsampling to target keep-fractions —
+    corpus mixture reweighting ("keep 30% of web, all of books").
+
+    Row-local like :func:`hash_split`: a row survives iff its keyed hash
+    bucket falls below ``fraction(group) * 10k``, so the kept set is a
+    pure function of (key, salt) — append-stable, repartition-stable,
+    engine-exact — and a row kept at fraction f is also kept at any
+    f' > f (nested samples, the property needed for mixture sweeps).
+    Groups not listed keep ``default``.  No shuffle at any scale.
+    """
+    bucket = hash64(F.col(key_col).cast("string"), salt, 8) % SPLIT_BUCKETS
+    frac = None
+    for name, f in fractions.items():
+        cond = F.col(group_col) == name
+        thr = F.lit(int(f * SPLIT_BUCKETS))
+        frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
+    thr_col = F.lit(int(default * SPLIT_BUCKETS)) if frac is None else frac.otherwise(
+        F.lit(int(default * SPLIT_BUCKETS))
+    )
+    return df.filter(bucket < thr_col)
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str = "text",

@@ -190,6 +190,22 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id", SPLIT_FRACTIONS).select("doc_id", "split")
 
 
+#: corpus-mixing keep-fractions per language (en is over-represented in
+#: the synthetic corpus; keep the tail languages whole)
+MIX_FRACTIONS = {"en": 0.3, "fr": 0.8}
+
+
+def q_downsample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: deterministic keyed-hash downsampling to
+    per-language keep-fractions (unlisted languages keep 100%)."""
+    from big_data_engineering_financial_analysis_spark.operators.sampling import downsample_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return downsample_groups(docs, "lang", MIX_FRACTIONS, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group downsampling: at most N docs per language, lowest ids."""
     from big_data_engineering_financial_analysis_spark.operators.sampling import cap_per_group
@@ -902,6 +918,19 @@ ORACLES["ann_pq"] = f"""
     QUALIFY rank <= {pq.DEFAULT_K}
 """
 
+ORACLES["downsample_lang"] = f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#downsample'), 1, 8))::BIGINT
+               % 10000 AS b
+      FROM documents)
+    WHERE b < CASE lang
+              WHEN 'en' THEN {int(MIX_FRACTIONS["en"] * 10000)}
+              WHEN 'fr' THEN {int(MIX_FRACTIONS["fr"] * 10000)}
+              ELSE 10000 END
+"""
+
 # Repetition filters: the Spark side is a sorted-array fold per document;
 # the oracle recomputes the same statistics relationally (unnest -> GROUP
 # BY), so the fold logic is cross-checked by an independent formulation.
@@ -1141,6 +1170,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "seq_packing": q_seq_packing,
+    "downsample_lang": q_downsample_lang,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -48,3 +48,30 @@ def test_vocab_topk_deterministic_ties(spark):
     rows = sampling.vocab_topk(df, "text", 3).collect()
     # counts: a=3 (a,a,A) b=3 (b,b,B) c=1 x=1 -> ties broken by token asc
     assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_downsample_groups_nested_and_stable(spark):
+    """A row kept at fraction f stays kept at any f' > f (nested samples),
+    unlisted groups keep everything, and the kept set is append-stable."""
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    keep30 = {
+        r["doc_id"]
+        for r in sampling.downsample_groups(df, "lang", {"en": 0.3}, "doc_id").collect()
+    }
+    keep60 = {
+        r["doc_id"]
+        for r in sampling.downsample_groups(df, "lang", {"en": 0.6}, "doc_id").collect()
+    }
+    en = {i for i in range(400) if i % 2 == 0}
+    de = set(range(400)) - en
+    assert de <= keep30            # unlisted group untouched
+    assert (keep30 & en) <= (keep60 & en)   # nested
+    assert 0.15 <= len(keep30 & en) / len(en) <= 0.45  # ~30% of en
+    # append-stability: the same ids survive when computed on a subset
+    sub = df.filter("doc_id < 200")
+    keep30_sub = {
+        r["doc_id"]
+        for r in sampling.downsample_groups(sub, "lang", {"en": 0.3}, "doc_id").collect()
+    }
+    assert keep30_sub == {i for i in keep30 if i < 200}

@@ -615,17 +615,21 @@ QUERIES.update(_ext.QUERIES)
 ORACLES.update(_ext.build_oracles())
 
 #: Driver-facing ordering.  The per-round correctness check covers the first
-#: 50 registered queries.  Rounds 1+2 together gave every query a green row,
-#: but the 28 queries checked only in round 1 went stale after round-2
-#: commits touched shared modules — round 3 front-loads (a) those 28 for
-#: fresh rows, (b) every query whose code path changed in round 3
-#: (enrich_auto switch, LSH bucket caps, merge-batch validation, the new
-#: exact_distinct twin), and (c) the three bench-regression queries plus
-#: the sketch/ANN family as representatives under re-check.  Queries
-#: demoted past rank 50 all hold green round-2 rows and are untouched this
-#: round (as-of/range joins, panels, percentile/cube/time ops, sampling).
+#: 50 registered queries.  The last driver window ran in round 2
+#: (CORRECTNESS_r02), so this round front-loads (a) every query registered
+#: since then — none has a driver row yet — then (b) the 27 queries whose
+#: only green row is round 1 (stale since round-2 commits touched shared
+#: modules), then (c) representatives of every code path that changed this
+#: round: the Spark-4.1 TIMESTAMP_NTZ load fix (events-table queries), the
+#: PQ codebook rescale, and the with_repetition rewrite.  Queries demoted
+#: past rank 50 all hold green round-2 rows AND a fresh local full-sweep
+#: MATCH (tests/driver_sim.py: 84/84 at sf0.01 on a vanilla session).
 _DRIVER_PRIORITY = [
-    # (a) round-1-only rows, stale since round-2 commits — re-prove all 28
+    # (a) registered after the last driver window — no driver row yet
+    "ann_pq", "ann_pq_rerank", "ann_ivf_pq",
+    "text_repetition", "seq_packing", "downsample_lang",
+    "exact_distinct",
+    # (b) round-1-only rows, stale since round-2 commits
     "sma_5", "ema_10", "signal_rule", "latest_per_key", "minmax_scale",
     "api_avg", "api_highest", "api_lowest", "summarize", "global_stats",
     "pivot_avg", "candlestick_feed", "latest_signal", "pricing_rollup",
@@ -634,16 +638,13 @@ _DRIVER_PRIORITY = [
     "order_priority_check", "customers_without_orders",
     "top_orders_per_customer", "promo_revenue", "returned_items",
     "parts_above_avg_price",
-    # (b) round-3 code changes — first/fresh rows
-    "exact_distinct",           # new oracle-checked twin of approx_distinct
+    # (c) changed code paths this round: NTZ load fix (events readers),
+    # enrich family, text rewrite
     "enrich_indicators", "enrich_incremental", "enrich_pandas", "rsi_10",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_clusters", "corpus_prep",   # LSH bucket caps (Spark + oracle)
-    "orders_upsert", "supplier_scd2",  # merge-batch validation
-    # (c) bench-regression trio + sketch/ANN representatives
-    "sessionize", "trailing_time_avg", "text_quality",
-    "ann_lsh", "ann_ivf", "ann_bruteforce", "dedup_exact", "dedup_simhash",
-    "last_per_minute", "feature_windows", "summarize_multiple",
+    "sessionize", "trailing_time_avg", "tumbling_window_stats",
+    "time_functions", "ilp_lines", "asof_join", "range_join_pairs",
+    "salted_event_stats", "last_per_minute", "feature_windows",
+    "text_quality", "corpus_prep",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

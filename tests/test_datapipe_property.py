@@ -1,0 +1,85 @@
+"""Property-based checks for repetition metrics and sequence packing
+against pure-Python models.
+
+Few hypothesis examples (Spark-job cost per example); the deterministic
+hand-computed cases live in test_text.py / test_packing.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from big_data_engineering_financial_analysis_spark.operators.packing import pack_chunks
+from big_data_engineering_financial_analysis_spark.operators.text import with_repetition
+
+WORDS = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+DOC = st.lists(WORDS, min_size=1, max_size=30).map(" ".join)
+
+
+def _model(text: str):
+    toks = text.split()
+    n = len(toks)
+    nc = len(text)
+    mx = Counter(toks).most_common(1)[0][1]
+    out = {"max_token_ratio": round(mx / n, 6)}
+    bigrams = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+    if bigrams:
+        c = Counter(bigrams)
+        top = min(sorted(c), key=lambda g: (-c[g], g))
+        out["top_bigram_char_ratio"] = round(c[top] * len(top) / nc, 6)
+    else:
+        out["top_bigram_char_ratio"] = None
+    trigrams = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+    if trigrams:
+        c = Counter(trigrams)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        out["dup_trigram_char_ratio"] = round(dup / nc, 6)
+    else:
+        out["dup_trigram_char_ratio"] = None
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(DOC, min_size=1, max_size=8))
+def test_repetition_matches_python_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = with_repetition(df).select(
+        "doc_id", "max_token_ratio", "top_bigram_char_ratio", "dup_trigram_char_ratio"
+    ).collect()
+    got = {r["doc_id"]: r.asDict() for r in rows}
+    for i, text in enumerate(texts):
+        want = _model(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (k, text, got[i][k], v)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    nts=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+    chunk=st.integers(min_value=1, max_value=16),
+)
+def test_packing_invariants(spark, nts, chunk):
+    """Conservation (every token lands in exactly one chunk slice),
+    contiguity within each doc, and chunk fill == chunk size except each
+    shard's last chunk."""
+    rows = [("s", i, n) for i, n in enumerate(nts)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long")
+    out = pack_chunks(df, chunk_tokens=chunk, n_tokens_col="nt").collect()
+    by_doc: dict[int, int] = {}
+    by_chunk: dict[int, int] = {}
+    for r in out:
+        assert 0 < r["seg_len"] <= chunk
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["seg_len"]
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["seg_len"]
+    for i, n in enumerate(nts):
+        assert by_doc.get(i, 0) == n          # conservation per doc
+    total = sum(nts)
+    if total:
+        last = max(by_chunk)
+        for cid, fill in by_chunk.items():
+            assert fill == chunk or cid == last
+        assert sum(by_chunk.values()) == total
+        assert set(by_chunk) == set(range(last + 1))  # no chunk gaps

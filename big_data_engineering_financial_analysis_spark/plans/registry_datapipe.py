@@ -240,13 +240,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_FLOOR = 0.5
+#: Gopher-style repetition gate: drop docs whose most frequent token
+#: covers more than this fraction of tokens (top ~8% of the synthetic
+#: corpus — enough to exercise the gate without emptying the pipeline).
+REP_CAP = 0.15
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep — the composed pipeline a 100 TB
     data build runs, as ONE registered query:
 
-    language gate (en) -> quality gate (score >= floor) -> exact dedup
+    language gate (en) -> quality gate (score >= floor) -> repetition
+    gate (max-token ratio <= cap, the Gopher filter) -> exact dedup
     (keep the lowest doc_id per canonical-content hash) -> minhash-LSH
     near-dedup (drop the higher id of each verified pair) -> surviving
     docs with their language/quality features.
@@ -258,9 +263,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (much smaller) surviving corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.with_quality(text.with_lang_guess(docs))
+    scored = text.with_repetition(text.with_quality(text.with_lang_guess(docs)))
     kept = scored.filter(
-        (F.col("lang_guess") == "en") & (F.col("quality_score") >= QUALITY_FLOOR)
+        (F.col("lang_guess") == "en")
+        & (F.col("quality_score") >= QUALITY_FLOOR)
+        & (F.col("max_token_ratio") <= REP_CAP)
     )
     keepers = dedup.exact_dedup_groups(kept).select(
         F.col("keeper_id").alias("doc_id")
@@ -573,10 +580,20 @@ ORACLES: dict[str, str] = {
                    CAST(length(text) - length(regexp_replace(text, '{{PUNCT}}', '', 'g')) AS DOUBLE) AS punct
             FROM (SELECT doc_id, text, {{TOKS}} AS t FROM documents))
         ),
+        rep AS (
+          SELECT doc_id, round(max(c) / sum(c), 6) AS mtr
+          FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok
+                  FROM (SELECT doc_id, {{TOKS}} AS t FROM documents))
+            GROUP BY doc_id, tok)
+          GROUP BY doc_id
+        ),
         kept AS (
           SELECT g.doc_id, g.text, g.lang_guess, q.quality_score
-          FROM g JOIN q ON g.doc_id = q.doc_id
+          FROM g JOIN q ON g.doc_id = q.doc_id JOIN rep ON g.doc_id = rep.doc_id
           WHERE g.lang_guess = 'en' AND q.quality_score >= {{FLOOR}}
+            AND rep.mtr <= {{REPCAP}}
         ),
         keepers AS (
           SELECT min(doc_id) AS doc_id
@@ -1153,6 +1170,7 @@ ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
     EN=_EN,
     PUNCT=text.PUNCT_RE,
     FLOOR=QUALITY_FLOOR,
+    REPCAP=REP_CAP,
     SHINGLES=_SHINGLES3,
     MH_A=_MH_A,
     MH_B=_MH_B,

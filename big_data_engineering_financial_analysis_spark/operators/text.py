@@ -253,6 +253,51 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.drop("_rt", "_rn", "_rs", "_bg", "_bn", "_bs", "_brl", "_tg", "_tn", "_ts", "_trl")
 
 
+DECONTAM_SHINGLE = 5
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DECONTAM_SHINGLE,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word ``shingle_n``-gram with any benchmark document, with the count
+    of distinct overlapping n-grams — the standard eval-leakage filter a
+    training-data build runs before shipping a corpus (n-gram collision
+    flagging as in GPT-3 appendix C / PaLM).
+
+    Plan shape for 100 TB: both sides reduce to DISTINCT 64-bit shingle
+    hashes (never the shingle strings — the shuffle carries 8 bytes per
+    gram), the benchmark side is orders of magnitude smaller and
+    broadcast, so the corpus side never shuffles: explode -> hash ->
+    broadcast-semi-join -> per-doc count.  Output: (id, n_hits) for
+    contaminated documents only.
+    """
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("_g"),
+    ).select(F.col(id_col), hash64(F.col("_g"), "decontam").alias("gh"))
+    b_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+            ).alias("_g")
+        )
+        .select(hash64(F.col("_g"), "decontam").alias("gh"))
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 WINNOW_WINDOW = 4
 
 

@@ -146,6 +146,17 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivf_pq_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage flagging: corpus docs sharing a 4-gram with the
+    pseudo-benchmark set (doc_id % 97 == 0), with distinct-hit counts
+    (4-grams on the synthetic small-vocabulary corpus ~= the 8-13-gram
+    windows real decontamination uses on natural text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return text.contamination_hits(corpus, bench, shingle_n=4)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (max-token / top-bigram /
     dup-trigram character ratios) — row-local sorted-array folds; the
@@ -306,6 +317,11 @@ _DOT = (
 _SHINGLES3 = (
     "list_transform(generate_series(1, len(t) - 2),"
     " i -> array_to_string(t[i:i+2], ' '))"
+)
+
+_SHINGLES4 = (
+    "list_transform(generate_series(1, len(t) - 3),"
+    " i -> array_to_string(t[i:i+3], ' '))"
 )
 
 
@@ -935,6 +951,30 @@ ORACLES["ann_pq"] = f"""
     QUALIFY rank <= {pq.DEFAULT_K}
 """
 
+# Decontamination: both sides reduce to distinct 60-bit md5 shingle
+# hashes (mirroring functions/hashing.hash64 with the 'decontam' seed) so
+# the comparison is hash-join == hash-join; a raw-string oracle join
+# would diverge from the engine exactly on hash collisions.
+ORACLES["decontaminate"] = f"""
+    WITH ch AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g || '#decontam'), 1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES4})) AS g
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 97 != 0))
+    ),
+    bh AS (
+      SELECT DISTINCT ('0x' || substr(md5(g || '#decontam'), 1, 15))::BIGINT AS gh
+      FROM (
+        SELECT unnest(list_distinct({_SHINGLES4})) AS g
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 97 = 0))
+    )
+    SELECT doc_id, count(*) AS n_hits
+    FROM ch
+    WHERE gh IN (SELECT gh FROM bh)
+    GROUP BY doc_id
+"""
+
 ORACLES["downsample_lang"] = f"""
     SELECT doc_id, lang
     FROM (
@@ -1189,6 +1229,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "seq_packing": q_seq_packing,
     "downsample_lang": q_downsample_lang,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

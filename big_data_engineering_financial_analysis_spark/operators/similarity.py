@@ -52,6 +52,36 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.withColumn(out, F.sqrt(_dot(v, v)))
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    dim: int = 64,
+    scale: float | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map each vector onto
+    ``out_dim`` deterministic md5-derived directions — the standard
+    dimensionality-reduction step before ANN/clustering when the source
+    embeddings are wider than the search needs (pairwise distances are
+    preserved within ~sqrt(log n / out_dim) distortion).
+
+    ONE ``transform`` lambda over an array-of-arrays direction literal
+    (the one-lambda codegen rule); projections are scaled by
+    ``1/sqrt(out_dim)`` by default so squared norms are comparable across
+    output widths.  Row-local, no shuffle; the directions regenerate
+    identically anywhere, so projected tables built on different clusters
+    (or in the DuckDB oracle) agree bit-for-bit.
+    """
+    s = scale if scale is not None else 1.0 / (out_dim ** 0.5)
+    dirs = hyperplanes(out_dim, dim)
+    darr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in dirs])
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(
+        out_col, F.transform(darr, lambda p: _dot(v, p) * F.lit(s))
+    )
+
+
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return _dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
 

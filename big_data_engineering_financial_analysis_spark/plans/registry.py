@@ -628,7 +628,7 @@ _DRIVER_PRIORITY = [
     # (a) registered after the last driver window — no driver row yet
     "ann_pq", "ann_pq_rerank", "ann_ivf_pq",
     "text_repetition", "seq_packing", "downsample_lang", "decontaminate",
-    "exact_distinct",
+    "emb_project", "exact_distinct",
     # (b) round-1-only rows, stale since round-2 commits
     "sma_5", "ema_10", "signal_rule", "latest_per_key", "minmax_scale",
     "api_avg", "api_highest", "api_lowest", "summarize", "global_stats",
@@ -643,8 +643,7 @@ _DRIVER_PRIORITY = [
     "enrich_indicators", "enrich_incremental", "enrich_pandas", "rsi_10",
     "sessionize", "trailing_time_avg", "tumbling_window_stats",
     "time_functions", "ilp_lines", "asof_join", "range_join_pairs",
-    "last_per_minute", "feature_windows",
-    "text_quality", "corpus_prep",
+    "last_per_minute", "feature_windows", "corpus_prep",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

@@ -146,6 +146,19 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivf_pq_topk(emb, QUERY_VEC_IDS, dim=EMB_DIM)
 
 
+PROJ_DIM = 16
+
+
+def q_emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to 16 dims, exploded to
+    (vec_id, component j, value) scalars for hash-stable comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.random_projection(emb, out_dim=PROJ_DIM, dim=EMB_DIM)
+    return out.select("vec_id", F.posexplode("proj").alias("j", "v")).select(
+        "vec_id", F.col("j").cast("long").alias("j"), F.round("v", 6).alias("v")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage flagging: corpus docs sharing a 4-gram with the
     pseudo-benchmark set (doc_id % 97 == 0), with distinct-hit counts
@@ -951,6 +964,32 @@ ORACLES["ann_pq"] = f"""
     QUALIFY rank <= {pq.DEFAULT_K}
 """
 
+# JL projection: one transform over the direction literal, same fold +
+# post-scale order as similarity.random_projection.
+_PROJ_DIRS = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]"
+        for p in hyperplanes(PROJ_DIM, EMB_DIM)
+    )
+    + "]::DOUBLE[][]"
+)
+
+ORACLES["emb_project"] = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id,
+             list_transform({_PROJ_DIRS}, p ->
+               list_reduce(list_transform(list_zip(vec, p), x -> x[1] * x[2]),
+                 (acc, v) -> acc + v) * {1.0 / PROJ_DIM ** 0.5!r}) AS pr
+      FROM base
+    )
+    SELECT vec_id, j, round(pr[j + 1], 6) AS v
+    FROM proj CROSS JOIN (SELECT unnest(range(0, {PROJ_DIM})) AS j) u
+"""
+
 # Decontamination: both sides reduce to distinct 60-bit md5 shingle
 # hashes (mirroring functions/hashing.hash64 with the 'decontam' seed) so
 # the comparison is hash-join == hash-join; a raw-string oracle join
@@ -1230,6 +1269,7 @@ QUERIES = {
     "seq_packing": q_seq_packing,
     "downsample_lang": q_downsample_lang,
     "decontaminate": q_decontaminate,
+    "emb_project": q_emb_project,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -131,3 +131,23 @@ def test_pq_trained_codebooks_do_not_lose_recall(spark, sf_medium_embeddings, ex
     )
     spark.catalog.clearCache()
     assert trained >= fixed - 0.02
+
+
+def test_random_projection_preserves_norms_on_average(spark, sf_medium_embeddings):
+    """JL sanity: with the 1/sqrt(out_dim) scaling, projected squared
+    norms are an unbiased-ish estimate of the original — the per-vector
+    ratio concentrates near 1 (loose bounds: 16 dims is a coarse sketch;
+    direction components are uniform, not gaussian, so only approximate
+    isometry is expected)."""
+    from pyspark.sql import functions as F
+
+    out = similarity.random_projection(sf_medium_embeddings, out_dim=16)
+    ratios = (
+        similarity.with_norm(out, "proj", "pnorm")
+        .select((F.col("pnorm") ** 2).alias("p2"))
+        .agg(F.avg("p2").alias("m"))
+        .collect()[0]["m"]
+    )
+    # original embeddings are ~unit-norm, direction var = 1/3 -> E[p2] ~ 1/3
+    assert 0.15 < ratios < 0.7
+    spark.catalog.clearCache()

@@ -26,6 +26,11 @@ def spread(df: DataFrame) -> DataFrame:
     report zero files and take the repartition, which is the safe default
     for exactly those tiny frames.
     """
+    # Streaming frames: inputFiles() is undefined and parallelism comes
+    # from the source (maxFilesPerTrigger / kafka partitions) — pass
+    # through so row-local operators compose onto streams unchanged.
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) < target:
         return df.repartition(target)

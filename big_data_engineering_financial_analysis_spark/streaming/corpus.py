@@ -28,16 +28,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.operators.dedup import canonical_text
-from big_data_engineering_financial_analysis_spark.operators.text import with_lang_guess, with_quality
+from big_data_engineering_financial_analysis_spark.operators.text import (
+    with_lang_guess,
+    with_quality,
+    with_repetition,
+)
 
 
-def corpus_gate_stream(docs: DataFrame, lang: str = "en", quality_floor: float = 0.5) -> DataFrame:
-    """Stateless lang/quality gates on a document stream (same expressions
-    as the batch corpus_prep stages)."""
+def corpus_gate_stream(
+    docs: DataFrame,
+    lang: str = "en",
+    quality_floor: float = 0.5,
+    rep_cap: float | None = None,
+) -> DataFrame:
+    """Stateless lang/quality(/repetition) gates on a document stream —
+    the same expressions as the batch corpus_prep stages, so streamed and
+    batch-gated corpora are row-identical.  ``rep_cap`` engages the
+    Gopher max-token-ratio filter (row-local, so it streams unchanged;
+    ``spread()`` passes streaming frames through)."""
     scored = with_quality(with_lang_guess(docs))
-    return scored.filter(
+    kept = scored.filter(
         (F.col("lang_guess") == lang) & (F.col("quality_score") >= quality_floor)
     )
+    if rep_cap is not None:
+        kept = with_repetition(kept).filter(F.col("max_token_ratio") <= rep_cap)
+    return kept
 
 
 def corpus_dedup_stream(
@@ -62,6 +77,7 @@ def corpus_ingest_stream(
     docs: DataFrame,
     lang: str = "en",
     quality_floor: float = 0.5,
+    rep_cap: float | None = None,
     watermark_ts: str | None = None,
 ) -> DataFrame:
     """Gate then dedup — the streaming front half of ``corpus_prep``.
@@ -70,6 +86,6 @@ def corpus_ingest_stream(
     entirely (state size tracks accepted distinct docs only).
     """
     return corpus_dedup_stream(
-        corpus_gate_stream(docs, lang, quality_floor),
+        corpus_gate_stream(docs, lang, quality_floor, rep_cap),
         watermark_ts=watermark_ts,
     )

@@ -133,3 +133,41 @@ def test_corpus_dedup_state_survives_restart(spark, tmp_path):
         ],
     )
     assert run_once() == [1, 3]
+
+
+def test_repetition_gate_streams_identically_to_batch(spark, tmp_path):
+    """rep_cap engages the Gopher max-token filter on a stream and keeps
+    exactly the rows the batch expression keeps (row-local => stream ==
+    batch; spread() passes streaming frames through)."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.operators.text import with_repetition
+
+    rows = [
+        {"doc_id": 1, "text": EN_A, "lang": "en"},                    # repetitive
+        {"doc_id": 2, "text": "the and of a is to in on for it", "lang": "en"},
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src / "b0.json", rows)
+
+    batch_df = spark.read.schema(SCHEMA).json(str(src))
+    batch_kept = sorted(
+        r.doc_id
+        for r in with_repetition(batch_df).filter(F.col("max_token_ratio") <= 0.25).collect()
+    )
+    assert batch_kept == [2]  # EN_A is 40% 'the'
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = corpus.corpus_gate_stream(stream, quality_floor=0.0, rep_cap=0.25).select("doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rep_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM rep_gate").collect())
+    assert got == batch_kept

@@ -19,8 +19,17 @@ centroids -> 8 x 4-bit codes, a 64x reduction from a 64-dim float64 /
 
 At cluster scale the encoded table (vec_id, codes) is what you persist —
 3 TB of codes stands in for 100 TB of raw vectors, and the LUT join is a
-broadcast of a handful of 128-double arrays.  Compose with the IVF cells
-(similarity.ivf_ann_topk) for IVF-PQ: probe cells first, ADC-rank inside.
+broadcast of a handful of 128-double arrays.  Three serving shapes build
+on the codes:
+
+* :func:`pq_adc_topk` — flat ADC scan (every code row scored per query);
+* :func:`ivf_pq_topk` — IVF-PQ: probe the n_probe nearest coarse cells,
+  ADC-rank only inside them (partition-pruned compressed scan);
+* :func:`pq_rerank_topk` — ADC shortlist + exact cosine re-rank
+  (IVFADC+R): the codes only need to keep true neighbors inside the
+  top-L; the exact pass fixes their order.  On corpora whose neighbor
+  gaps are below quantization error this is the only shape that reaches
+  high recall (measured here: 0.18 raw ADC vs 0.69@L=100 / 0.99@L=300).
 
 Codebooks are deterministic md5-derived constants
 (functions/hashing.pq_codebooks) so the DuckDB oracle reproduces codes

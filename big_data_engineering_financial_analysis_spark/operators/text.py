@@ -182,6 +182,13 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     task (no-op on well-partitioned input).  Intermediate arrays are bound
     to real columns — HOF arguments are not common-subexpression-
     eliminated, so inlining them would recompute the sort per consumer.
+
+    CAUTION — do not FILTER directly on these columns inside a larger
+    plan: predicate pushdown inlines the aliased intermediates into the
+    filter, and HOF lambdas re-evaluate free-variable subtrees per
+    element (quadratic per row).  Gate on
+    :func:`max_token_ratio_agg`'s aggregate output instead (an Aggregate
+    is a pushdown barrier) — see corpus_prep.
     """
     df = spread(df)
     t = tokens(F.col(text_col))
@@ -253,6 +260,38 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.drop("_rt", "_rn", "_rs", "_bg", "_bn", "_bs", "_brl", "_tg", "_tn", "_ts", "_trl")
 
 
+def max_token_ratio_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, max_token_ratio) via explode + two-level aggregate — the
+    relational twin of :func:`with_repetition`'s RLE column, for use
+    UNDER filters.
+
+    Why it exists: a predicate on the RLE column gets pushed through the
+    projection, which inlines the aliased intermediate arrays into the
+    filter — and HOF lambda bodies re-evaluate free-variable subtrees per
+    element, so the inlined predicate re-sorts the token array once per
+    array element (quadratic per row; measured 52 s vs 3 s at sf0.1).
+    An Aggregate is a pushdown barrier Catalyst respects, so filtering
+    this output stays O(n).  Cost: one shuffle of distinct (id, token)
+    partial counts — the standard relational price, acceptable inside
+    composed pipelines; for pure feature EXTRACTION (no filter on the
+    result) prefer the shuffle-free :func:`with_repetition`.
+    """
+    t = tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(t).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+            ).alias("max_token_ratio")
+        )
+    )
+
+
 DECONTAM_SHINGLE = 5
 
 
@@ -276,7 +315,7 @@ def contamination_hits(
     broadcast-semi-join -> per-doc count.  Output: (id, n_hits) for
     contaminated documents only.
     """
-    c_sh = corpus.select(
+    c_sh = spread(corpus).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))

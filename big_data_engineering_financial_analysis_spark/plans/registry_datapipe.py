@@ -287,16 +287,28 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (much smaller) surviving corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.with_repetition(text.with_quality(text.with_lang_guess(docs)))
-    kept = scored.filter(
-        (F.col("lang_guess") == "en")
-        & (F.col("quality_score") >= QUALITY_FLOOR)
-        & (F.col("max_token_ratio") <= REP_CAP)
+    scored = text.with_quality(text.with_lang_guess(docs))
+    # repetition gate via the AGGREGATE twin, not the row-local RLE
+    # column: a filter on the RLE column would be pushed into the
+    # projection and re-evaluate the sort per array element (quadratic
+    # per row — see text.max_token_ratio_agg).  The aggregate is a
+    # pushdown barrier; the gate becomes a semi-join on doc_id.
+    rep_ok = (
+        text.max_token_ratio_agg(docs)
+        .filter(F.col("max_token_ratio") <= REP_CAP)
+        .select("doc_id")
     )
+    kept = scored.filter(
+        (F.col("lang_guess") == "en") & (F.col("quality_score") >= QUALITY_FLOOR)
+    ).join(rep_ok, "doc_id", "left_semi")
     keepers = dedup.exact_dedup_groups(kept).select(
         F.col("keeper_id").alias("doc_id")
     )
-    surv = kept.join(keepers, "doc_id")
+    # the survivor set feeds the LSH stage AND the final anti-join; it is
+    # a small fraction of the corpus (post-gate, post-exact-dedup), so
+    # persisting it pays the gate chain once instead of per consumer (at
+    # ingest scale you would write this intermediate to a table instead)
+    surv = kept.join(keepers, "doc_id").persist()
     pairs = dedup.minhash_lsh_dedup(surv, threshold=JACCARD_THRESHOLD)
     near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return surv.join(near_dups, "doc_id", "left_anti").select(

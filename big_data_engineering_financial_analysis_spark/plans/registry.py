@@ -642,8 +642,8 @@ _DRIVER_PRIORITY = [
     # enrich family, text rewrite
     "enrich_indicators", "enrich_incremental", "enrich_pandas", "rsi_10",
     "sessionize", "trailing_time_avg", "tumbling_window_stats",
-    "time_functions", "ilp_lines", "asof_join", "range_join_pairs",
-    "last_per_minute", "feature_windows", "corpus_prep",
+    "time_functions", "ilp_lines", "asof_join",
+    "last_per_minute", "feature_windows", "corpus_prep", "corpus_funnel",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

@@ -180,6 +180,46 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the corpus_prep gate chain — the
+    funnel report a corpus build publishes with every run (how many docs
+    each gate kept).  One unioned tree of single-row aggregates."""
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.with_quality(text.with_lang_guess(docs))
+    lang_ok = scored.filter(F.col("lang_guess") == "en")
+    qual_ok = lang_ok.filter(F.col("quality_score") >= QUALITY_FLOOR)
+    rep_ok = (
+        text.max_token_ratio_agg(docs)
+        .filter(F.col("max_token_ratio") <= REP_CAP)
+        .select("doc_id")
+    )
+    kept = qual_ok.join(rep_ok, "doc_id", "left_semi")
+    keepers = dedup.exact_dedup_groups(kept).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    surv = kept.join(keepers, "doc_id").persist()
+    pairs = dedup.minhash_lsh_dedup(surv, threshold=JACCARD_THRESHOLD)
+    near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = surv.join(near_dups, "doc_id", "left_anti")
+
+    def n(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "stage", F.lit(stage)
+        )
+
+    stages = [
+        n(docs, "total"),
+        n(lang_ok, "lang"),
+        n(qual_ok, "quality"),
+        n(kept, "repetition"),
+        n(surv, "exact_dedup"),
+        n(final, "near_dedup"),
+    ]
+    return reduce(DataFrame.unionByName, stages).select("stage", "n")
+
+
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing: per-source token
     stream cut into 256-token windows; one row per (doc x chunk) slice."""
@@ -1269,6 +1309,27 @@ ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
     JT=JACCARD_THRESHOLD,
 )
 
+# The funnel oracle reuses corpus_prep's (already-formatted) CTE chain
+# verbatim and swaps only the final SELECT for per-stage counts, so the
+# two oracles can never drift apart stage-wise.
+_CP_FINAL_SELECT = (
+    "SELECT doc_id, lang_guess, quality_score\n"
+    "        FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)"
+)
+assert _CP_FINAL_SELECT in ORACLES["corpus_prep"], "corpus_prep tail changed"
+ORACLES["corpus_funnel"] = ORACLES["corpus_prep"].replace(
+    _CP_FINAL_SELECT,
+    f"""SELECT 'total' AS stage, count(*) AS n FROM documents
+        UNION ALL SELECT 'lang', count(*) FROM g WHERE lang_guess = 'en'
+        UNION ALL SELECT 'quality', count(*)
+          FROM g JOIN q ON g.doc_id = q.doc_id
+          WHERE g.lang_guess = 'en' AND q.quality_score >= {QUALITY_FLOOR}
+        UNION ALL SELECT 'repetition', count(*) FROM kept
+        UNION ALL SELECT 'exact_dedup', count(*) FROM surv
+        UNION ALL SELECT 'near_dedup', count(*)
+          FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
+)
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "corpus_prep": q_corpus_prep,
@@ -1282,6 +1343,7 @@ QUERIES = {
     "downsample_lang": q_downsample_lang,
     "decontaminate": q_decontaminate,
     "emb_project": q_emb_project,
+    "corpus_funnel": q_corpus_funnel,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,

@@ -14,13 +14,35 @@ def _write_batch(path, rows):
     path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
 
 
-def test_stream_packing_matches_batch_across_microbatches(spark, tmp_path):
-    """Two micro-batches, two shards; chunk ids continue across batches
-    (shard A's batch-0 partial chunk is finished by batch 1) and the
-    result equals batch pack_chunks over the concatenated input."""
+def _run_available(spark, src, ckpt, out):
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        pack_stream(stream, chunk_tokens=4)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.shard, r.chunk_id, r.doc_id): (r.seg_start, r.seg_len)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+
+def test_stream_packing_matches_batch_across_restarts(spark, tmp_path):
+    """Second run resumes from checkpointed per-shard positions (shard
+    A's partial chunk 2 is continued, not restarted), and the combined
+    output equals batch pack_chunks over the concatenated input.  Two
+    sequential availableNow runs make the batch order deterministic
+    (a single run with maxFilesPerTrigger can list files in any order).
+    """
     src = tmp_path / "in"
     src.mkdir()
-    # shard A: 3 + 6 tokens in batch 0, 5 more in batch 1 (chunk 4 spans)
+    ckpt = tmp_path / "ckpt"
+    # run 1 — shard A: 3 + 6 tokens (ends mid-chunk 2), shard B: 2 tokens
     _write_batch(
         src / "b0.json",
         [
@@ -29,6 +51,9 @@ def test_stream_packing_matches_batch_across_microbatches(spark, tmp_path):
             {"doc_id": 3, "text": "w w", "source": "B"},
         ],
     )
+    out = tmp_path / "out"
+    got = dict(_run_available(spark, src, ckpt, out))
+    # run 2 — new files only (checkpoint remembers b0): A +5, B +3 tokens
     _write_batch(
         src / "b1.json",
         [
@@ -36,25 +61,7 @@ def test_stream_packing_matches_batch_across_microbatches(spark, tmp_path):
             {"doc_id": 5, "text": "x x x", "source": "B"},
         ],
     )
-    stream = (
-        spark.readStream.schema(SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src))
-    )
-    q = (
-        pack_stream(stream, chunk_tokens=4)
-        .writeStream.format("memory")
-        .queryName("packed_stream")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {
-        (r.shard, r.chunk_id, r.doc_id): (r.seg_start, r.seg_len)
-        for r in spark.sql("SELECT * FROM packed_stream").collect()
-    }
+    got = _run_available(spark, src, ckpt, out)  # parquet dir accumulates both runs
 
     batch_df = spark.read.schema(SCHEMA).json(str(src))
     want = {
@@ -62,8 +69,8 @@ def test_stream_packing_matches_batch_across_microbatches(spark, tmp_path):
         for r in pack_chunks(batch_df, chunk_tokens=4).collect()
     }
     assert got == want
-    # continuation specifically: doc 4 starts mid-chunk-2 of shard A
-    # (stream position 9 of chunks [8,12) ...), i.e. its first slice is
-    # NOT seg_start 0 in a fresh chunk
+    # continuation specifically: doc 4 starts at stream position 9, so
+    # the first chunk it touches is chunk 2 (shard A's partial), not a
+    # fresh chunk 0
     a4 = [(c, s) for (sh, c, d), (s, _) in got.items() if sh == "A" and d == 4]
-    assert min(a4)[0] == 2  # first chunk doc 4 touches is chunk 2
+    assert min(a4)[0] == 2

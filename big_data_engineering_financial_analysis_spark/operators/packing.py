@@ -63,11 +63,28 @@ def pack_chunks(
         else F.size(tokens(F.col(text_col))).cast("long")
     )
     w = Window.partitionBy("shard").orderBy(id_col)
+    # ROWS (not the default RANGE) frame: RANGE gives duplicate (shard, id)
+    # rows the SAME cumulative endpos, so both would derive overlapping
+    # startpos and token conservation breaks.  ROWS packs ties sequentially
+    # (matching the streaming twin) — but tie ORDER is nondeterministic, so
+    # the determinism contract requires unique ids per shard; enforce it
+    # in-plan with a lag() over the same window spec (no extra shuffle or
+    # sort) folded into assert_true, which fails the job loudly instead of
+    # silently mis-packing.
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_dup = F.col(id_col) == F.lag(F.col(id_col)).over(w)
+    dup_guard = F.coalesce(
+        F.assert_true(
+            ~F.coalesce(is_dup, F.lit(False)),
+            F.lit(f"pack_chunks: duplicate (shard, {id_col}) — ids must be unique per shard"),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     d = (
         df.select(
             F.col(shard_col).alias("shard"), F.col(id_col), nt.alias("n_tokens")
         )
-        .withColumn("endpos", F.sum("n_tokens").over(w))
+        .withColumn("endpos", F.sum("n_tokens").over(wrows) + dup_guard)
         .withColumn("startpos", F.col("endpos") - F.col("n_tokens"))
         .filter(F.col("n_tokens") > 0)
     )

@@ -1,8 +1,32 @@
-"""Partitioning helpers shared by the sketch/similarity operators."""
+"""Partitioning / plan-shaping helpers shared by the sketch operators."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pushdown_barrier(c: Column) -> Column:
+    """No-op wrapper that blocks predicate pushdown through the projection
+    defining ``c``.
+
+    ``element_at(shuffle(array(c)), 1)`` always evaluates to ``c`` (a
+    1-element array has one permutation), but ``shuffle`` is
+    non-deterministic, which makes the enclosing Project non-pushable:
+    Catalyst's PushDownPredicates only pushes filters through fully
+    deterministic projections, so a later ``filter`` on this column
+    evaluates the MATERIALIZED per-row value instead of inlining the
+    defining expression into the predicate.  (A ``when(rand() >= -1, c)``
+    guard does NOT work: Spark 4.x folds comparisons against rand's
+    known [0, 1) bounds and the barrier vanishes — verified in
+    tests/test_streaming_corpus.py.)  Use when the defining expression
+    is an expensive HOF pipeline (inlining re-evaluates free-variable
+    subtrees per array element — see text.with_repetition's CAUTION)
+    and an Aggregate barrier is not available, e.g. stateless streaming
+    gates where a groupBy would force watermarks and an output-mode
+    change.
+    """
+    return F.element_at(F.shuffle(F.array(c)), 1)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -56,8 +56,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # wall-clock values are unchanged and still match DuckDB's naive read,
     # while time functions that require TIMESTAMP (unix_micros, window)
     # keep resolving.
-    for col_name, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
+    ntz_cols = [c for c, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    if ntz_cols:
+        # The NTZ -> TIMESTAMP cast reinterprets wall-clock values in the
+        # session timezone; it is value-preserving ONLY under UTC.  A
+        # misconfigured session must fail loudly here, not silently shift
+        # every event timestamp relative to DuckDB's naive read.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"load_table({name!r}): session timeZone is {tz!r} but NTZ "
+                f"columns {ntz_cols} require UTC for a value-preserving cast"
+            )
+        for col_name in ntz_cols:
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 

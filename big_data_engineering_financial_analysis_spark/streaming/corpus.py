@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.operators.dedup import canonical_text
+from big_data_engineering_financial_analysis_spark.operators.partitioning import pushdown_barrier
 from big_data_engineering_financial_analysis_spark.operators.text import (
     with_lang_guess,
     with_quality,
@@ -51,7 +52,15 @@ def corpus_gate_stream(
         (F.col("lang_guess") == lang) & (F.col("quality_score") >= quality_floor)
     )
     if rep_cap is not None:
-        kept = with_repetition(kept).filter(F.col("max_token_ratio") <= rep_cap)
+        # Filtering directly on with_repetition's RLE column would let
+        # predicate pushdown inline the aliased sort/HOF intermediates into
+        # the filter (quadratic per row — text.py CAUTION).  The batch
+        # corpus_prep gates behind an Aggregate; a streaming gate must stay
+        # stateless, so block the pushdown with a non-deterministic no-op
+        # instead (plan shape asserted in tests/test_streaming_corpus.py).
+        kept = with_repetition(kept).withColumn(
+            "max_token_ratio", pushdown_barrier(F.col("max_token_ratio"))
+        ).filter(F.col("max_token_ratio") <= rep_cap)
     return kept
 
 

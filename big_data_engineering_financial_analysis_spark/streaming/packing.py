@@ -63,8 +63,15 @@ def pack_stream(
 
         pos = state.get[0] if state.exists else 0
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # A shard whose micro-batch exceeds the Arrow batch size
+        # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k rows)
+        # arrives as MULTIPLE pandas chunks; sorting each chunk alone would
+        # only be sorted within chunks and silently break the "packed in id
+        # order, same as batch" contract.  The frame is tiny (2 columns of
+        # longs), so concatenate everything first and sort once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
             for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
                 n = int(n)
                 if n <= 0:

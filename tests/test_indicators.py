@@ -48,7 +48,10 @@ def reference_recipe(pdf: pd.DataFrame) -> pd.DataFrame:
             return "HOLD"
 
         g["signal"] = g.apply(sig, axis=1)
-        out.append(g)
+        # pin numeric dtypes per group: a short group leaves whole columns
+        # all-NA (object after replace), and concat of mixed all-NA entries
+        # is a pandas FutureWarning (dtype inference change)
+        out.append(g.astype({c: "float64" for c in NUM_COLS}))
     return pd.concat(out).reset_index(drop=True)
 
 

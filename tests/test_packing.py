@@ -60,3 +60,15 @@ def test_chunks_tile_exactly(packed):
         assert total <= 4
         if chunk != last[shard]:
             assert total == 4
+
+
+def test_duplicate_ids_fail_loudly(spark):
+    """Duplicate (shard, id) rows violate the determinism contract (the
+    cumsum tie order would be nondeterministic); the in-plan lag() guard
+    fails the job instead of silently mis-packing."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [("A", 1, "t t t"), ("A", 1, "u u"), ("A", 2, "v")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="duplicate"):
+        pack_chunks(df, chunk_tokens=4).collect()

@@ -171,3 +171,20 @@ def test_repetition_gate_streams_identically_to_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM rep_gate").collect())
     assert got == batch_kept
+
+
+def test_repetition_gate_filter_not_inlined(spark):
+    """The pushdown barrier keeps the RLE/sort intermediates OUT of the
+    Filter condition: without it PushDownPredicates substitutes the
+    aliased HOF pipeline into the predicate and lambdas re-evaluate the
+    sort per array element (quadratic per row — text.py CAUTION).  The
+    same Catalyst rules optimize each streaming micro-batch, so the batch
+    plan shape is the micro-batch plan shape."""
+    batch_df = spark.createDataFrame(
+        [(1, EN_A, "en")], "doc_id long, text string, lang string"
+    )
+    gated = corpus.corpus_gate_stream(batch_df, quality_floor=0.0, rep_cap=0.25)
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert filter_lines, plan
+    assert not any("array_sort" in ln for ln in filter_lines), filter_lines

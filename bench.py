@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1, "canary": {...}}
 
 Each query is forced end-to-end with the ``noop`` datasource writer (full
 materialization of every row, no driver collect).  Every query runs twice
@@ -10,6 +10,23 @@ and the faster run is reported: the first execution pays one-off plan
 compilation + JVM JIT (~2-3s regardless of data size), the second is the
 steady-state latency a resident engine delivers.  Total reported = sum of
 steady-state times.
+
+Throttle defense (round-4 hardening): this container CPU-throttles under
+sustained load — recorded runs have shown individual queries 5-30x their
+clean latency with zero code change, depending only on WHERE in the run
+they landed (BENCH_r03 post-mortem in VERDICT round 3).  The harness now
+self-defends with a fixed canary query re-timed before and after every
+family:
+
+* the canary baseline is the min of two runs taken right after warm-up;
+* a family only STARTS once the canary is within ``CANARY_TOL`` of the
+  baseline (cooling down in bounded sleeps otherwise);
+* a family's timings are only ACCEPTED if the canary is still clean right
+  after it; a contaminated family cools down and re-runs, keeping the
+  per-query min across attempts (throttle only ever inflates);
+* every canary observation is recorded in the output JSON, so a
+  contaminated-but-unrecoverable run is visible post hoc instead of
+  masquerading as a regression.
 """
 
 from __future__ import annotations
@@ -43,6 +60,15 @@ HEADLINE_FAMILIES = [
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]
 
+#: The canary: a cheap pushed-filter scan + TakeOrdered whose plan has been
+#: stable since round 1 (~0.15-0.25 s at sf0.1).  Slowdowns on it measure
+#: the MACHINE, not the code.
+CANARY = "top_orders"
+CANARY_TOL = 1.5          # accept canary up to this x baseline
+COOLDOWN_SEC = 15         # sleep unit while waiting for the machine to cool
+MAX_COOLDOWNS = 4         # per gate: bounded wait (<= 60 s)
+MAX_FAMILY_ATTEMPTS = 2   # re-run a contaminated family at most once
+
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -56,18 +82,47 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    # warm-up: JVM JIT + parquet footer caches on a cheap query
-    _force(QUERIES["top_orders"](spark, SF_DIR))
+    def timed(name: str) -> float:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, SF_DIR))
+        return time.perf_counter() - t0
+
+    # warm-up: JVM JIT + parquet footer caches on the canary itself
+    timed(CANARY)
+    canary_base = min(timed(CANARY), timed(CANARY))
+    canary_log: list[dict] = [
+        {"at": "baseline", "sec": round(canary_base, 3)}
+    ]
+
+    def canary_check(at: str) -> bool:
+        """Time the canary; True when the machine looks clean.  The
+        baseline self-tightens to the best observation so far (the canary
+        keeps speeding up as JIT settles; a loose early baseline would
+        mask 2-3x throttle)."""
+        nonlocal canary_base
+        c = timed(CANARY)
+        clean = c <= canary_base * CANARY_TOL
+        canary_base = min(canary_base, c)
+        canary_log.append({"at": at, "sec": round(c, 3), "clean": clean})
+        return clean
 
     timings: dict[str, float] = {}
-    for _family, names in HEADLINE_FAMILIES:
-        for name in names:
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                _force(QUERIES[name](spark, SF_DIR))
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(min(runs), 3)
+    for family, names in HEADLINE_FAMILIES:
+        for attempt in range(1, MAX_FAMILY_ATTEMPTS + 1):
+            # gate: only start the family on a cool machine (bounded wait)
+            waited = 0
+            while not canary_check(f"pre:{family}#{attempt}") and waited < MAX_COOLDOWNS:
+                waited += 1
+                time.sleep(COOLDOWN_SEC * waited)
+            for name in names:
+                t = min(timed(name) for _ in range(2))
+                # throttle only inflates: keep the best across attempts
+                timings[name] = round(min(t, timings.get(name, t)), 3)
+            # accept only if the canary is STILL clean right after
+            if canary_check(f"post:{family}#{attempt}"):
+                break
+            spark.catalog.clearCache()
+            time.sleep(COOLDOWN_SEC)
         # family ended: drop its persisted subtrees so they can't degrade
         # later, unrelated families (round-2 lesson — see HEADLINE_FAMILIES).
         spark.catalog.clearCache()
@@ -80,6 +135,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary": {
+                    "query": CANARY,
+                    "baseline_sec": round(canary_base, 3),
+                    "tolerance": CANARY_TOL,
+                    "observations": canary_log,
+                },
             }
         )
     )

@@ -292,6 +292,82 @@ def max_token_ratio_agg(
     )
 
 
+# --- C4-style heuristic scrub (Raffel et al. 2020, appendix) -------------
+#
+# Patterns are deliberately brace-free (no {m,n} quantifiers): the corpus
+# oracle composes SQL via str.format, and keeping the patterns brace-clean
+# lets them substitute into templates verbatim.
+
+#: terminal-punctuation rule: a "sentence-like" line ends with . ! or ?
+#: (optionally followed by a closing double quote) — C4's line keeper.
+TERMINAL_PUNCT_RE = '[.!?]"?$'
+
+#: email-ish PII flag (simplified; brace-free by design).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+MIN_LINE_WORDS = 5   # C4: keep lines with at least 5 words
+MIN_KEPT_LINES = 3   # C4: keep pages with at least 3 retained sentences
+MIN_PAGE_WORDS = 20  # Gopher-style page-level word floor
+
+
+def with_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line + page scrub flags and the scrubbed text.
+
+    Line rules (applied per ``\\n`` line): keep lines that end in terminal
+    punctuation AND have >= MIN_LINE_WORDS words.  Page rules: flag curly
+    braces (code/boilerplate), "lorem ipsum" (placeholder), and email-ish
+    strings (PII); ``scrub_ok`` requires >= MIN_KEPT_LINES surviving lines
+    and no page flag.  ``scrubbed_text`` is the surviving lines rejoined —
+    the text a C4-style build would actually train on.
+
+    Everything is row-local native expressions (split / HOF filter /
+    rlike / array_join): no shuffle, no Python, embarrassingly parallel
+    at 100 TB, and each rule reproduces exactly in the DuckDB oracle.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def _line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        return t.rlike(TERMINAL_PUNCT_RE) & (
+            F.size(F.split(t, "\\s+")) >= MIN_LINE_WORDS
+        )
+
+    kept = F.filter(lines, _line_ok)
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn("scrubbed_text", F.array_join(kept, "\n"))
+        .withColumn("has_brace", c.contains("{").cast("int"))
+        .withColumn("has_lorem", F.lower(c).contains("lorem ipsum").cast("int"))
+        .withColumn("has_email", c.rlike(EMAIL_RE).cast("int"))
+        .withColumn(
+            "scrub_ok",
+            (
+                (F.size(kept) >= MIN_KEPT_LINES)
+                & ~c.contains("{")
+                & ~F.lower(c).contains("lorem ipsum")
+                & ~c.rlike(EMAIL_RE)
+            ).cast("int"),
+        )
+    )
+
+
+def page_scrub_ok(text_col: str = "text") -> Column:
+    """Page-level scrub predicate for corpora WITHOUT line structure (the
+    line rules of :func:`with_scrub` assume sentence-per-line text):
+    blocklist flags plus a minimum word count.  Row-local and native, so
+    Catalyst pushes it into the scan — use as the first corpus_prep gate.
+    """
+    c = F.col(text_col)
+    return (
+        ~c.contains("{")
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.rlike(EMAIL_RE)
+        & (F.size(tokens(c)) >= MIN_PAGE_WORDS)
+    )
+
+
 DECONTAM_SHINGLE = 5
 
 

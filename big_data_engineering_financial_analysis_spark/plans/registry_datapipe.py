@@ -187,7 +187,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.with_quality(text.with_lang_guess(docs))
+    scrubbed = docs.filter(text.page_scrub_ok("text"))
+    scored = text.with_quality(text.with_lang_guess(scrubbed))
     lang_ok = scored.filter(F.col("lang_guess") == "en")
     qual_ok = lang_ok.filter(F.col("quality_score") >= QUALITY_FLOOR)
     rep_ok = (
@@ -211,6 +212,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stages = [
         n(docs, "total"),
+        n(scrubbed, "scrub"),
         n(lang_ok, "lang"),
         n(qual_ok, "quality"),
         n(kept, "repetition"),
@@ -218,6 +220,27 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(final, "near_dedup"),
     ]
     return reduce(DataFrame.unionByName, stages).select("stage", "n")
+
+
+def q_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic scrub (Raffel et al. 2020, appendix): per-line
+    terminal-punctuation + min-words rules, page-level blocklist flags
+    (braces / lorem ipsum / email-ish PII), the scrubbed text, and the
+    page keep decision.
+
+    The synthetic documents are single-line, so sentence structure is
+    synthesized deterministically first (every ' line ' token closes a
+    sentence) — the scrub operator itself is structure-agnostic and the
+    oracle applies the identical construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    structured = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
+    )
+    return text.with_scrub(structured).select(
+        "doc_id", "n_lines", "n_kept_lines", "scrubbed_text",
+        "has_brace", "has_lorem", "has_email", "scrub_ok",
+    )
 
 
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,11 +337,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep — the composed pipeline a 100 TB
     data build runs, as ONE registered query:
 
-    language gate (en) -> quality gate (score >= floor) -> repetition
-    gate (max-token ratio <= cap, the Gopher filter) -> exact dedup
-    (keep the lowest doc_id per canonical-content hash) -> minhash-LSH
-    near-dedup (drop the higher id of each verified pair) -> surviving
-    docs with their language/quality features.
+    page scrub (C4-style blocklist + word floor) -> language gate (en)
+    -> quality gate (score >= floor) -> repetition gate (max-token
+    ratio <= cap, the Gopher filter) -> exact dedup (keep the lowest
+    doc_id per canonical-content hash) -> minhash-LSH near-dedup (drop
+    the higher id of each verified pair) -> surviving docs with their
+    language/quality features.
 
     Every stage is an already-oracle-proven operator; this query proves
     the COMPOSITION end-to-end against one SQL oracle.  Plan shape: the
@@ -327,7 +351,10 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (much smaller) surviving corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.with_quality(text.with_lang_guess(docs))
+    # page-level scrub first: row-local native predicate, pushed into the
+    # scan, so every later stage sees only scrub survivors
+    scrubbed = docs.filter(text.page_scrub_ok("text"))
+    scored = text.with_quality(text.with_lang_guess(scrubbed))
     # repetition gate via the AGGREGATE twin, not the row-local RLE
     # column: a filter on the RLE column would be pushed into the
     # projection and re-evaluate the sort per array element (quadratic
@@ -639,13 +666,50 @@ ORACLES: dict[str, str] = {
         ORDER BY n DESC, token
         LIMIT {VOCAB_K}
     """,
+    # C4 scrub: sentence structure synthesized deterministically (every
+    # ' line ' token closes a sentence) so the line rules vary on the
+    # single-line synthetic corpus; rules mirror text.with_scrub exactly
+    "corpus_scrub": f"""
+        WITH s AS (
+          SELECT doc_id, replace(text, ' line ', ' line.' || chr(10)) AS text
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines,
+                 list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(trim(x), '{text.TERMINAL_PUNCT_RE}')
+                        AND len(string_split_regex(trim(x), '\\s+')) >= {text.MIN_LINE_WORDS}) AS kept
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS scrubbed_text,
+               CAST(CASE WHEN contains(text, chr(123)) THEN 1 ELSE 0 END AS INTEGER) AS has_brace,
+               CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS INTEGER) AS has_lorem,
+               CAST(CASE WHEN regexp_matches(text, '{text.EMAIL_RE}') THEN 1 ELSE 0 END AS INTEGER) AS has_email,
+               CAST(CASE WHEN len(kept) >= {text.MIN_KEPT_LINES}
+                         AND NOT contains(text, chr(123))
+                         AND NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT regexp_matches(text, '{text.EMAIL_RE}')
+                    THEN 1 ELSE 0 END AS INTEGER) AS scrub_ok
+        FROM k
+    """,
     # composed pipeline: every stage reuses the per-operator oracle logic
-    # verbatim (lang CASE, quality arithmetic, canonical-hash dedup,
-    # minhash-LSH verify) over the previous stage's survivors
+    # verbatim (page scrub, lang CASE, quality arithmetic, canonical-hash
+    # dedup, minhash-LSH verify) over the previous stage's survivors
     "corpus_prep": f"""
-        WITH sc AS (
+        WITH sdocs AS (
+          SELECT doc_id, text FROM documents
+          WHERE NOT contains(text, chr(123))
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT regexp_matches(text, '{{EMAIL}}')
+            AND len({{TOKS}}) >= {{MINPW}}
+        ),
+        sc AS (
           SELECT doc_id, text, {{LANG_SCORES}}
-          FROM (SELECT doc_id, text, {{TOKS}} AS t FROM documents)
+          FROM (SELECT doc_id, text, {{TOKS}} AS t FROM sdocs)
         ),
         g AS (SELECT doc_id, text, {{LANG_CASE}} AS lang_guess FROM sc),
         q AS (
@@ -659,7 +723,7 @@ ORACLES: dict[str, str] = {
                    CAST(len(t) AS DOUBLE) AS n_tokens,
                    CAST(length(text) AS DOUBLE) AS n_chars,
                    CAST(length(text) - length(regexp_replace(text, '{{PUNCT}}', '', 'g')) AS DOUBLE) AS punct
-            FROM (SELECT doc_id, text, {{TOKS}} AS t FROM documents))
+            FROM (SELECT doc_id, text, {{TOKS}} AS t FROM sdocs))
         ),
         rep AS (
           SELECT doc_id, round(max(c) / sum(c), 6) AS mtr
@@ -1300,6 +1364,8 @@ ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
     TOKS=_TOKS,
     EN=_EN,
     PUNCT=text.PUNCT_RE,
+    EMAIL=text.EMAIL_RE,
+    MINPW=text.MIN_PAGE_WORDS,
     FLOOR=QUALITY_FLOOR,
     REPCAP=REP_CAP,
     SHINGLES=_SHINGLES3,
@@ -1320,6 +1386,7 @@ assert _CP_FINAL_SELECT in ORACLES["corpus_prep"], "corpus_prep tail changed"
 ORACLES["corpus_funnel"] = ORACLES["corpus_prep"].replace(
     _CP_FINAL_SELECT,
     f"""SELECT 'total' AS stage, count(*) AS n FROM documents
+        UNION ALL SELECT 'scrub', count(*) FROM sdocs
         UNION ALL SELECT 'lang', count(*) FROM g WHERE lang_guess = 'en'
         UNION ALL SELECT 'quality', count(*)
           FROM g JOIN q ON g.doc_id = q.doc_id
@@ -1339,6 +1406,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
+    "corpus_scrub": q_corpus_scrub,
     "seq_packing": q_seq_packing,
     "downsample_lang": q_downsample_lang,
     "decontaminate": q_decontaminate,

@@ -73,6 +73,107 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): the first global occurrence of
+    each distinct canonical paragraph survives; every later occurrence —
+    within the same document or across documents — is removed, and each
+    document is reassembled from its surviving paragraphs in original
+    order.  This catches what document-level dedup structurally cannot:
+    boilerplate paragraphs and mirrored quotes embedded in otherwise
+    distinct documents.
+
+    Output: one row per document with >= 1 non-empty paragraph —
+    (id, n_paras, n_kept_paras, text_dedup).  A fully-duplicated document
+    ends with n_kept_paras = 0 and empty text_dedup.
+
+    Plan shape at 100 TB: posexplode (linear, row-local) -> ONE shuffle
+    on the paragraph hash for the first-occurrence window -> ONE shuffle
+    on the doc id for reassembly.  The winner rule (min (id, pos)) is a
+    pure function of the data, so re-runs and engine ports agree exactly.
+    Whitespace-only paragraphs are dropped up front: they are separator
+    artifacts, and deduping them globally would otherwise delete every
+    blank line after the corpus's first.
+    """
+    paras = spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    keyed = paras.withColumn(
+        "pkey", F.md5(canonical_text(F.col("para")).cast("binary"))
+    )
+    w = Window.partitionBy("pkey").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    flagged = keyed.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("keep").cast("long").alias("n_kept_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep") == 1, F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 10,
+) -> DataFrame:
+    """Repeated-span flagging (the detection half of Lee et al. 2022's
+    ExactSubstr dedup): for every document, how many of its word
+    ``span_n``-gram positions lie inside a span that occurs more than
+    once in the corpus (counting within- and cross-document repeats).
+
+    Output: (id, n_spans, n_dup_spans) for documents with >= 1 span
+    (shorter documents have none).  Consumers gate on
+    ``n_dup_spans / n_spans`` or feed the flagged regions to a surgical
+    span-removal pass.
+
+    Plan shape at 100 TB: explode span hashes (8-byte 60-bit md5 keys,
+    never the span text) -> ONE map-side-combined groupBy counting each
+    hash -> semi-join of span positions against the count>1 hash set
+    (shuffle equi-join; the dup-hash side is usually tiny but never
+    assumed broadcastable) -> ONE per-doc aggregate.  Linear in corpus
+    size, no all-pairs anywhere.
+    """
+    hashed = spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(tokens(F.col(text_col)), span_n)).alias("pos", "g"),
+    ).select(F.col(id_col), F.col("pos"), hash64(F.col("g"), "span").alias("gh"))
+    dup_hashes = (
+        hashed.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("gh")
+    )
+    flagged = hashed.join(dup_hashes, "gh", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans")
+    )
+    totals = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    return totals.join(flagged, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias("n_dup_spans"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

@@ -222,6 +222,31 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, stages).select("stage", "n")
 
 
+#: repeated-span flagging window (Lee et al. use 50 tokens at web scale;
+#: 10 fits the 10-99-token synthetic docs while staying non-degenerate)
+DEDUP_SPAN_N = 10
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (Lee et al. 2022): first global occurrence of
+    each canonical paragraph wins; documents reassembled from survivors.
+    Sentence structure synthesized as in corpus_scrub (the synthetic docs
+    are single-line); the operator itself is structure-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    structured = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
+    )
+    return dedup.paragraph_dedup(structured)
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated word-span flagging (the detection half of ExactSubstr
+    dedup): per-doc count of span positions whose 10-gram occurs more
+    than once corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_span_stats(docs, span_n=DEDUP_SPAN_N)
+
+
 def q_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style heuristic scrub (Raffel et al. 2020, appendix): per-line
     terminal-punctuation + min-words rules, page-level blocklist flags
@@ -665,6 +690,56 @@ ORACLES: dict[str, str] = {
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT {VOCAB_K}
+    """,
+    # paragraph dedup: same sentence-structure construction as
+    # corpus_scrub; winner rule and canonical hash mirror
+    # dedup.paragraph_dedup exactly
+    "dedup_paragraph": f"""
+        WITH s AS (
+          SELECT doc_id, replace(text, ' line ', ' line.' || chr(10)) AS text
+          FROM documents
+        ),
+        d AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM s),
+        px AS (
+          SELECT doc_id, unnest(generate_series(1, len(paras))) AS pos1, paras
+          FROM d
+        ),
+        p AS (
+          SELECT doc_id, pos1 - 1 AS pos, paras[pos1] AS para
+          FROM px WHERE trim(paras[pos1]) != ''
+        ),
+        k AS (
+          SELECT doc_id, pos, para,
+                 md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')) AS pkey
+          FROM p
+        ),
+        w AS (
+          SELECT doc_id, pos, para,
+                 CASE WHEN row_number() OVER (PARTITION BY pkey ORDER BY doc_id, pos) = 1
+                      THEN 1 ELSE 0 END AS keep
+          FROM k
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(keep) AS BIGINT) AS n_kept_paras,
+               coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE keep = 1), chr(10)), '') AS text_dedup
+        FROM w GROUP BY doc_id
+    """,
+    # repeated spans: 60-bit span hashes, global occurrence counts
+    "dedup_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - {DEDUP_SPAN_N - 1}),
+                   i -> array_to_string(t[i:i+{DEDUP_SPAN_N - 1}], ' '))) AS g
+          FROM t WHERE len(t) >= {DEDUP_SPAN_N}
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(g || '#span'), 1, 15))::BIGINT AS gh FROM sh),
+        dup AS (SELECT gh FROM (SELECT gh, count(*) AS n FROM h GROUP BY gh) WHERE n > 1)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN gh IN (SELECT gh FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        FROM h GROUP BY doc_id
     """,
     # C4 scrub: sentence structure synthesized deterministically (every
     # ' line ' token closes a sentence) so the line rules vary on the
@@ -1407,6 +1482,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "corpus_scrub": q_corpus_scrub,
+    "dedup_paragraph": q_dedup_paragraph,
+    "dedup_spans": q_dedup_spans,
     "seq_packing": q_seq_packing,
     "downsample_lang": q_downsample_lang,
     "decontaminate": q_decontaminate,

@@ -152,3 +152,58 @@ def test_lsh_bucket_cap_bounds_hot_bucket(spark):
     }
     assert kept == {0, 1, 2, 3, 4}
     sigs.unpersist()
+
+
+# --- paragraph-level dedup (Lee et al. 2022) -----------------------------
+
+
+def test_paragraph_dedup_catches_what_doc_dedup_cannot(spark):
+    """Two documents distinct at doc level (exact dedup keeps both) share
+    one boilerplate paragraph — the later doc survives doc-level dedup
+    but LOSES the duplicated paragraph."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    rows = [
+        (1, "the shared boilerplate paragraph.\nunique first content."),
+        (2, "totally different body text here.\nThe  Shared boilerplate Paragraph."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc level: two distinct canonical texts -> both keep themselves
+    assert dedup.exact_dedup_groups(df).count() == 2
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept_paras"] == 2
+    # doc 2 survives but its copy of the paragraph (canonically equal
+    # despite casing/spacing) is removed; original order preserved
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept_paras"] == 1
+    assert out[2]["text_dedup"] == "totally different body text here."
+
+
+def test_paragraph_dedup_within_doc_and_full_dup(spark):
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma.\nalpha beta gamma.\nclosing words here."),
+        (2, "alpha beta gamma.\nclosing words here."),  # fully covered by doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    # within-doc repeat: second copy removed
+    assert out[1]["n_kept_paras"] == 2
+    assert out[1]["text_dedup"] == "alpha beta gamma.\nclosing words here."
+    # doc 2 is fully duplicated -> nothing survives, row still reported
+    assert out[2]["n_kept_paras"] == 0 and out[2]["text_dedup"] == ""
+
+
+def test_repeated_span_stats_counts_cross_and_within(spark):
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"),        # spans: "a b c","b c d","c d e"
+        (2, "x a b c y"),        # shares span "a b c"
+        (3, "p q"),              # too short for any span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.repeated_span_stats(df, span_n=3).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no spans
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 3 and out[2]["n_dup_spans"] == 1

@@ -277,6 +277,36 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary APPLY (Sennrich et al. 2016): every document split
+    into learned subword pieces via the broadcast merge table — pure JVM
+    string expressions, zero shuffle."""
+    from big_data_engineering_financial_analysis_spark.operators.bpe import bpe_pieces
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pieces emitted |-joined: the oracle compare canonicalizes scalar
+    # cells, and the join is lossless (pieces never contain '|')
+    return docs.withColumn("pieces", bpe_pieces(F.col("text"))).select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", "|").alias("pieces_str"),
+    )
+
+
+def q_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing end-to-end FROM RAW TEXT: BPE-tokenize (subword
+    counts), then concat-then-chunk — the full raw-corpus -> training-
+    window pipeline in one plan (tokenizer row-local, one packing
+    shuffle on the shard key)."""
+    from big_data_engineering_financial_analysis_spark.operators.bpe import bpe_pieces
+    from big_data_engineering_financial_analysis_spark.operators.packing import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bpe_n", F.size(bpe_pieces(F.col("text"))).cast("long")
+    )
+    return pack_chunks(docs, n_tokens_col="bpe_n")
+
+
 def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec"))
@@ -1395,6 +1425,42 @@ ORACLES["ann_ivf_pq"] = f"""
 # Sequence packing: window cumsum per shard + integer chunk-span explode.
 # Both engines use pure integer division (Spark `div`, DuckDB `//`) so the
 # packing is exact at any stream length.
+from big_data_engineering_financial_analysis_spark.operators.bpe import duck_bpe_pieces as _duck_bpe  # noqa: E402
+
+ORACLES["bpe_tokenize"] = f"""
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           array_to_string(pieces, '|') AS pieces_str
+    FROM (SELECT doc_id, {_duck_bpe('text')} AS pieces FROM documents)
+"""
+
+# packing oracle over BPE piece counts instead of whitespace tokens —
+# otherwise identical to seq_packing's
+ORACLES["bpe_packing"] = f"""
+    WITH base AS (
+      SELECT source AS shard, doc_id,
+             len({_duck_bpe('text')})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)::BIGINT AS endpos,
+             (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)::BIGINT AS startpos
+      FROM base
+      QUALIFY n_tokens > 0
+    ),
+    exploded AS (
+      SELECT shard, doc_id, startpos, endpos,
+             unnest(generate_series(startpos // 256, (endpos - 1) // 256)) AS chunk_id
+      FROM spans
+    )
+    SELECT shard, chunk_id, doc_id,
+           greatest(chunk_id * 256 - startpos, 0) AS seg_start,
+           least((chunk_id + 1) * 256, endpos) - startpos
+             - greatest(chunk_id * 256 - startpos, 0) AS seg_len
+    FROM exploded
+"""
+
 ORACLES["seq_packing"] = """
     WITH base AS (
       SELECT source AS shard, doc_id,
@@ -1485,6 +1551,8 @@ QUERIES = {
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_spans": q_dedup_spans,
     "seq_packing": q_seq_packing,
+    "bpe_tokenize": q_bpe_tokenize,
+    "bpe_packing": q_bpe_packing,
     "downsample_lang": q_downsample_lang,
     "decontaminate": q_decontaminate,
     "emb_project": q_emb_project,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes, pq_codebooks
 from big_data_engineering_financial_analysis_spark.operators import dedup, pq, similarity, text
+from big_data_engineering_financial_analysis_spark.operators.scoring import duck_classifier_score as _duck_clf
 from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
 
 QUERY_VEC_IDS = [0, 1, 2, 3, 4]
@@ -245,6 +246,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     than once corpus-wide."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.repeated_span_stats(docs, span_n=DEDUP_SPAN_N)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference: deterministic linear scorer +
+    rational sigmoid over with_quality features via an Arrow-batched
+    pandas UDF (broadcast weights) — the fasttext-style corpus-filter
+    shape, with a cell-exact SQL oracle."""
+    from big_data_engineering_financial_analysis_spark.functions.hashing import tokens
+    from big_data_engineering_financial_analysis_spark.operators.scoring import with_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.with_quality(docs).withColumn(
+        "length_score",
+        F.least(F.lit(1.0), F.size(tokens(F.col("text"))).cast("double") / F.lit(100.0)),
+    )
+    return with_classifier_score(feats).select("doc_id", "clf_score")
 
 
 def q_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,6 +614,27 @@ ORACLES: dict[str, str] = {
                      + coalesce(stop / nullif(n_tokens, 0.0), 0.0) * 0.3
                      + (1.0 - coalesce(punct / nullif(n_chars, 0.0), 0.0)) * 0.2, 6) AS quality_score
         FROM q
+    """,
+    "quality_score": f"""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS stop,
+                 CAST(len(t) AS DOUBLE) AS n_tokens,
+                 n_chars, punct
+          FROM (
+            SELECT doc_id, {_TOKS} AS t,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '{text.PUNCT_RE}', '', 'g')) AS DOUBLE) AS punct
+            FROM documents)
+        ),
+        f AS (
+          SELECT doc_id,
+                 least(1.0, n_tokens / 100.0) AS length_score,
+                 round(stop / nullif(n_tokens, 0.0), 6) AS stopword_ratio,
+                 round(punct / nullif(n_chars, 0.0), 6) AS punct_ratio
+          FROM q
+        )
+        SELECT doc_id, {_duck_clf()} AS clf_score FROM f
     """,
     "lang_id": f"""
         WITH sc AS (
@@ -1548,6 +1586,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "corpus_scrub": q_corpus_scrub,
+    "quality_score": q_quality_score,
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_spans": q_dedup_spans,
     "seq_packing": q_seq_packing,

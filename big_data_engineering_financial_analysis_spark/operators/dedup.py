@@ -145,32 +145,23 @@ def repeated_span_stats(
     span-removal pass.
 
     Plan shape at 100 TB: explode span hashes (8-byte 60-bit md5 keys,
-    never the span text) -> ONE map-side-combined groupBy counting each
-    hash -> semi-join of span positions against the count>1 hash set
-    (shuffle equi-join; the dup-hash side is usually tiny but never
-    assumed broadcastable) -> ONE per-doc aggregate.  Linear in corpus
-    size, no all-pairs anywhere.
+    never the span text) -> ONE shuffle on the hash for a window count
+    (no join, no second corpus scan — a groupBy-then-join formulation
+    would re-read and re-explode the corpus per branch) -> ONE per-doc
+    aggregate.  Linear in corpus size, no all-pairs anywhere.
     """
     hashed = spread(df).select(
         F.col(id_col),
         F.posexplode(shingles(tokens(F.col(text_col)), span_n)).alias("pos", "g"),
     ).select(F.col(id_col), F.col("pos"), hash64(F.col("g"), "span").alias("gh"))
-    dup_hashes = (
-        hashed.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .select("gh")
-    )
-    flagged = hashed.join(dup_hashes, "gh", "left_semi").groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_spans")
-    )
-    totals = hashed.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans")
-    )
-    return totals.join(flagged, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_spans"),
-        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias("n_dup_spans"),
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    return (
+        hashed.withColumn("dup", (n_occ > 1).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("dup").cast("long").alias("n_dup_spans"),
+        )
     )
 
 

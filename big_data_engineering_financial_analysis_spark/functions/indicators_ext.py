@@ -1,0 +1,222 @@
+"""Extended technical-indicator family beyond the reference's four.
+
+The reference's pipeline computes SMA/EMA/RSI/signal
+(services/stream-processing/app/consumer.py:107-155).  A user of a
+financial-analysis engine expects the rest of the standard toolkit; this
+module adds the canonical ones, expressed with the same design rules as
+``functions/indicators.py``:
+
+* one ``PARTITION BY symbol ORDER BY time, id`` window family — a single
+  Exchange; every frame aggregate rides the same sort, so Catalyst plans
+  one WindowExec pass per frame group and parallelism = #symbols;
+* min_periods gating via ``count(...) OVER (same frame) >= n`` (pandas
+  ``rolling(n)`` semantics — NULL until the window is full);
+* EMA recursions via the same ``aggregate()`` HOF fold as ``ema_10``
+  (identical FP evaluation order to pandas ``ewm(adjust=False)`` and the
+  DuckDB ``list_reduce`` oracle);
+* everything stays JVM-side in whole-stage-codegen-able expressions —
+  no Python in the data path.
+
+Ordering is ``(time, id)`` — strictly deterministic even on candle streams
+with timestamp ties, which ROWS frames otherwise resolve arbitrarily.
+
+Indicators (all standard public formulas):
+
+  MACD         ema_12 - ema_26; signal = EMA_9 of the MACD series
+               (folded over non-null MACD values, gated at 9)
+  Bollinger    mid = SMA_20, band = mid +/- 2 * stddev_samp_20;
+               %B and bandwidth derived
+  Stochastic   %K = 100 * (close - min_14) / (max_14 - min_14); %D = SMA_3(%K)
+  VWAP         running sum(close*volume) / sum(volume) per symbol
+  OBV          running sum of volume signed by the close-to-close delta
+  Volatility   stddev_samp of 20 log returns, annualized by sqrt(252)
+  Drawdown     close / running-max(close) - 1 (per-row curve; min = MDD)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions.indicators import _ema_fold
+
+TRADING_DAYS = 252
+
+
+def _w(symbol_col: str, time_col: str, id_col: str):
+    w = Window.partitionBy(symbol_col).orderBy(time_col, id_col)
+    return w, w.rowsBetween(Window.unboundedPreceding, 0)
+
+
+def _gated_ema(close_col: str, span: int, hist) -> Column:
+    """EMA(span) over the full history prefix, NULL until ``span`` rows."""
+    alpha = 2.0 / (span + 1.0)
+    return F.when(
+        F.count(close_col).over(hist) >= span,
+        _ema_fold(F.collect_list(close_col).over(hist), alpha),
+    )
+
+
+def with_macd(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD(fast, slow) + signal EMA + histogram.
+
+    The signal line folds over ``collect_list(macd)`` — Spark's
+    collect_list skips NULLs, so the fold consumes exactly the non-null
+    MACD prefix (the oracle mirrors with ``list(macd) FILTER (macd IS NOT
+    NULL)``), gated on ``count(macd) >= signal`` non-null observations.
+    """
+    _, hist = _w(symbol_col, time_col, id_col)
+    df = (
+        df.withColumn(f"ema_{fast}", _gated_ema(close_col, fast, hist))
+        .withColumn(f"ema_{slow}", _gated_ema(close_col, slow, hist))
+        .withColumn("macd", F.col(f"ema_{fast}") - F.col(f"ema_{slow}"))
+    )
+    alpha = 2.0 / (signal + 1.0)
+    df = df.withColumn(
+        "macd_signal",
+        F.when(
+            F.count("macd").over(hist) >= signal,
+            _ema_fold(F.collect_list("macd").over(hist), alpha),
+        ),
+    )
+    return df.withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
+
+
+def with_bollinger(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    window: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands: SMA(window) +/- k * sample stddev, plus %B and
+    bandwidth.  Degenerate flat windows (stddev 0) yield NULL %B via the
+    nullif guard rather than a division blow-up."""
+    w, _ = _w(symbol_col, time_col, id_col)
+    frame = w.rowsBetween(-(window - 1), 0)
+    full = F.count(close_col).over(frame) >= window
+    mid = F.when(full, F.avg(close_col).over(frame))
+    sd = F.when(full, F.stddev_samp(close_col).over(frame))
+    df = (
+        df.withColumn("bb_mid", mid)
+        .withColumn("bb_sd", sd)
+        .withColumn("bb_upper", F.col("bb_mid") + F.lit(k) * F.col("bb_sd"))
+        .withColumn("bb_lower", F.col("bb_mid") - F.lit(k) * F.col("bb_sd"))
+    )
+    width = F.col("bb_upper") - F.col("bb_lower")
+    return (
+        df.withColumn(
+            "bb_pct_b",
+            (F.col(close_col) - F.col("bb_lower")) / F.nullif(width, F.lit(0.0)),
+        )
+        .withColumn("bb_bandwidth", width / F.nullif(F.col("bb_mid"), F.lit(0.0)))
+        .drop("bb_sd")
+    )
+
+
+def with_stochastic(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    k_window: int = 14,
+    d_window: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator on a close-only stream: %K over the trailing
+    ``k_window`` closes, %D = SMA(d_window) of %K (gated on d_window
+    non-null %K values)."""
+    w, _ = _w(symbol_col, time_col, id_col)
+    kf = w.rowsBetween(-(k_window - 1), 0)
+    df_frame = w.rowsBetween(-(d_window - 1), 0)
+    full = F.count(close_col).over(kf) >= k_window
+    lo = F.when(full, F.min(close_col).over(kf))
+    hi = F.when(full, F.max(close_col).over(kf))
+    df = df.withColumn(
+        "pct_k",
+        F.lit(100.0) * (F.col(close_col) - lo) / F.nullif(hi - lo, F.lit(0.0)),
+    )
+    return df.withColumn(
+        "pct_d",
+        F.when(F.count("pct_k").over(df_frame) >= d_window, F.avg("pct_k").over(df_frame)),
+    )
+
+
+def with_vwap_obv(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Running VWAP and on-balance volume per symbol.
+
+    OBV signs each bar's volume by the close-to-close delta (first bar and
+    flat bars contribute 0 — the CASE falls through to the 0 branch on a
+    NULL delta, matching the standard definition).
+    """
+    w, hist = _w(symbol_col, time_col, id_col)
+    close, vol = F.col(close_col), F.col(volume_col)
+    # the lag must be materialized before it can feed another window's
+    # aggregate (Spark rejects nested window expressions)
+    df = df.withColumn("__delta", close - F.lag(close, 1).over(w)).withColumn(
+        "vwap",
+        F.sum(close * vol).over(hist) / F.nullif(F.sum(vol).over(hist), F.lit(0.0)),
+    )
+    d = F.col("__delta")
+    signed = F.when(d > 0, vol).when(d < 0, -vol).otherwise(F.lit(0.0))
+    return df.withColumn("obv", F.sum(signed).over(hist)).drop("__delta")
+
+
+def with_volatility(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    window: int = 20,
+    periods_per_year: int = TRADING_DAYS,
+) -> DataFrame:
+    """Log returns + rolling sample stddev of the last ``window`` returns,
+    annualized.  Non-positive prices yield NULL returns (guarded ln)."""
+    w, _ = _w(symbol_col, time_col, id_col)
+    close = F.col(close_col)
+    prev = F.lag(close, 1).over(w)
+    log_ret = F.when((close > 0) & (prev > 0), F.log(close / prev))
+    df = df.withColumn("log_return", log_ret)
+    frame = w.rowsBetween(-(window - 1), 0)
+    vol = F.when(
+        F.count("log_return").over(frame) >= window,
+        F.stddev_samp("log_return").over(frame),
+    )
+    return df.withColumn("roll_vol", vol).withColumn(
+        "ann_vol", F.col("roll_vol") * F.lit(float(periods_per_year) ** 0.5)
+    )
+
+
+def with_drawdown(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-row drawdown curve: close / running-max(close) - 1 (<= 0).
+    ``min(drawdown)`` per symbol is the maximum drawdown."""
+    _, hist = _w(symbol_col, time_col, id_col)
+    run_max = F.max(close_col).over(hist)
+    return df.withColumn("run_max", run_max).withColumn(
+        "drawdown", F.col(close_col) / F.nullif(run_max, F.lit(0.0)) - F.lit(1.0)
+    )

@@ -614,6 +614,19 @@ from big_data_engineering_financial_analysis_spark.plans import registry_ext as 
 QUERIES.update(_ext.QUERIES)
 ORACLES.update(_ext.build_oracles())
 
+# extended technical-indicator family (MACD / Bollinger / stochastic /
+# VWAP / OBV / volatility / drawdown)
+from big_data_engineering_financial_analysis_spark.plans import registry_tech as _tech  # noqa: E402
+
+QUERIES.update(_tech.QUERIES)
+ORACLES.update(_tech.ORACLES)
+
+# document ranking (TF-IDF keywords, BM25 retrieval)
+from big_data_engineering_financial_analysis_spark.plans import registry_ranking as _rank  # noqa: E402
+
+QUERIES.update(_rank.QUERIES)
+ORACLES.update(_rank.ORACLES)
+
 #: Driver-facing ordering.  The per-round correctness check covers the first
 #: 50 registered queries.  Round 3 drove the then-top-50 green (50/50 in
 #: CORRECTNESS_r03), leaving 37 queries whose newest driver row predates
@@ -632,6 +645,8 @@ _DRIVER_PRIORITY = [
     # (b) registered this round — no driver row yet
     "corpus_scrub", "quality_score", "dedup_paragraph", "dedup_spans",
     "bpe_tokenize", "bpe_packing",
+    "macd_12_26", "bollinger_20", "stochastic_14", "vwap_obv",
+    "volatility_20", "max_drawdown", "tfidf_top_terms", "bm25_search",
     # (c) driver rows older than the code they exercise (r1/r2 rows)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",

@@ -1,0 +1,235 @@
+"""Registry: extended technical-indicator queries + DuckDB oracles.
+
+Widens the reference's indicator surface (consumer.py:107-155 computes
+SMA/EMA/RSI/signal only) with the rest of the standard financial toolkit —
+MACD, Bollinger bands, stochastic oscillator, VWAP, OBV, rolling
+volatility, drawdown — over the same events-as-candles mapping as
+``plans/registry.py`` (user_id -> symbol, ts -> time, value -> close;
+volume parsed from the JSON ``props.k`` field, exercising the engine's
+JSON-decode scalar path in a batch plan).
+
+All windows order by ``(local_time, event_id)`` — deterministic under
+timestamp ties, unlike bare time ordering — and every derived double is
+rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions import indicators_ext as ix
+from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+#: Shared candle mapping with a JSON-parsed volume column.
+_CANDLES_CTE = """
+WITH candles AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS stock_symbol,
+         ts AS local_time, value AS close,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
+  FROM events
+)
+"""
+
+_WH = (
+    "PARTITION BY stock_symbol ORDER BY local_time, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+
+
+def _candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("stock_symbol"),
+        F.col("ts").alias("local_time"),
+        F.col("value").alias("close"),
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+    )
+
+
+def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+_KEY = ["event_id", "stock_symbol", "local_time", "close"]
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ix.with_macd(_candles(spark, sf_dir).drop("volume"))
+    cols = ["ema_12", "ema_26", "macd", "macd_signal", "macd_hist"]
+    return _round6(out.select(*_KEY, *cols), cols)
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ix.with_bollinger(_candles(spark, sf_dir).drop("volume"))
+    cols = ["bb_mid", "bb_upper", "bb_lower", "bb_pct_b", "bb_bandwidth"]
+    return _round6(out.select(*_KEY, *cols), cols)
+
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ix.with_stochastic(_candles(spark, sf_dir).drop("volume"))
+    cols = ["pct_k", "pct_d"]
+    return _round6(out.select(*_KEY, *cols), cols)
+
+
+def q_vwap_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ix.with_vwap_obv(_candles(spark, sf_dir))
+    cols = ["vwap", "obv"]
+    return _round6(out.select(*_KEY, "volume", *cols), cols)
+
+
+def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ix.with_volatility(_candles(spark, sf_dir).drop("volume"))
+    cols = ["log_return", "roll_vol", "ann_vol"]
+    return _round6(out.select(*_KEY, *cols), cols)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = ix.with_drawdown(_candles(spark, sf_dir).drop("volume"))
+    return curve.groupBy("stock_symbol").agg(
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.round(F.max("close"), 6).alias("peak_close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES = {
+    "macd_12_26": q_macd,
+    "bollinger_20": q_bollinger,
+    "stochastic_14": q_stochastic,
+    "vwap_obv": q_vwap_obv,
+    "volatility_20": q_volatility,
+    "max_drawdown": q_max_drawdown,
+}
+
+ORACLES: dict[str, str] = {
+    "macd_12_26": _CANDLES_CTE
+    + f""",
+m1 AS (
+  SELECT candles.* EXCLUDE (volume),
+    CASE WHEN count(close) OVER wh >= 12 THEN
+      list_reduce(list(close) OVER wh,
+                  (acc, x) -> acc * (1.0 - 2.0 / 13.0) + x * (2.0 / 13.0))
+    END AS ema_12,
+    CASE WHEN count(close) OVER wh >= 26 THEN
+      list_reduce(list(close) OVER wh,
+                  (acc, x) -> acc * (1.0 - 2.0 / 27.0) + x * (2.0 / 27.0))
+    END AS ema_26
+  FROM candles WINDOW wh AS ({_WH})
+),
+m2 AS (SELECT m1.*, ema_12 - ema_26 AS macd FROM m1),
+m3 AS (
+  SELECT m2.*,
+    CASE WHEN count(macd) OVER wh >= 9 THEN
+      list_reduce(list(macd) FILTER (macd IS NOT NULL) OVER wh,
+                  (acc, x) -> acc * (1.0 - 2.0 / 10.0) + x * (2.0 / 10.0))
+    END AS macd_signal
+  FROM m2 WINDOW wh AS ({_WH})
+)
+SELECT event_id, stock_symbol, local_time, close,
+       round(ema_12, 6) AS ema_12, round(ema_26, 6) AS ema_26,
+       round(macd, 6) AS macd, round(macd_signal, 6) AS macd_signal,
+       round(macd - macd_signal, 6) AS macd_hist
+FROM m3
+""",
+    "bollinger_20": _CANDLES_CTE
+    + """,
+b1 AS (
+  SELECT candles.* EXCLUDE (volume),
+    CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS bb_mid,
+    CASE WHEN count(close) OVER w20 >= 20 THEN stddev_samp(close) OVER w20 END AS bb_sd
+  FROM candles
+  WINDOW w20 AS (PARTITION BY stock_symbol ORDER BY local_time, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+b2 AS (
+  SELECT b1.*, bb_mid + 2.0 * bb_sd AS bb_upper, bb_mid - 2.0 * bb_sd AS bb_lower
+  FROM b1
+)
+SELECT event_id, stock_symbol, local_time, close,
+       round(bb_mid, 6) AS bb_mid,
+       round(bb_upper, 6) AS bb_upper,
+       round(bb_lower, 6) AS bb_lower,
+       round((close - bb_lower) / nullif(bb_upper - bb_lower, 0), 6) AS bb_pct_b,
+       round((bb_upper - bb_lower) / nullif(bb_mid, 0), 6) AS bb_bandwidth
+FROM b2
+""",
+    "stochastic_14": _CANDLES_CTE
+    + """,
+s1 AS (
+  SELECT candles.* EXCLUDE (volume),
+    100.0 * (close - CASE WHEN count(close) OVER w14 >= 14 THEN min(close) OVER w14 END)
+      / nullif(CASE WHEN count(close) OVER w14 >= 14 THEN max(close) OVER w14 END
+               - CASE WHEN count(close) OVER w14 >= 14 THEN min(close) OVER w14 END, 0)
+      AS pct_k
+  FROM candles
+  WINDOW w14 AS (PARTITION BY stock_symbol ORDER BY local_time, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, stock_symbol, local_time, close,
+       round(pct_k, 6) AS pct_k,
+       round(CASE WHEN count(pct_k) OVER w3 >= 3 THEN avg(pct_k) OVER w3 END, 6) AS pct_d
+FROM s1
+WINDOW w3 AS (PARTITION BY stock_symbol ORDER BY local_time, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "vwap_obv": _CANDLES_CTE
+    + f""",
+v1 AS (
+  SELECT candles.*,
+    close - lag(close) OVER (PARTITION BY stock_symbol
+                             ORDER BY local_time, event_id) AS delta
+  FROM candles
+)
+SELECT event_id, stock_symbol, local_time, close, volume,
+       -- sequential left fold, not SUM() OVER: Spark's unbounded-preceding
+       -- frame accumulates row-by-row in sort order while DuckDB's windowed
+       -- SUM may tree-aggregate — the ulp difference flips 6-dp rounding on
+       -- ~1e-4 of rows.  The fold reproduces Spark's FP addition order.
+       round(list_reduce(list(close * volume) OVER wh, (a, x) -> a + x)
+             / nullif(sum(volume) OVER wh, 0), 6) AS vwap,
+       round(sum(CASE WHEN delta > 0 THEN volume
+                      WHEN delta < 0 THEN -volume
+                      ELSE 0.0 END) OVER wh, 6) AS obv
+FROM v1 WINDOW wh AS ({_WH})
+""",
+    "volatility_20": _CANDLES_CTE
+    + """,
+r1 AS (
+  SELECT candles.* EXCLUDE (volume),
+    CASE WHEN close > 0 AND lag(close) OVER w > 0
+         THEN ln(close / lag(close) OVER w) END AS log_return
+  FROM candles
+  WINDOW w AS (PARTITION BY stock_symbol ORDER BY local_time, event_id)
+),
+r2 AS (
+  SELECT r1.*,
+    CASE WHEN count(log_return) OVER w20 >= 20
+         THEN stddev_samp(log_return) OVER w20 END AS roll_vol
+  FROM r1
+  WINDOW w20 AS (PARTITION BY stock_symbol ORDER BY local_time, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, stock_symbol, local_time, close,
+       round(log_return, 6) AS log_return,
+       round(roll_vol, 6) AS roll_vol,
+       round(roll_vol * sqrt(252.0), 6) AS ann_vol
+FROM r2
+""",
+    "max_drawdown": _CANDLES_CTE
+    + f""",
+d1 AS (
+  SELECT stock_symbol, close,
+         close / nullif(max(close) OVER wh, 0) - 1.0 AS drawdown
+  FROM candles WINDOW wh AS ({_WH})
+)
+SELECT stock_symbol,
+       round(min(drawdown), 6) AS max_drawdown,
+       round(max(close), 6) AS peak_close,
+       count(*) AS n
+FROM d1 GROUP BY stock_symbol
+""",
+}

@@ -1,0 +1,188 @@
+"""Extended-indicator semantics on crafted fixtures.
+
+The oracle queries prove engine-vs-DuckDB agreement on the sf0.01 corpus;
+these tests pin the *intended* math on adversarial inputs the corpus does
+not contain (flat windows, zero volume, timestamp ties) against
+independent pandas models.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+
+from big_data_engineering_financial_analysis_spark.functions import indicators_ext as ix
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _isnull(v):
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _candles(spark, closes, volumes=None, symbol="A", id0=0):
+    rows = [
+        {
+            "event_id": id0 + i,
+            "stock_symbol": symbol,
+            "local_time": T0 + dt.timedelta(minutes=i),
+            "close": float(c),
+            "volume": float(volumes[i]) if volumes is not None else 1.0,
+        }
+        for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _col(df, name, order=("stock_symbol", "event_id")):
+    pdf = df.toPandas().sort_values(list(order)).reset_index(drop=True)
+    return list(pdf[name])
+
+
+def test_macd_matches_pandas_ewm(spark):
+    closes = [100 + 7 * math.sin(i / 3.0) + 0.3 * i for i in range(40)]
+    out = ix.with_macd(_candles(spark, closes))
+    s = pd.Series(closes)
+    ema12 = s.ewm(span=12, adjust=False).mean().where(pd.Series(range(1, 41)) >= 12)
+    ema26 = s.ewm(span=26, adjust=False).mean().where(pd.Series(range(1, 41)) >= 26)
+    macd = ema12 - ema26
+    # signal: EMA9 over the non-null macd subsequence, gated at 9 values
+    sub = macd.dropna()
+    sig = sub.ewm(span=9, adjust=False).mean()
+    sig = sig.where(pd.Series(range(1, len(sub) + 1), index=sub.index) >= 9)
+    got = _col(out, "macd_signal")
+    exp = sig.reindex(range(40))
+    for i in range(40):
+        if pd.isna(exp[i]):
+            assert _isnull(got[i]), i
+        else:
+            assert got[i] == pytest.approx(exp[i], rel=1e-12), i
+    got_macd = _col(out, "macd")
+    for i in range(40):
+        if pd.isna(macd[i]):
+            assert _isnull(got_macd[i])
+        else:
+            assert got_macd[i] == pytest.approx(macd[i], rel=1e-12)
+
+
+def test_bollinger_flat_window_null_pct_b(spark):
+    # 25 identical closes: sd == 0 -> upper == lower -> %B NULL (guarded),
+    # bandwidth 0, mid == close
+    out = ix.with_bollinger(_candles(spark, [50.0] * 25)).toPandas()
+    last = out.sort_values("event_id").iloc[-1]
+    assert last["bb_mid"] == 50.0
+    assert last["bb_upper"] == 50.0
+    assert last["bb_pct_b"] is None or pd.isna(last["bb_pct_b"])
+    assert last["bb_bandwidth"] == 0.0
+    # gating: rows 0..18 have no band at all
+    assert out.sort_values("event_id")["bb_mid"].isna().sum() == 19
+
+
+def test_bollinger_matches_pandas(spark):
+    closes = [100 + 5 * math.sin(i / 2.0) + i * 0.1 for i in range(30)]
+    out = ix.with_bollinger(_candles(spark, closes))
+    s = pd.Series(closes)
+    mid = s.rolling(20).mean()
+    sd = s.rolling(20).std(ddof=1)
+    got = _col(out, "bb_upper")
+    for i in range(30):
+        exp = mid[i] + 2 * sd[i]
+        if pd.isna(exp):
+            assert _isnull(got[i])
+        else:
+            assert got[i] == pytest.approx(exp, rel=1e-12)
+
+
+def test_stochastic_flat_and_model(spark):
+    closes = [10.0] * 16
+    out = ix.with_stochastic(_candles(spark, closes)).toPandas()
+    lastk = out.sort_values("event_id")["pct_k"]
+    # hi == lo -> NULL %K everywhere (even once the window fills)
+    assert lastk.isna().all()
+
+    closes = [float((i * 37) % 20 + 1) for i in range(30)]
+    out2 = ix.with_stochastic(_candles(spark, closes))
+    s = pd.Series(closes)
+    lo, hi = s.rolling(14).min(), s.rolling(14).max()
+    exp_k = 100 * (s - lo) / (hi - lo)
+    exp_d = exp_k.rolling(3).mean()
+    gk, gd = _col(out2, "pct_k"), _col(out2, "pct_d")
+    for i in range(30):
+        if pd.isna(exp_k[i]):
+            assert _isnull(gk[i])
+        else:
+            assert gk[i] == pytest.approx(exp_k[i], rel=1e-12)
+        if pd.isna(exp_d[i]):
+            assert _isnull(gd[i])
+        else:
+            assert gd[i] == pytest.approx(exp_d[i], rel=1e-12)
+
+
+def test_vwap_obv_hand_example(spark):
+    closes = [10.0, 12.0, 11.0, 11.0, 13.0]
+    vols = [2.0, 3.0, 0.0, 5.0, 1.0]
+    out = ix.with_vwap_obv(_candles(spark, closes, vols))
+    vwap = _col(out, "vwap")
+    # cumulative sum(price*vol)/sum(vol)
+    assert vwap[0] == pytest.approx(10.0)
+    assert vwap[1] == pytest.approx((20 + 36) / 5)
+    assert vwap[2] == pytest.approx((20 + 36) / 5)  # zero-volume bar: unchanged
+    obv = _col(out, "obv")
+    # first bar 0; +3 (up), 0 (down but vol 0), 0 (flat), +1 (up)
+    assert obv == [0.0, 3.0, 3.0, 3.0, 4.0]
+
+
+def test_vwap_zero_volume_prefix_null(spark):
+    out = ix.with_vwap_obv(_candles(spark, [10.0, 11.0], [0.0, 0.0])).toPandas()
+    assert out["vwap"].isna().all()
+
+
+def test_volatility_constant_prices_zero(spark):
+    out = ix.with_volatility(_candles(spark, [42.0] * 25)).toPandas()
+    s = out.sort_values("event_id")
+    # log returns all 0 -> stddev 0 from row 20 (return series starts row 1)
+    assert s["roll_vol"].iloc[-1] == 0.0
+    assert s["ann_vol"].iloc[-1] == 0.0
+    assert s["log_return"].iloc[0] is None or pd.isna(s["log_return"].iloc[0])
+
+
+def test_volatility_matches_pandas(spark):
+    closes = [100 * math.exp(0.01 * math.sin(i)) for i in range(30)]
+    out = ix.with_volatility(_candles(spark, closes))
+    s = pd.Series(closes)
+    lr = (s / s.shift(1)).apply(math.log)
+    exp = lr.rolling(20).std(ddof=1) * math.sqrt(252)
+    got = _col(out, "ann_vol")
+    for i in range(30):
+        if pd.isna(exp[i]):
+            assert _isnull(got[i])
+        else:
+            assert got[i] == pytest.approx(exp[i], rel=1e-12)
+
+
+def test_drawdown_curve(spark):
+    closes = [10.0, 12.0, 9.0, 11.0, 8.0]
+    out = ix.with_drawdown(_candles(spark, closes))
+    dd = _col(out, "drawdown")
+    assert dd[0] == 0.0
+    assert dd[1] == 0.0  # new high
+    assert dd[2] == pytest.approx(9 / 12 - 1)
+    assert dd[3] == pytest.approx(11 / 12 - 1)
+    assert dd[4] == pytest.approx(8 / 12 - 1)
+    assert min(dd) == pytest.approx(8 / 12 - 1)  # MDD
+
+
+def test_tie_break_on_event_id(spark):
+    # two rows with the SAME timestamp: ordering must follow event_id, so
+    # the running max sees 20 before 5
+    rows = _candles(spark, [20.0, 5.0])  # same symbol, ts differ by a minute
+    # force identical timestamps
+    import pyspark.sql.functions as F
+
+    rows = rows.withColumn("local_time", F.lit(T0))
+    out = ix.with_drawdown(rows)
+    dd = _col(out, "drawdown")
+    assert dd == [0.0, pytest.approx(5 / 20 - 1)]

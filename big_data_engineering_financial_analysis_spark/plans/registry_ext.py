@@ -252,6 +252,15 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "incremental_rollup": """
+        SELECT event_type, count(value) AS n,
+               round(sum(value), 2) AS sum_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(sum(value) / nullif(count(value), 0), 6) AS avg_v
+        FROM events GROUP BY event_type
+    """,
+
     # expected-result construction (independent of the join algorithm):
     # surviving originals ∪ repriced update batch
     "orders_upsert": """
@@ -535,8 +544,37 @@ def q_supplier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLUP_CUTOFF = "2024-01-15 00:00:00"
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV refresh parity: history is split at a cutoff into a
+    base partial table and a delta batch; the merged partials must equal
+    the oracle's direct full-history GROUP BY (operators/incremental.py —
+    count/sum/min/max merge, avg derived at read)."""
+    from big_data_engineering_financial_analysis_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        to_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = to_partials(ev.filter(F.col("ts") < ROLLUP_CUTOFF), ["event_type"], "value")
+    delta = to_partials(ev.filter(F.col("ts") >= ROLLUP_CUTOFF), ["event_type"], "value")
+    out = finalize(merge_partials(base, delta, ["event_type"]))
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
 QUERIES = {
     "orders_upsert": q_orders_upsert,
+    "incremental_rollup": q_incremental_rollup,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

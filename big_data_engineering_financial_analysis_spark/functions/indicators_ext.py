@@ -206,6 +206,79 @@ def with_volatility(
     )
 
 
+def ohlc_bars(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    volume_col: str | None = "volume",
+    bar: str = "minute",
+) -> DataFrame:
+    """Resample a tick stream to per-``bar`` OHLC(V) candles.
+
+    open/close are the first/last tick by ``(time, id)`` within the bar —
+    expressed as conditional aggregates over a row_number window rather
+    than min_by/max_by so the selection key is the composite (time, id)
+    pair (deterministic under timestamp ties) and the oracle can mirror it
+    verbatim.  One window pass + one grouped aggregate, both keyed on
+    (symbol, bucket): a single Exchange at scale.
+    """
+    w = Window.partitionBy(symbol_col, "bucket").orderBy(time_col, id_col)
+    part = Window.partitionBy(symbol_col, "bucket")
+    df = (
+        df.withColumn("bucket", F.date_trunc(bar, F.col(time_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(part))
+    )
+    aggs = [
+        F.max(F.when(F.col("rn") == 1, F.col(close_col))).alias("open"),
+        F.max(close_col).alias("high"),
+        F.min(close_col).alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col(close_col))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if volume_col is not None:
+        aggs.append(F.sum(volume_col).alias("volume"))
+    return df.groupBy(symbol_col, "bucket").agg(*aggs)
+
+
+def rolling_corr(
+    bars_x: DataFrame,
+    bars_y: DataFrame,
+    time_col: str = "bucket",
+    close_col: str = "close",
+    window: int = 20,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned close series.
+
+    Inner-joins the two bar frames on ``time_col`` and computes the
+    textbook sums formulation over the trailing ``window`` bars:
+
+      corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    The explicit-sums form (not the builtin ``corr``) keeps both engines
+    on the identical FP expression — Spark's and DuckDB's native corr use
+    different co-moment recurrences.  Degenerate windows (either side
+    constant) yield NULL via the nullif guard.
+    """
+    x = bars_x.select(time_col, F.col(close_col).alias("x"))
+    y = bars_y.select(time_col, F.col(close_col).alias("y"))
+    j = x.join(y, time_col)
+    w = Window.orderBy(time_col).rowsBetween(-(window - 1), 0)
+    n = F.count("x").over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return j.withColumn(
+        "corr",
+        F.when(n >= window, num / F.nullif(den, F.lit(0.0))),
+    )
+
+
 def with_drawdown(
     df: DataFrame,
     symbol_col: str = "stock_symbol",

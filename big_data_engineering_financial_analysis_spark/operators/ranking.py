@@ -61,7 +61,15 @@ def tfidf_top_terms(
     """
     terms = _term_rows(df, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # doc length from the document row itself (== sum(tf) per doc), not
+    # from a second pass over the exploded postings: Spark plans share no
+    # common subtrees, so deriving dl from tf would re-explode the corpus
+    dl = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+        ).cast("long").alias("dl"),
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
 

@@ -37,8 +37,13 @@ _WH = (
 )
 
 
-def _candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candles(
+    spark: SparkSession, sf_dir: str, symbols: list[int] | None = None
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    if symbols is not None:
+        # prune on the native int column so the predicate reaches the scan
+        ev = ev.filter(F.col("user_id").isin(symbols))
     return ev.select(
         F.col("event_id"),
         F.col("user_id").cast("string").alias("stock_symbol"),
@@ -96,8 +101,32 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.ohlc_bars(_candles(spark, sf_dir))
+
+
+#: Fixed symbol pair for the rolling-correlation query.
+CORR_X, CORR_Y = 7, 42
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily bars: the tick streams are sparse (~2 ticks/symbol/day at
+    # sf0.01), so finer buckets share no common timestamps to correlate
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir, symbols=[CORR_X, CORR_Y]),
+        volume_col=None,
+        bar="day",
+    )
+    bx = bars.filter(F.col("stock_symbol") == str(CORR_X))
+    by = bars.filter(F.col("stock_symbol") == str(CORR_Y))
+    out = ix.rolling_corr(bx, by, window=10)
+    return out.select("bucket", "x", "y", F.round("corr", 6).alias("corr"))
+
+
 QUERIES = {
     "macd_12_26": q_macd,
+    "ohlc_bars": q_ohlc_bars,
+    "rolling_corr": q_rolling_corr,
     "bollinger_20": q_bollinger,
     "stochastic_14": q_stochastic,
     "vwap_obv": q_vwap_obv,
@@ -105,7 +134,61 @@ QUERIES = {
     "max_drawdown": q_max_drawdown,
 }
 
+#: Shared OHLC resample CTE chain (row_number / cnt formulation — the
+#: composite (time, id) selection key DuckDB's arg_min cannot express).
+_OHLC_CTE = """,
+b1 AS (
+  SELECT candles.*, date_trunc('minute', local_time) AS bucket FROM candles
+),
+b2 AS (
+  SELECT b1.*,
+    row_number() OVER (PARTITION BY stock_symbol, bucket
+                       ORDER BY local_time, event_id) AS rn,
+    count(*) OVER (PARTITION BY stock_symbol, bucket) AS cnt
+  FROM b1
+),
+bars AS (
+  SELECT stock_symbol, bucket,
+         max(CASE WHEN rn = 1 THEN close END) AS open,
+         max(close) AS high, min(close) AS low,
+         max(CASE WHEN rn = cnt THEN close END) AS close,
+         count(*) AS n_ticks, sum(volume) AS volume
+  FROM b2 GROUP BY stock_symbol, bucket
+)
+"""
+
 ORACLES: dict[str, str] = {
+    "ohlc_bars": _CANDLES_CTE
+    + _OHLC_CTE
+    + """
+SELECT stock_symbol, bucket, open, high, low, close, n_ticks, volume
+FROM bars
+""",
+    "rolling_corr": _CANDLES_CTE.replace(
+        "FROM events", "FROM events WHERE user_id IN (7, 42)"
+    )
+    + _OHLC_CTE.replace("date_trunc('minute'", "date_trunc('day'")
+    + """,
+j AS (
+  SELECT a.bucket, a.close AS x, b.close AS y
+  FROM bars a JOIN bars b USING (bucket)
+  WHERE a.stock_symbol = '7' AND b.stock_symbol = '42'
+),
+c AS (
+  SELECT bucket, x, y,
+    count(x) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+    sum(x * y) OVER w AS sxy
+  FROM j
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, x, y,
+  round(CASE WHEN n >= 10 THEN
+    (n * sxy - sx * sy)
+      / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+  END, 6) AS corr
+FROM c
+""",
     "macd_12_26": _CANDLES_CTE
     + f""",
 m1 AS (

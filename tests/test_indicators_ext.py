@@ -186,3 +186,60 @@ def test_tie_break_on_event_id(spark):
     out = ix.with_drawdown(rows)
     dd = _col(out, "drawdown")
     assert dd == [0.0, pytest.approx(5 / 20 - 1)]
+
+
+def test_ohlc_bars_hand_example(spark):
+    import pyspark.sql.functions as F
+
+    closes = [10.0, 12.0, 9.0, 11.0]
+    vols = [1.0, 2.0, 3.0, 4.0]
+    df = _candles(spark, closes, vols)
+    # rows 0-1 in minute 0... wait each row is 1 minute apart; squeeze
+    # rows 0,1 into minute 0 and rows 2,3 into minute 1 via 30s spacing
+    df = df.withColumn(
+        "local_time",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, event_id*30)"),
+    )
+    out = ix.ohlc_bars(df).toPandas().sort_values("bucket").reset_index(drop=True)
+    assert len(out) == 2
+    b0, b1 = out.iloc[0], out.iloc[1]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (10.0, 12.0, 10.0, 12.0)
+    assert b0["volume"] == 3.0 and b0["n_ticks"] == 2
+    assert (b1["open"], b1["high"], b1["low"], b1["close"]) == (9.0, 11.0, 9.0, 11.0)
+
+
+def test_ohlc_open_close_tie_break(spark):
+    import pyspark.sql.functions as F
+
+    # ALL ticks at the identical timestamp: open/close must follow event_id
+    df = _candles(spark, [5.0, 7.0, 6.0]).withColumn("local_time", F.lit(T0))
+    out = ix.ohlc_bars(df, volume_col=None).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["open"] == 5.0 and out.iloc[0]["close"] == 6.0
+
+
+def test_rolling_corr_perfect_and_anti(spark):
+    import pandas as pd
+
+    n = 25
+    xs = [float(i) for i in range(n)]
+    bx = ix.ohlc_bars(_candles(spark, xs), volume_col=None)
+    # y = -2x + 3: perfectly anti-correlated
+    by = ix.ohlc_bars(_candles(spark, [-2 * v + 3 for v in xs]), volume_col=None)
+    out = (
+        ix.rolling_corr(bx, by)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert out["corr"].iloc[: 19].isna().all()  # min_periods gate
+    tail = out["corr"].iloc[19:]
+    assert (abs(tail + 1.0) < 1e-9).all()
+
+
+def test_rolling_corr_constant_side_null(spark):
+    n = 25
+    bx = ix.ohlc_bars(_candles(spark, [float(i) for i in range(n)]), volume_col=None)
+    by = ix.ohlc_bars(_candles(spark, [4.0] * n), volume_col=None)
+    out = ix.rolling_corr(bx, by).toPandas()
+    assert out["corr"].isna().all()  # zero variance -> nullif guard

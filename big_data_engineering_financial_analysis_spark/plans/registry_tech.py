@@ -123,8 +123,31 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "x", "y", F.round("corr", 6).alias("corr"))
 
 
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family in one pass: rank / dense_rank /
+    percent_rank / cume_dist are peer-based (deterministic under close
+    ties); ntile depends on row order, so it ranks over the unique
+    (close, event_id) key.  One Exchange on symbol; two sort orders."""
+    from pyspark.sql import Window
+
+    c = _candles(spark, sf_dir).drop("volume")
+    w_peer = Window.partitionBy("stock_symbol").orderBy("close")
+    w_uniq = Window.partitionBy("stock_symbol").orderBy("close", "event_id")
+    return c.select(
+        "event_id",
+        "stock_symbol",
+        "close",
+        F.rank().over(w_peer).alias("rnk"),
+        F.dense_rank().over(w_peer).alias("drnk"),
+        F.round(F.percent_rank().over(w_peer), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_peer), 6).alias("cume"),
+        F.ntile(4).over(w_uniq).alias("quartile"),
+    )
+
+
 QUERIES = {
     "macd_12_26": q_macd,
+    "rank_functions": q_rank_functions,
     "ohlc_bars": q_ohlc_bars,
     "rolling_corr": q_rolling_corr,
     "bollinger_20": q_bollinger,
@@ -158,6 +181,18 @@ bars AS (
 """
 
 ORACLES: dict[str, str] = {
+    "rank_functions": _CANDLES_CTE
+    + """
+SELECT event_id, stock_symbol, close,
+       rank() OVER wp AS rnk,
+       dense_rank() OVER wp AS drnk,
+       round(percent_rank() OVER wp, 6) AS pct_rank,
+       round(cume_dist() OVER wp, 6) AS cume,
+       ntile(4) OVER wu AS quartile
+FROM candles
+WINDOW wp AS (PARTITION BY stock_symbol ORDER BY close),
+       wu AS (PARTITION BY stock_symbol ORDER BY close, event_id)
+""",
     "ohlc_bars": _CANDLES_CTE
     + _OHLC_CTE
     + """

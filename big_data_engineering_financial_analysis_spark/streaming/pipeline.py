@@ -122,6 +122,41 @@ def windowed_stats_stream(
     )
 
 
+def ohlc_stream(
+    ticks: DataFrame,
+    bar: str = "1 minute",
+    watermark: str = "10 minutes",
+    time_col: str = "local_time",
+    symbol_col: str = "stock_symbol",
+    close_col: str = "close",
+) -> DataFrame:
+    """Streaming tick -> OHLC candle resampling (the streaming twin of
+    ``functions.indicators_ext.ohlc_bars``).
+
+    open/close use ``min_by``/``max_by`` on the event timestamp — ordinary
+    aggregates, so they run incrementally in the streaming state store (no
+    per-window buffering of ticks).  Within-timestamp ties resolve
+    arbitrarily here (the state store sees arrival order); the batch twin's
+    (time, id) row_number is the deterministic formulation — use it
+    wherever replay determinism matters more than latency.
+    """
+    return (
+        ticks.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, bar), symbol_col)
+        .agg(
+            F.min_by(close_col, time_col).alias("open"),
+            F.max(close_col).alias("high"),
+            F.min(close_col).alias("low"),
+            F.max_by(close_col, time_col).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"), symbol_col,
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )
+
+
 def session_stats_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -66,3 +66,29 @@ def test_session_stream_runs(spark, tmp_path):
     for _, g in out.groupby("stock_symbol"):
         g = g.sort_values("session_start")
         assert (g["session_end"].shift(1).dropna() <= g["session_start"].iloc[1:]).all()
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    from big_data_engineering_financial_analysis_spark.functions.indicators_ext import ohlc_bars
+    from big_data_engineering_financial_analysis_spark.streaming.pipeline import ohlc_stream
+
+    src = str(tmp_path / "osrc")
+    full = feeder.feed_parquet_batches(spark, src, n_batches=3, minutes_per_batch=20)
+
+    streamed = _run(
+        spark, src, ohlc_stream, "ohlc_out", str(tmp_path / "ock")
+    ).toPandas()
+    assert len(streamed) > 0
+
+    batch = (
+        ohlc_bars(full, id_col="local_time", volume_col=None)
+        .toPandas()
+        .rename(columns={})
+    )
+    key = ["stock_symbol", "bucket"]
+    merged = streamed.merge(batch, on=key, suffixes=("_s", "_b"))
+    # append mode emits only watermark-closed candles: every emitted candle
+    # must exist in batch with identical OHLC values
+    assert len(merged) == len(streamed)
+    for c in ("open", "high", "low", "close", "n_ticks"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c

@@ -91,6 +91,75 @@ def with_macd(
     return df.withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
 
 
+def macd_pandas(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    close_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD via per-key Arrow-batched pandas — O(history) per key, the
+    long-history scale path (the HOF fold re-reduces the whole prefix per
+    row: O(history²)).  pandas ``ewm(adjust=False)`` runs the identical
+    seeded recursion as the fold, so outputs are bit-identical; the signal
+    line's leading-NaN prefix (before ``slow`` warms up) contributes
+    nothing, matching the fold over the non-null MACD subsequence."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = (
+        f"{out_fields}, ema_{fast} double, ema_{slow} double, "
+        "macd double, macd_signal double, macd_hist double"
+    )
+
+    def compute(pdf):
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        close = pdf[close_col]
+        pdf[f"ema_{fast}"] = close.ewm(
+            span=fast, adjust=False, min_periods=fast
+        ).mean()
+        pdf[f"ema_{slow}"] = close.ewm(
+            span=slow, adjust=False, min_periods=slow
+        ).mean()
+        pdf["macd"] = pdf[f"ema_{fast}"] - pdf[f"ema_{slow}"]
+        pdf["macd_signal"] = pdf["macd"].ewm(
+            span=signal, adjust=False, min_periods=signal
+        ).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
+
+
+def macd_auto(
+    df: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "local_time",
+    id_col: str = "event_id",
+    close_col: str = "close",
+    fold_limit: int = 1000,
+) -> DataFrame:
+    """MACD with automatic path selection, same contract as
+    ``indicators.enrich_auto``: probe the longest per-key history with one
+    count aggregate (map-side combined — metadata-sized at any scale),
+    fold below ``fold_limit`` rows/key, pandas above.  Both paths are
+    bit-identical (asserted in tests), so the switch only changes the
+    physical plan, never results."""
+    longest = (
+        df.groupBy(symbol_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if longest is not None and longest > fold_limit:
+        return macd_pandas(df, symbol_col, time_col, close_col)
+    return with_macd(df, symbol_col, time_col, id_col, close_col)
+
+
 def with_bollinger(
     df: DataFrame,
     symbol_col: str = "stock_symbol",

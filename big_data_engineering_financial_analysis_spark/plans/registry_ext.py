@@ -252,6 +252,19 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "unpivot_close_stats": """
+        WITH wide AS (
+          SELECT CAST(user_id AS VARCHAR) AS stock_symbol,
+                 round(min(value), 6) AS min_close,
+                 round(max(value), 6) AS max_close,
+                 round(avg(value), 6) AS avg_close
+          FROM events WHERE user_id IN (7, 23, 42, 99)
+          GROUP BY stock_symbol
+        )
+        SELECT stock_symbol, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (min_close, max_close, avg_close))
+    """,
+
     "incremental_rollup": """
         SELECT event_type, count(value) AS n,
                round(sum(value), 2) AS sum_v,
@@ -544,6 +557,29 @@ def q_supplier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_close_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (§2.8 set ops family): per-symbol close stats
+    unpivoted to (symbol, metric, value) rows — DataFrame.unpivot is the
+    Spark-native melt; the oracle uses DuckDB's UNPIVOT."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isin([7, 23, 42, 99])
+    )
+    wide = (
+        ev.groupBy(F.col("user_id").cast("string").alias("stock_symbol"))
+        .agg(
+            F.round(F.min("value"), 6).alias("min_close"),
+            F.round(F.max("value"), 6).alias("max_close"),
+            F.round(F.avg("value"), 6).alias("avg_close"),
+        )
+    )
+    return wide.unpivot(
+        ids=["stock_symbol"],
+        values=["min_close", "max_close", "avg_close"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 ROLLUP_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -575,6 +611,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "orders_upsert": q_orders_upsert,
     "incremental_rollup": q_incremental_rollup,
+    "unpivot_close_stats": q_unpivot_close_stats,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

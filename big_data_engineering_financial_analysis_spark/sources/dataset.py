@@ -22,6 +22,8 @@ sortedness) live in ``tests/test_dataset.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -42,6 +44,41 @@ def write_sharded(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite a dataset into consolidated, re-sorted files.
+
+    Streaming sinks append one small file per micro-batch per partition;
+    at 100 TB that rots scans with file-open overhead and dead row-group
+    stats.  Compaction = read -> recluster -> atomic swap: the rewrite
+    lands in a side directory and replaces the live one with two renames,
+    so readers never observe a half-written dataset (single-writer
+    assumption, same as any filesystem-table compactor without a real
+    table format underneath).
+    """
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = tempfile.mkdtemp(prefix="_compact_", dir=parent)
+    staged = os.path.join(tmp, "data")
+    df = spark.read.parquet(path)
+    write_sharded(
+        df, staged, partition_cols, sort_cols,
+        max_records_per_file=max_records_per_file,
+    )
+    old = path + "._pre_compact"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_dataset(spark: SparkSession, path: str) -> DataFrame:

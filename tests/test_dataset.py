@@ -75,3 +75,52 @@ def test_max_records_per_file_split(spark, tmp_path):
     for f in back.inputFiles():
         local = f.replace("file://", "").replace("file:", "")
         assert pq.read_table(local).num_rows <= 10
+
+
+def test_compaction_consolidates_and_preserves(spark, tmp_path):
+    from big_data_engineering_financial_analysis_spark.sources.dataset import compact_dataset
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "to_compact")
+    # simulate micro-batch rot: many tiny files per partition
+    write_sharded(
+        docs, path, partition_cols=["lang"], sort_cols=["doc_id"],
+        max_records_per_file=5,
+    )
+    n_before = len(read_dataset(spark, path).inputFiles())
+    before = read_dataset(spark, path).toPandas().sort_values("doc_id")
+
+    compact_dataset(spark, path, partition_cols=["lang"], sort_cols=["doc_id"])
+
+    after_df = read_dataset(spark, path)
+    n_after = len(after_df.inputFiles())
+    assert n_after < n_before, (n_before, n_after)
+    after = after_df.toPandas().sort_values("doc_id")
+    assert len(after) == len(before)
+    assert (before["text"].to_numpy() == after["text"].to_numpy()).all()
+    # clustering invariant survives: every file still sorted on doc_id
+    for f in after_df.inputFiles():
+        local = f.replace("file://", "").replace("file:", "")
+        ids = pq.read_table(local, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "evolving")
+    write_sharded(docs, path, partition_cols=["lang"], sort_cols=["doc_id"])
+    # a later writer adds a column (append with evolved schema)
+    evolved = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "score", F.lit(0.5)
+    )
+    evolved.repartition("lang").sortWithinPartitions("lang", "doc_id").write.mode(
+        "append"
+    ).partitionBy("lang").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "score" in merged.columns
+    assert merged.count() == 2 * docs.count()
+    old = merged.filter("doc_id < 1000000")
+    assert old.filter("score IS NOT NULL").count() == 0  # NULL-filled

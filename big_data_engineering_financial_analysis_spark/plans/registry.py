@@ -627,18 +627,19 @@ from big_data_engineering_financial_analysis_spark.plans import registry_ranking
 QUERIES.update(_rank.QUERIES)
 ORACLES.update(_rank.ORACLES)
 
-#: Driver-facing ordering.  The per-round correctness check covers the first
-#: 50 registered queries.  Round 3 drove the then-top-50 green (50/50 in
-#: CORRECTNESS_r03), leaving 37 queries whose newest driver row predates
-#: code they exercise (the round-3 hot-bucket cap, 60-bit simhash, and
-#: one-lambda ANN rewrites) — the judge's round-3 ask #2.  This round
-#: front-loads (a) queries whose OUTPUT or code changed this round (the
-#: scrub gate changed corpus_prep/corpus_funnel results; pack_chunks got
-#: the ROWS-frame duplicate guard), (b) the six round-4 additions, then
-#: (c) all 37 stale rows.  With r3's 50 still green, a green r4 window
-#: closes full-registry driver coverage on current code.  Every demoted
-#: query holds an r3 hash-green row AND a fresh local full-sweep MATCH
-#: (tests/test_oracle.py at sf0.01 on a vanilla session).
+#: Driver-facing ordering.  The per-round correctness check covers the
+#: first 50 registered queries.  Round-7 curation: (a) queries whose
+#: OUTPUT or code changed recently (scrub gate changed corpus_prep /
+#: corpus_funnel; pack_chunks got the ROWS-frame guard), then (b) every
+#: query with NO driver row yet (the 6 earlier round-4 additions + the 13
+#: round-7 additions: extended indicators, ranking, incremental rollup,
+#: OHLC/corr/ranks/unpivot), then (c) stale rows ordered by how much
+#: their code changed after their last driver check (dedup/ANN families
+#: first).  With 106 registered queries the 50-slot window drops
+#: range_join_pairs and the 8 panel_* queries (r2-green, code untouched
+#: since) plus everything r3-hash-green — all of which hold green rows
+#: AND a fresh local full-sweep MATCH (tests/test_oracle.py at sf0.01 on
+#: a vanilla session, run per round).
 _DRIVER_PRIORITY = [
     # (a) output/code changed this round
     "corpus_prep", "corpus_funnel", "seq_packing",

@@ -252,6 +252,41 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "data_quality_report": """
+        SELECT 'not_null:o_custkey' AS check,
+               count(*) FILTER (o_custkey IS NULL) AS n_violations,
+               count(*) AS n_checked
+        FROM orders
+        UNION ALL
+        SELECT 'in_range:value',
+               count(*) FILTER (value IS NOT NULL AND (value < 0.0 OR value > 1000.0)),
+               count(*) FILTER (value IS NOT NULL)
+        FROM events
+        UNION ALL
+        SELECT 'accepted:o_orderstatus',
+               count(*) FILTER (o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O', 'F', 'P')),
+               count(*) FILTER (o_orderstatus IS NOT NULL)
+        FROM orders
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               count(*) - count(DISTINCT o_orderkey),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'ref:l_orderkey',
+               count(*) FILTER (o_orderkey IS NULL),
+               count(*)
+        FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'ref:o_custkey',
+               count(*) FILTER (c IS NULL),
+               count(*)
+        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS c FROM customer) cu
+          ON o_custkey = c
+    """,
+
     "unpivot_close_stats": """
         WITH wide AS (
           SELECT CAST(user_id AS VARCHAR) AS stock_symbol,
@@ -580,6 +615,34 @@ def q_unpivot_close_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table audit (operators/validation.py): null / range /
+    domain / uniqueness / referential checks compiled to conditional
+    aggregates and anti-join counts — the whole report is a handful of
+    map-side-combined jobs with only check-sized rows leaving executors."""
+    from big_data_engineering_financial_analysis_spark.operators.validation import (
+        check_accepted,
+        check_in_range,
+        check_not_null,
+        check_ref_integrity,
+        check_unique,
+        quality_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    return quality_report([
+        check_not_null(orders, "o_custkey"),
+        check_in_range(events, "value", 0.0, 1000.0),
+        check_accepted(orders, "o_orderstatus", ["O", "F", "P"]),
+        check_unique(orders, ["o_orderkey"]),
+        check_ref_integrity(lineitem, "l_orderkey", orders, "o_orderkey"),
+        check_ref_integrity(orders, "o_custkey", customer, "c_custkey"),
+    ])
+
+
 ROLLUP_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -612,6 +675,7 @@ QUERIES = {
     "orders_upsert": q_orders_upsert,
     "incremental_rollup": q_incremental_rollup,
     "unpivot_close_stats": q_unpivot_close_stats,
+    "data_quality_report": q_data_quality_report,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

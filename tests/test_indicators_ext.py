@@ -269,3 +269,21 @@ def test_macd_pandas_bit_identical_to_fold(spark):
         fa, pa, aa = fold[c].to_numpy(), pdas[c].to_numpy(), auto[c].to_numpy()
         assert ((fa == pa) | (np.isnan(fa) & np.isnan(pa))).all(), c
         assert ((fa == aa) | (np.isnan(fa) & np.isnan(aa))).all(), c
+
+
+def test_vwap_obv_null_volume_policy(spark):
+    # corrupt/unparseable volume -> NULL: the bar contributes nothing to
+    # VWAP (sum skips NULLs) and nothing to OBV (signed term is NULL)
+    closes = [10.0, 12.0, 14.0]
+    df = _candles(spark, closes, [2.0, 0.0, 4.0])
+    import pyspark.sql.functions as F
+
+    df = df.withColumn(
+        "volume", F.when(F.col("event_id") == 1, None).otherwise(F.col("volume"))
+    )
+    out = ix.with_vwap_obv(df)
+    vwap, obv = _col(out, "vwap"), _col(out, "obv")
+    assert vwap[0] == 10.0
+    assert vwap[1] == 10.0          # null-volume bar: unchanged
+    assert vwap[2] == pytest.approx((20 + 56) / 6)
+    assert obv == [0.0, 0.0, 4.0]   # null signed term skipped by sum

@@ -103,6 +103,37 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
     )
 
 
+def extract_metadata_arrow(assets: DataFrame) -> DataFrame:
+    """`mapInArrow` twin of :func:`extract_metadata` — operates on raw
+    ``pyarrow.RecordBatch``es with zero pandas materialization.  For
+    binary-heavy columns this skips the Arrow->pandas object-array copy
+    (every payload becomes a Python ``bytes`` under mapInPandas), which is
+    the dominant cost when payloads are megabytes; parity with the pandas
+    path is asserted in tests."""
+    import pyarrow as pa
+
+    def op(batches):
+        for batch in batches:
+            payloads = batch.column("payload").to_pylist()
+            meta = [_decode_payload(p) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("asset_id"),
+                    batch.column("modality"),
+                    pa.array([m[0] for m in meta], pa.int32()),
+                    pa.array([m[1] for m in meta], pa.int32()),
+                    pa.array([m[2] for m in meta], pa.int32()),
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                ],
+                names=["asset_id", "modality", "width", "height", "n_frames", "n_bytes"],
+            )
+
+    return assets.mapInArrow(
+        op,
+        schema="asset_id long, modality string, width int, height int, n_frames int, n_bytes long",
+    )
+
+
 def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
     """Frame sampling: fan each video row out to one row per sampled frame.
 

@@ -21,7 +21,7 @@ sketches instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import hash64
@@ -59,4 +59,46 @@ def salted_agg(
         F.round(F.sum("_sum") / F.sum("_n"), 6).alias("avg_value"),
         F.min("_min").alias("min_value"),
         F.max("_max").alias("max_value"),
+    )
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    n_salts: int = DEFAULT_SALTS,
+    descending: bool = True,
+) -> DataFrame:
+    """Skew-safe top-k per group: two window phases instead of one.
+
+    The naive ``row_number() over (partition by key)`` sorts EVERY row of
+    a hot key on one reducer.  Phase 1 partitions by (key, salt) and keeps
+    each shard's local top-k — correct because a group-global top-k row is
+    necessarily in its shard's top-k (rank only improves when rows are
+    removed).  Phase 2 ranks the surviving ``n_salts * k`` rows per key —
+    reducer input is bounded by salts x k regardless of group size.
+
+    Deterministic: the salt hashes ``tiebreak_col`` (a unique id), and
+    both phases order by (order_col, tiebreak) — so output is identical to
+    the naive plan row-for-row, which the registry asserts by pairing the
+    salted query with the naive oracle.
+    """
+    oc = F.col(order_col)
+    order = [oc.desc() if descending else oc.asc(), F.col(tiebreak_col).asc()]
+    salt = (hash64(F.col(tiebreak_col).cast("string")) % n_salts).alias("_salt")
+
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    local = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("_salt")
     )

@@ -252,6 +252,17 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "salted_topk_orders": """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        FROM ranked WHERE rn <= 3
+    """,
+
     "data_quality_report": """
         SELECT 'not_null:o_custkey' AS check,
                count(*) FILTER (o_custkey IS NULL) AS n_violations,
@@ -643,6 +654,26 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-3 orders per customer
+    (operators/skew.salted_topk_per_group) — paired with the NAIVE
+    single-window oracle to prove the salted plan is result-identical."""
+    from big_data_engineering_financial_analysis_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"], order_col="o_totalprice", k=3,
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "rn",
+    )
+
+
 ROLLUP_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -676,6 +707,7 @@ QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "unpivot_close_stats": q_unpivot_close_stats,
     "data_quality_report": q_data_quality_report,
+    "salted_topk_orders": q_salted_topk_orders,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

@@ -45,3 +45,23 @@ def test_payload_stats_binary_relational(assets):
 def test_decode_rejects_unknown_format():
     with pytest.raises(NotImplementedError):
         mm._decode_payload(b"\x89PNG....")
+
+
+def test_arrow_metadata_matches_pandas_path(spark):
+    from big_data_engineering_financial_analysis_spark.operators.multimodal import (
+        extract_metadata,
+        extract_metadata_arrow,
+        make_fake_assets,
+    )
+
+    assets = make_fake_assets(spark, n=32)
+    a = extract_metadata(assets).toPandas().sort_values("asset_id").reset_index(drop=True)
+    b = (
+        extract_metadata_arrow(assets)
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 32
+    for c in ("asset_id", "modality", "width", "height", "n_frames", "n_bytes"):
+        assert (a[c] == b[c]).all(), c

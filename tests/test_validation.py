@@ -50,3 +50,34 @@ def test_clean_data_zero_violations(spark):
     ]).collect()
     assert all(r["n_violations"] == 0 for r in rep)
     assert all(r["n_checked"] == 2 for r in rep)
+
+
+def test_salted_topk_equals_naive_on_hot_key(spark):
+    from pyspark.sql import Window, functions as F
+
+    from big_data_engineering_financial_analysis_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    # one hot group (1000 rows) + small groups
+    rows = [("hot", i, float((i * 7919) % 500)) for i in range(1000)]
+    rows += [(f"g{j}", 10000 + j * 10 + i, float(i)) for j in range(5) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+
+    got = (
+        salted_topk_per_group(df, ["k"], "v", 3, "id")
+        .toPandas()
+        .sort_values(["k", "rn"])
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+    exp = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .toPandas()
+        .sort_values(["k", "rn"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("k", "id", "v", "rn"):
+        assert (got[c] == exp[c]).all(), c

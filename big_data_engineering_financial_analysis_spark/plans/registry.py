@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.indicators import enrich_auto
@@ -648,7 +648,7 @@ _DRIVER_PRIORITY = [
     "bpe_tokenize", "bpe_packing",
     "macd_12_26", "bollinger_20", "stochastic_14", "vwap_obv",
     "volatility_20", "max_drawdown", "tfidf_top_terms", "bm25_search",
-    "incremental_rollup", "ohlc_bars", "rolling_corr", "rank_functions", "unpivot_close_stats", "data_quality_report", "salted_topk_orders",
+    "incremental_rollup", "ohlc_bars", "rolling_corr", "rank_functions", "unpivot_close_stats", "data_quality_report", "salted_topk_orders", "funnel_analysis", "temporal_split",
     # (c) driver rows older than the code they exercise (r1/r2 rows)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",

@@ -252,6 +252,40 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "funnel_analysis": """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+          GROUP BY e.user_id
+        ),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          GROUP BY e.user_id
+        )
+        SELECT '1:view' AS step, count(*) AS n_users FROM t1
+        UNION ALL
+        SELECT '2:view>click', count(*) FROM t2
+        UNION ALL
+        SELECT '3:view>click>purchase', count(*) FROM t3
+    """,
+    "temporal_split": """
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                    WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+                    ELSE 'test' END AS role,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_symbols,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events GROUP BY role
+    """,
+
     "salted_topk_orders": """
         WITH ranked AS (
           SELECT o_custkey, o_orderkey, o_totalprice,
@@ -674,6 +708,61 @@ def q_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who viewed,
+    then clicked AFTER the first view, then purchased AFTER that click.
+    Each stage is a keyed min-aggregate joined on user — co-partitioned
+    shuffles whose input shrinks every stage (classic funnel pruning)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    def stage(name, frame):
+        return frame.agg(
+            F.lit(name).alias("step"), F.count(F.lit(1)).alias("n_users")
+        )
+    return (
+        stage("1:view", t1)
+        .unionByName(stage("2:view>click", t2))
+        .unionByName(stage("3:view>click>purchase", t3))
+    )
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe time-series split: train strictly before the cutoff,
+    an embargo gap (dropped), test strictly after — the split every
+    walk-forward financial model needs (random splits leak lookahead)."""
+    ev = load_table(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("ts") < "2024-01-20 00:00:00", "train")
+        .when(F.col("ts") < "2024-01-22 00:00:00", "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.withColumn("role", role)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_symbols"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 ROLLUP_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -708,6 +797,8 @@ QUERIES = {
     "unpivot_close_stats": q_unpivot_close_stats,
     "data_quality_report": q_data_quality_report,
     "salted_topk_orders": q_salted_topk_orders,
+    "funnel_analysis": q_funnel_analysis,
+    "temporal_split": q_temporal_split,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

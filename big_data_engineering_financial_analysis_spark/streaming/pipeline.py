@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from big_data_engineering_financial_analysis_spark.streaming.state import (
-    OUT_COLS,
     STATE_DDL,
     SymbolState,
     process_group,

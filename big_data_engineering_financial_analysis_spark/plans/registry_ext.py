@@ -252,6 +252,21 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "cohort_retention": """
+        WITH signup AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        activity AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+          FROM events
+        )
+        SELECT cohort_week, activity_week, count(*) AS n_users
+        FROM signup JOIN activity USING (user_id)
+        WHERE activity_week >= cohort_week
+        GROUP BY cohort_week, activity_week
+    """,
+
     "funnel_analysis": """
         WITH t1 AS (
           SELECT user_id, min(ts) AS t1 FROM events
@@ -763,6 +778,28 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    signup event, counted in every later week they show any activity —
+    two keyed aggregates + one user-keyed join (the classic retention
+    matrix in tall form)."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        signup.join(activity, "user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 ROLLUP_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -799,6 +836,7 @@ QUERIES = {
     "salted_topk_orders": q_salted_topk_orders,
     "funnel_analysis": q_funnel_analysis,
     "temporal_split": q_temporal_split,
+    "cohort_retention": q_cohort_retention,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

@@ -145,9 +145,35 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score spike detection per symbol: |close - mean_20| >
+    3 * stddev_20 over the trailing window EXCLUDING the current row (a
+    self-inclusive window dilutes the spike it is testing).  The anomaly
+    rule every monitoring pipeline starts from; same one-Exchange window
+    family as the indicators."""
+    from pyspark.sql import Window
+
+    c = _candles(spark, sf_dir).drop("volume")
+    w = Window.partitionBy("stock_symbol").orderBy("local_time", "event_id")
+    prior = w.rowsBetween(-20, -1)
+    full = F.count("close").over(prior) >= 20
+    mu = F.when(full, F.avg("close").over(prior))
+    sd = F.when(full, F.stddev_samp("close").over(prior))
+    z = (F.col("close") - mu) / F.nullif(sd, F.lit(0.0))
+    out = (
+        c.withColumn("zscore", F.round(z, 6))
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), (F.abs(z) > 3.0).cast("int")),
+        )
+    )
+    return out.select(*_KEY, "zscore", "is_anomaly")
+
+
 QUERIES = {
     "macd_12_26": q_macd,
     "rank_functions": q_rank_functions,
+    "anomaly_zscore": q_anomaly_zscore,
     "ohlc_bars": q_ohlc_bars,
     "rolling_corr": q_rolling_corr,
     "bollinger_20": q_bollinger,
@@ -181,6 +207,23 @@ bars AS (
 """
 
 ORACLES: dict[str, str] = {
+    "anomaly_zscore": _CANDLES_CTE
+    + """,
+a1 AS (
+  SELECT candles.* EXCLUDE (volume),
+    CASE WHEN count(close) OVER wp >= 20 THEN avg(close) OVER wp END AS mu,
+    CASE WHEN count(close) OVER wp >= 20 THEN stddev_samp(close) OVER wp END AS sd
+  FROM candles
+  WINDOW wp AS (PARTITION BY stock_symbol ORDER BY local_time, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+a2 AS (SELECT a1.*, (close - mu) / nullif(sd, 0) AS z FROM a1)
+SELECT event_id, stock_symbol, local_time, close,
+       round(z, 6) AS zscore,
+       CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.0 AS INT) END AS is_anomaly
+FROM a2
+""",
+
     "rank_functions": _CANDLES_CTE
     + """
 SELECT event_id, stock_symbol, close,

@@ -58,6 +58,18 @@ HEADLINE_FAMILIES = [
     ("events", ["sessionize", "trailing_time_avg"]),
 ]
 
+#: Opt-in extra tier (`SPARK_GRAFT_BENCH_EXTRA=1`): the round-7 families,
+#: benched separately so the default headline total stays comparable to
+#: its round-1 anchor.  Times appear under "extra_queries" in the JSON.
+EXTRA_FAMILIES = [
+    ("tech", ["macd_12_26", "bollinger_20", "vwap_obv", "ohlc_bars",
+              "rank_functions", "anomaly_zscore"]),
+    ("ranking", ["tfidf_top_terms", "bm25_search"]),
+    ("pipeline", ["dedup_paragraph", "bpe_tokenize", "corpus_scrub",
+                  "quality_score", "incremental_rollup",
+                  "data_quality_report"]),
+]
+
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]
 
 #: The canary: a cheap pushed-filter scan + TakeOrdered whose plan has been
@@ -127,23 +139,30 @@ def main() -> None:
         # later, unrelated families (round-2 lesson — see HEADLINE_FAMILIES).
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "canary": {
-                    "query": CANARY,
-                    "baseline_sec": round(canary_base, 3),
-                    "tolerance": CANARY_TOL,
-                    "observations": canary_log,
-                },
-            }
-        )
-    )
+    extra: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTRA"):
+        for family, names in EXTRA_FAMILIES:
+            canary_check(f"pre:extra-{family}")
+            for name in names:
+                extra[name] = round(min(timed(name) for _ in range(2)), 3)
+            spark.catalog.clearCache()
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "canary": {
+            "query": CANARY,
+            "baseline_sec": round(canary_base, 3),
+            "tolerance": CANARY_TOL,
+            "observations": canary_log,
+        },
+    }
+    if extra:
+        payload["extra_queries"] = extra
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -47,3 +47,10 @@ def test_approx_distinct_tracks_exact_twin(spark):
         # the exact p50 interpolates between the two middle ones — at this
         # data shape (value ~ U[0,1000]) they sit within a few percent
         assert abs(ap.approx_p50 - ex.p50) <= 0.1 * max(abs(ex.p50), 1.0)
+
+
+def test_cli_list_and_unknown():
+    from big_data_engineering_financial_analysis_spark.__main__ import main
+
+    assert main(["--list"]) == 0
+    assert main(["no_such_query"]) == 2

@@ -51,8 +51,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         else:
-            df.show(args.limit, truncate=False)
-            print(f"({df.count()} rows total)")
+            # one execution only: collect limit+1 to know whether rows
+            # were truncated without a second full run for an exact count
+            rows = df.limit(args.limit + 1).collect()
+            shown = rows[: args.limit]
+            spark.createDataFrame(shown, df.schema).show(
+                args.limit, truncate=False
+            )
+            more = " (more rows exist)" if len(rows) > args.limit else ""
+            print(f"(showing {len(shown)} rows{more})")
     finally:
         spark.stop()
     return 0

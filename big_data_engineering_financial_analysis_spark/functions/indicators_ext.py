@@ -99,6 +99,7 @@ def macd_pandas(
     fast: int = 12,
     slow: int = 26,
     signal: int = 9,
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """MACD via per-key Arrow-batched pandas — O(history) per key, the
     long-history scale path (the HOF fold re-reduces the whole prefix per
@@ -116,8 +117,13 @@ def macd_pandas(
         "macd double, macd_signal double, macd_hist double"
     )
 
+    # match the fold's (time, id) ordering: the default quicksort is
+    # UNSTABLE, so a bare time sort is nondeterministic under timestamp
+    # ties and would break the bit-identical contract with with_macd
+    sort_keys = [time_col] + ([id_col] if id_col else [])
+
     def compute(pdf):
-        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        pdf = pdf.sort_values(sort_keys, kind="stable").reset_index(drop=True)
         close = pdf[close_col]
         pdf[f"ema_{fast}"] = close.ewm(
             span=fast, adjust=False, min_periods=fast
@@ -156,7 +162,7 @@ def macd_auto(
         .first()[0]
     )
     if longest is not None and longest > fold_limit:
-        return macd_pandas(df, symbol_col, time_col, close_col)
+        return macd_pandas(df, symbol_col, time_col, close_col, id_col=id_col)
     return with_macd(df, symbol_col, time_col, id_col, close_col)
 
 

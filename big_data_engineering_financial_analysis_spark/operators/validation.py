@@ -49,13 +49,24 @@ def check_accepted(df: DataFrame, col: str, values: list) -> DataFrame:
 
 
 def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Violations = rows in excess of one per key group (count - distinct)."""
+    """Violations = rows in excess of one per fully-non-NULL key group.
+
+    ``count_distinct`` drops rows with a NULL in any key column, so the
+    excess must be computed against the same population — otherwise every
+    NULL-keyed row would be misreported as a duplicate (SQL semantics: a
+    NULL key is not equal to anything, including itself; pair it with
+    :func:`check_not_null` to police NULL keys separately)."""
+    keyed = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        keyed = cond if keyed is None else (keyed & cond)
     return df.agg(
         F.lit(f"unique:{','.join(cols)}").alias("check"),
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])).alias(
-            "n_violations"
-        ),
-        F.count(F.lit(1)).alias("n_checked"),
+        (
+            F.sum(keyed.cast("long"))
+            - F.count_distinct(*[F.col(c) for c in cols])
+        ).alias("n_violations"),
+        F.sum(keyed.cast("long")).alias("n_checked"),
     )
 
 

@@ -631,15 +631,17 @@ ORACLES.update(_rank.ORACLES)
 #: first 50 registered queries.  Round-7 curation: (a) queries whose
 #: OUTPUT or code changed recently (scrub gate changed corpus_prep /
 #: corpus_funnel; pack_chunks got the ROWS-frame guard), then (b) every
-#: query with NO driver row yet (the 6 earlier round-4 additions + the 13
-#: round-7 additions: extended indicators, ranking, incremental rollup,
-#: OHLC/corr/ranks/unpivot), then (c) stale rows ordered by how much
-#: their code changed after their last driver check (dedup/ANN families
-#: first).  With 106 registered queries the 50-slot window drops
-#: range_join_pairs and the 8 panel_* queries (r2-green, code untouched
-#: since) plus everything r3-hash-green — all of which hold green rows
-#: AND a fresh local full-sweep MATCH (tests/test_oracle.py at sf0.01 on
-#: a vanilla session, run per round).
+#: query with NO driver row yet (the 6 earlier round-4 additions + the
+#: 19 round-7 additions: extended indicators, ranking, OHLC/corr/ranks,
+#: unpivot, incremental rollup, validation, salted top-k, funnel,
+#: temporal split, anomaly, cohort), then (c) stale rows ordered by how
+#: much their code changed after their last driver check (dedup/ANN
+#: families first).  With 112 registered queries the 50-slot window
+#: drops pricing_cube / lstm_dataset / nation_customer_orders /
+#: salted_event_stats / range_join_pairs and the 8 panel_* queries
+#: (r2-green, code untouched since) plus everything r3-hash-green — all
+#: of which hold green rows AND a fresh local full-sweep MATCH
+#: (tests/test_oracle.py at sf0.01 on a vanilla session, run per round).
 _DRIVER_PRIORITY = [
     # (a) output/code changed this round
     "corpus_prep", "corpus_funnel", "seq_packing",

@@ -330,8 +330,8 @@ ORACLES: dict[str, str] = {
         FROM orders
         UNION ALL
         SELECT 'unique:o_orderkey',
-               count(*) - count(DISTINCT o_orderkey),
-               count(*)
+               count(o_orderkey) - count(DISTINCT o_orderkey),
+               count(o_orderkey)
         FROM orders
         UNION ALL
         SELECT 'ref:l_orderkey',

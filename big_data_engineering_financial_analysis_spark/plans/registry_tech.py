@@ -350,7 +350,11 @@ SELECT event_id, stock_symbol, local_time, close, volume,
        -- frame accumulates row-by-row in sort order while DuckDB's windowed
        -- SUM may tree-aggregate — the ulp difference flips 6-dp rounding on
        -- ~1e-4 of rows.  The fold reproduces Spark's FP addition order.
-       round(list_reduce(list(close * volume) OVER wh, (a, x) -> a + x)
+       -- FILTER mirrors Spark's NULL-skipping sum: one NULL volume would
+       -- otherwise NULL-poison the fold for every subsequent row
+       round(list_reduce(list(close * volume)
+                           FILTER (close * volume IS NOT NULL) OVER wh,
+                         (a, x) -> a + x)
              / nullif(sum(volume) OVER wh, 0), 6) AS vwap,
        round(sum(CASE WHEN delta > 0 THEN volume
                       WHEN delta < 0 THEN -volume

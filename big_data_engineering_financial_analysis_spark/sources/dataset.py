@@ -57,15 +57,25 @@ def compact_dataset(
 
     Streaming sinks append one small file per micro-batch per partition;
     at 100 TB that rots scans with file-open overhead and dead row-group
-    stats.  Compaction = read -> recluster -> atomic swap: the rewrite
-    lands in a side directory and replaces the live one with two renames,
-    so readers never observe a half-written dataset (single-writer
-    assumption, same as any filesystem-table compactor without a real
-    table format underneath).
+    stats.  Compaction = read -> recluster -> swap.  Plain directories
+    offer no single atomic swap, so the protocol is two renames with a
+    crash-recovery prefix instead (single-writer assumption, like any
+    filesystem-table compactor without a real table format underneath):
+
+    * normal: stage rewrite -> rename live aside -> rename stage in ->
+      delete the aside copy.  Readers see either the old or new dataset
+      except during the instant between the renames; a reader in that
+      window gets path-not-found and should retry (never partial data).
+    * crash between the renames leaves only ``<path>._pre_compact``;
+      the next call (or any caller of :func:`recover_compaction`)
+      restores it before doing anything else.
+    * crash after the second rename leaves a stale aside copy; it is
+      deleted on the next call.
     """
     import shutil
     import tempfile
 
+    recover_compaction(path)
     parent = os.path.dirname(os.path.abspath(path))
     tmp = tempfile.mkdtemp(prefix="_compact_", dir=parent)
     staged = os.path.join(tmp, "data")
@@ -79,6 +89,22 @@ def compact_dataset(
     os.rename(staged, path)
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def recover_compaction(path: str) -> None:
+    """Heal a crashed :func:`compact_dataset` run.
+
+    Only-aside-exists -> the crash hit between the two renames: restore
+    the aside copy as live.  Both-exist -> the crash hit after the swap:
+    the aside copy is superseded, delete it."""
+    import shutil
+
+    old = path + "._pre_compact"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
 
 
 def read_dataset(spark: SparkSession, path: str) -> DataFrame:

@@ -80,6 +80,19 @@ class RollupSink:
             os.path.join(self.path, f"v{version}")
         )
         self._commit(epoch_id, version)
+        self._prune(keep_from=version - 1)
+
+    def _prune(self, keep_from: int) -> None:
+        """Delete snapshots older than ``keep_from`` — a resident stream
+        would otherwise accumulate one full copy of the partial table per
+        micro-batch.  The previous version is kept so a reader holding the
+        old pointer (or a crash mid-commit) never dangles."""
+        import shutil
+
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) < keep_from:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
 
 def maintain_rollup(

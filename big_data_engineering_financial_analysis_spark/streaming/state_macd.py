@@ -104,8 +104,10 @@ def process_group(
 ) -> pd.DataFrame:
     """Run :func:`step` over one symbol's rows in event-time order
     (micro-batches arrive unsorted); returns input columns + MACD columns
-    with NaN for not-yet-warm values (NULL once back in Spark)."""
-    pdf = pdf.sort_values(time_col)
+    with NaN for not-yet-warm values (NULL once back in Spark).  The sort
+    is stable so tie-breaking among equal timestamps follows arrival
+    order deterministically (first-writer-wins drops the later ones)."""
+    pdf = pdf.sort_values(time_col, kind="stable")
     out_rows = []
     for row in pdf.itertuples(index=False):
         d = row._asdict()

@@ -246,7 +246,7 @@ def enrich_pandas(
     out_schema = f"{out_fields}, {enriched_ddl_suffix()}"
 
     def compute(pdf):
-        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        pdf = pdf.sort_values(time_col, kind="stable").reset_index(drop=True)
         close = pdf[close_col]
         pdf["sma_5"] = close.rolling(window=SMA_WINDOW).mean()
         pdf["ema_10"] = close.ewm(span=EMA_SPAN, adjust=False, min_periods=EMA_SPAN).mean()

@@ -71,7 +71,7 @@ def pack_stream(
         # longs), so concatenate everything first and sort once.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id", kind="stable")
             for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
                 n = int(n)
                 if n <= 0:

@@ -183,7 +183,7 @@ def step(state: SymbolState, close: float, time_us: int) -> dict | None:
 
 def process_group(state: SymbolState, pdf: pd.DataFrame, time_col: str, close_col: str) -> pd.DataFrame:
     """Run :func:`step` over one key's micro-batch rows in event-time order."""
-    pdf = pdf.sort_values(time_col)
+    pdf = pdf.sort_values(time_col, kind="stable")
     out_rows = []
     for row in pdf.itertuples(index=False):
         d = row._asdict()

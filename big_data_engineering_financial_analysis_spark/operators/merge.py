@@ -164,3 +164,31 @@ def scd2_apply(
         .unionByName(new_versions)
         .unionByName(inserts)
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row matched to the dimension version
+    valid at the fact's timestamp (``valid_from <= ts < valid_to``, open
+    current version has NULL valid_to).
+
+    This is THE correctness guarantee SCD2 exists for — joining facts to
+    the current dim silently rewrites history (training-data leakage /
+    restated reports).  Physically it is an equi-join on the dim key with
+    a residual range predicate: shuffle keyed on the join key, at most
+    |versions-per-key| candidates per fact row, never a cartesian.
+    """
+    cond = (
+        (facts[fact_key] == dim[dim_key])
+        & (facts[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    return facts.join(dim, cond, how)

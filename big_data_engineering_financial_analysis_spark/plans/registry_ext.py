@@ -252,6 +252,35 @@ def _panel_oracle(panel: str) -> str:
 _GAP_US = analytics_ext.SESSION_GAP_MIN * 60 * 1_000_000
 
 ORACLES: dict[str, str] = {
+    "scd2_pit_join": """
+        WITH dim AS (
+          SELECT s_suppkey, s_acctbal,
+                 TIMESTAMP '1995-01-01' AS valid_from,
+                 CAST(NULL AS TIMESTAMP) AS valid_to
+          FROM supplier WHERE s_suppkey % 5 <> 0
+          UNION ALL
+          SELECT s_suppkey, s_acctbal,
+                 TIMESTAMP '1995-01-01', TIMESTAMP '1996-06-01'
+          FROM supplier WHERE s_suppkey % 5 = 0
+          UNION ALL
+          SELECT s_suppkey, s_acctbal + 100.0,
+                 TIMESTAMP '1996-06-01', CAST(NULL AS TIMESTAMP)
+          FROM supplier WHERE s_suppkey % 5 = 0
+        ),
+        facts AS (
+          SELECT l_suppkey, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT year(o_orderdate) AS yr, count(*) AS n,
+               round(sum(s_acctbal), 2) AS sum_bal,
+               count(DISTINCT s_suppkey) AS n_suppliers
+        FROM facts JOIN dim
+          ON l_suppkey = s_suppkey
+         AND o_orderdate >= valid_from
+         AND (valid_to IS NULL OR o_orderdate < valid_to)
+        GROUP BY yr
+    """,
+
     "cohort_retention": """
         WITH signup AS (
           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -800,6 +829,30 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact lookup against the SCD2 supplier dim: each
+    lineitem joins the supplier VERSION valid at its order date, so the
+    +100 balance restatement after 1996-06-01 shows only in later years
+    (operators/merge.pit_join — the anti-leakage join SCD2 exists for)."""
+    from big_data_engineering_financial_analysis_spark.operators.merge import pit_join
+
+    dim = q_supplier_scd2(spark, sf_dir)
+    facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    j = pit_join(facts, dim, "l_suppkey", "s_suppkey", "o_orderdate")
+    return j.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+        F.count_distinct("s_suppkey").alias("n_suppliers"),
+    )
+
+
 ROLLUP_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -837,6 +890,7 @@ QUERIES = {
     "funnel_analysis": q_funnel_analysis,
     "temporal_split": q_temporal_split,
     "cohort_retention": q_cohort_retention,
+    "scd2_pit_join": q_scd2_pit_join,
     "supplier_scd2": q_supplier_scd2,
     "order_priority_check": q_order_priority_check,
     "customers_without_orders": q_customers_without_orders,

@@ -124,3 +124,38 @@ def test_scd2_rejects_bad_changes_batch(spark):
     nullkey = spark.createDataFrame([(None, "y")], "id long, attr string")
     with pytest.raises(ValueError, match="NULL merge key"):
         scd2_apply(dim, nullkey, "id", ["attr"], "2022-06-01")
+
+
+def test_pit_join_version_boundaries(spark):
+    import datetime as dt
+
+    from big_data_engineering_financial_analysis_spark.operators.merge import pit_join
+
+    cut = dt.datetime(1996, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, 100.0, dt.datetime(1995, 1, 1), cut),
+            (1, 200.0, cut, None),
+        ],
+        "k int, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, dt.datetime(1996, 5, 31)),   # strictly before cut -> v1
+            (1, cut),                        # AT the boundary -> v2 (>=)
+            (1, dt.datetime(1997, 1, 1)),    # after -> v2
+            (2, dt.datetime(1996, 1, 1)),    # unknown key -> dropped (inner)
+        ],
+        "k int, ts timestamp",
+    )
+    got = sorted(
+        (r["ts"], r["bal"])
+        for r in pit_join(facts, dim, "k", "k", "ts").collect()
+    )
+    assert got == [
+        (dt.datetime(1996, 5, 31), 100.0),
+        (cut, 200.0),
+        (dt.datetime(1997, 1, 1), 200.0),
+    ]
+    # each fact matches EXACTLY one version (intervals partition time)
+    assert len(got) == 3

@@ -122,3 +122,23 @@ def vocab_topk(
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    equal to ``weight_col`` (in [0, 1]) — the corpus-balancing primitive
+    ("sample high-quality documents more") behind quality-weighted data
+    mixes.
+
+    The coin is a keyed hash mapped to a uniform ``u`` in [0, 1): 13 hex
+    digits = 52 bits, below 2^53, so the long -> double conversion is
+    EXACT and both engines compare identical values.  Zero shuffle, zero
+    RNG state: reproducible across runs, appends, and repartitions, and
+    monotone in the weight (raising a doc's weight can only keep it)."""
+    u = hash64(F.col(key_col).cast("string"), salt, 13) / F.lit(float(16**13))
+    return df.withColumn("u", u).filter(F.col("u") < F.col(weight_col))

@@ -1576,6 +1576,47 @@ ORACLES["corpus_funnel"] = ORACLES["corpus_prep"].replace(
           FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
 )
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted importance sampling over documents: keep each doc
+    with probability = its (rounded) quality score, via an exact keyed-
+    hash uniform (operators/sampling.weighted_sample) — zero shuffle,
+    reproducible, monotone in the weight."""
+    from big_data_engineering_financial_analysis_spark.operators.sampling import weighted_sample
+    from big_data_engineering_financial_analysis_spark.operators.text import with_quality
+
+    docs = with_quality(load_table(spark, sf_dir, "documents"))
+    out = weighted_sample(docs, "quality_score")
+    return out.select(
+        "doc_id", "quality_score", F.round("u", 6).alias("u")
+    )
+
+
+ORACLES["weighted_sample"] = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(t, x -> x IN ({_EN}))) AS DOUBLE) AS stop,
+         CAST(len(t) AS DOUBLE) AS n_tokens,
+         n_chars, punct
+  FROM (
+    SELECT doc_id, {_TOKS} AS t,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '{text.PUNCT_RE}', '', 'g')) AS DOUBLE) AS punct
+    FROM documents)
+),
+scored AS (
+  SELECT doc_id,
+         round(least(1.0, n_tokens / 100.0) * 0.5
+               + coalesce(stop / nullif(n_tokens, 0.0), 0.0) * 0.3
+               + (1.0 - coalesce(punct / nullif(n_chars, 0.0), 0.0)) * 0.2, 6)
+           AS quality_score,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 13))::BIGINT
+           / 4503599627370496.0 AS u
+  FROM q
+)
+SELECT doc_id, quality_score, round(u, 6) AS u
+FROM scored WHERE u < quality_score
+"""
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
     "corpus_prep": q_corpus_prep,
@@ -1584,6 +1625,7 @@ QUERIES = {
     "cap_per_lang": q_cap_per_lang,
     "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,
+    "weighted_sample": q_weighted_sample,
     "text_repetition": q_text_repetition,
     "corpus_scrub": q_corpus_scrub,
     "quality_score": q_quality_score,

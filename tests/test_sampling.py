@@ -75,3 +75,30 @@ def test_downsample_groups_nested_and_stable(spark):
         for r in sampling.downsample_groups(sub, "lang", {"en": 0.3}, "doc_id").collect()
     }
     assert keep30_sub == {i for i in keep30 if i < 200}
+
+
+def test_weighted_sample_monotone_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 0.3) for i in range(500)] + [(1000 + i, 0.9) for i in range(500)],
+        "doc_id long, w double",
+    )
+    kept = weighted_sample(docs, "w").toPandas()
+    lo = (kept["doc_id"] < 1000).sum()
+    hi = (kept["doc_id"] >= 1000).sum()
+    # keep rates track the weights (binomial, wide tolerance)
+    assert 100 <= lo <= 210, lo
+    assert 400 <= hi <= 490, hi
+    # weight 0 keeps nothing, weight 1 keeps everything (u < 1 strictly)
+    none = weighted_sample(docs.withColumn("w", F.lit(0.0)), "w").count()
+    everything = weighted_sample(docs.withColumn("w", F.lit(1.0)), "w").count()
+    assert none == 0 and everything == 1000
+    # monotone: raising every weight keeps a superset
+    more = weighted_sample(docs.withColumn("w", F.col("w") + 0.05), "w").toPandas()
+    assert set(kept["doc_id"]) <= set(more["doc_id"])
+    # reproducible across repartitions
+    again = weighted_sample(docs.repartition(7), "w").toPandas()
+    assert set(again["doc_id"]) == set(kept["doc_id"])

@@ -179,3 +179,52 @@ def test_tws_enrich_matches_batch(spark, tmp_path):
             s[c].to_numpy(dtype=float), e[c].to_numpy(dtype=float), err_msg=c
         )
     assert (s["signal"] == e["signal"]).all()
+
+
+def test_enrich_stream_on_rocksdb_state_store(spark, tmp_path):
+    """The keyed-state pipeline on the RocksDB state store provider —
+    the larger-than-heap state backend a 100 TB stream needs (HDFS-backed
+    in-memory maps OOM once key cardinality x state size outgrows the
+    executor heap).  Same results as the default provider."""
+    from big_data_engineering_financial_analysis_spark.schemas import CANDLE_SCHEMA
+    from big_data_engineering_financial_analysis_spark.sources import feeder
+    from big_data_engineering_financial_analysis_spark.streaming.pipeline import enrich_stream
+
+    src = str(tmp_path / "src")
+    full = feeder.feed_parquet_batches(spark, src, n_batches=2, minutes_per_batch=10)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(CANDLE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            enrich_stream(stream)
+            .writeStream.format("memory")
+            .queryName("rocks_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = spark.sql("SELECT count(*) c FROM rocks_out").first()["c"]
+    assert got == full.dropDuplicates(["stock_symbol", "local_time"]).count()
+    # spot-check an enriched value exists (state machine actually ran)
+    sample = spark.sql(
+        "SELECT * FROM rocks_out WHERE sma_5 IS NOT NULL LIMIT 1"
+    ).collect()
+    assert sample

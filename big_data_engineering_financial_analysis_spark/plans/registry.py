@@ -650,7 +650,7 @@ _DRIVER_PRIORITY = [
     "bpe_tokenize", "bpe_packing",
     "macd_12_26", "bollinger_20", "stochastic_14", "vwap_obv",
     "volatility_20", "max_drawdown", "tfidf_top_terms", "bm25_search",
-    "incremental_rollup", "ohlc_bars", "rolling_corr", "rank_functions", "unpivot_close_stats", "data_quality_report", "salted_topk_orders", "funnel_analysis", "temporal_split", "anomaly_zscore", "cohort_retention", "scd2_pit_join", "weighted_sample",
+    "incremental_rollup", "ohlc_bars", "rolling_corr", "rank_functions", "unpivot_close_stats", "data_quality_report", "salted_topk_orders", "funnel_analysis", "temporal_split", "anomaly_zscore", "cohort_retention", "scd2_pit_join", "weighted_sample", "robust_anomaly",
     # (c) driver rows older than the code they exercise (r1/r2 rows)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",

@@ -170,10 +170,64 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*_KEY, "zscore", "is_anomaly")
 
 
+def q_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD (robust) anomaly flags: modified z-score 0.6745 *
+    (close - median_20) / MAD_20 over the PRIOR 20 rows, |z| > 3.5
+    (Iglewicz-Hoaglin).  Spark has no framed-window median, so the window
+    collects a sorted array and the median/MAD are row-local array
+    expressions — exact, engine-mirrorable, and immune to the mean/stddev
+    masking that motivates robust statistics in the first place."""
+    from pyspark.sql import Window
+
+    c = _candles(spark, sf_dir).drop("volume")
+    w = Window.partitionBy("stock_symbol").orderBy("local_time", "event_id")
+    prior = w.rowsBetween(-20, -1)
+
+    def arr_median(arr):
+        n = F.size(arr)
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    c = c.withColumn(
+        "__arr",
+        F.when(
+            F.count("close").over(prior) >= 20,
+            F.array_sort(F.collect_list("close").over(prior)),
+        ),
+    )
+    med = arr_median(F.col("__arr"))
+    c = c.withColumn("med", med).withColumn(
+        "mad",
+        arr_median(
+            F.array_sort(
+                F.transform(F.col("__arr"), lambda x: F.abs(x - F.col("med")))
+            )
+        ),
+    )
+    z = F.lit(0.6745) * (F.col("close") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
+    out = (
+        c.withColumn("robust_z", F.round(z, 6))
+        .withColumn(
+            "is_anomaly", F.when(z.isNotNull(), (F.abs(z) > 3.5).cast("int"))
+        )
+    )
+    return out.select(
+        *_KEY, F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        "robust_z", "is_anomaly",
+    )
+
+
 QUERIES = {
     "macd_12_26": q_macd,
     "rank_functions": q_rank_functions,
     "anomaly_zscore": q_anomaly_zscore,
+    "robust_anomaly": q_robust_anomaly,
     "ohlc_bars": q_ohlc_bars,
     "rolling_corr": q_rolling_corr,
     "bollinger_20": q_bollinger,
@@ -207,6 +261,44 @@ bars AS (
 """
 
 ORACLES: dict[str, str] = {
+    "robust_anomaly": _CANDLES_CTE
+    + """,
+r1 AS (
+  SELECT candles.* EXCLUDE (volume),
+    CASE WHEN count(close) OVER wp >= 20
+         THEN list_sort(list(close) OVER wp) END AS arr
+  FROM candles
+  WINDOW wp AS (PARTITION BY stock_symbol ORDER BY local_time, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+r2 AS (
+  SELECT r1.*,
+    CASE WHEN len(arr) % 2 = 1 THEN arr[CAST((len(arr) + 1) / 2 AS INT)]
+         ELSE (arr[CAST(len(arr) / 2 AS INT)]
+               + arr[CAST(len(arr) / 2 + 1 AS INT)]) / 2.0 END AS med
+  FROM r1
+),
+r3 AS (
+  SELECT r2.*, list_sort(list_transform(arr, x -> abs(x - med))) AS dev
+  FROM r2
+),
+r4 AS (
+  SELECT r3.*,
+    CASE WHEN len(dev) % 2 = 1 THEN dev[CAST((len(dev) + 1) / 2 AS INT)]
+         ELSE (dev[CAST(len(dev) / 2 AS INT)]
+               + dev[CAST(len(dev) / 2 + 1 AS INT)]) / 2.0 END AS mad
+  FROM r3
+),
+r5 AS (
+  SELECT r4.*, 0.6745 * (close - med) / nullif(mad, 0.0) AS z FROM r4
+)
+SELECT event_id, stock_symbol, local_time, close,
+       round(med, 6) AS med, round(mad, 6) AS mad,
+       round(z, 6) AS robust_z,
+       CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.5 AS INT) END AS is_anomaly
+FROM r5
+""",
+
     "anomaly_zscore": _CANDLES_CTE
     + """,
 a1 AS (

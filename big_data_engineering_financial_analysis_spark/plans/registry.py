@@ -634,11 +634,14 @@ ORACLES.update(_rank.ORACLES)
 #: query with NO driver row yet (the 6 earlier round-4 additions + the
 #: 19 round-7 additions: extended indicators, ranking, OHLC/corr/ranks,
 #: unpivot, incremental rollup, validation, salted top-k, funnel,
-#: temporal split, anomaly, cohort), then (c) stale rows ordered by how
-#: much their code changed after their last driver check (dedup/ANN
-#: families first).  With 112 registered queries the 50-slot window
-#: drops pricing_cube / lstm_dataset / nation_customer_orders /
-#: salted_event_stats / range_join_pairs and the 8 panel_* queries
+#: temporal split, anomaly, cohort, PIT join, weighted sample, robust
+#: anomaly), then (c) stale rows ordered by how much their code changed
+#: after their last driver check (dedup/ANN families first).  With 115
+#: registered queries the 50-slot window drops orders_upsert /
+#: supplier_scd2 (whose scd2_apply code path the in-window scd2_pit_join
+#: still exercises) plus pricing_cube / lstm_dataset /
+#: nation_customer_orders / salted_event_stats / range_join_pairs and
+#: the 8 panel_* queries
 #: (r2-green, code untouched since) plus everything r3-hash-green — all
 #: of which hold green rows AND a fresh local full-sweep MATCH
 #: (tests/test_oracle.py at sf0.01 on a vanilla session, run per round).

@@ -336,11 +336,67 @@ def rolling_corr(
     on the identical FP expression — Spark's and DuckDB's native corr use
     different co-moment recurrences.  Degenerate windows (either side
     constant) yield NULL via the nullif guard.
+
+    SCOPE: one aligned pair — the window is deliberately global
+    (unpartitioned) because the output IS one series; fine for the
+    single-pair contract, but do not feed many pairs through it.  For a
+    correlation matrix use :func:`rolling_corr_pairs`, whose window is
+    keyed on the pair.
     """
     x = bars_x.select(time_col, F.col(close_col).alias("x"))
     y = bars_y.select(time_col, F.col(close_col).alias("y"))
     j = x.join(y, time_col)
     w = Window.orderBy(time_col).rowsBetween(-(window - 1), 0)
+    n = F.count("x").over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return j.withColumn(
+        "corr",
+        F.when(n >= window, num / F.nullif(den, F.lit(0.0))),
+    )
+
+
+def rolling_corr_pairs(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    close_col: str = "close",
+    window: int = 20,
+) -> DataFrame:
+    """Rolling Pearson correlation for EVERY symbol pair — the
+    correlation-matrix generalization of :func:`rolling_corr` (which
+    serves the single-pair contract and therefore lives on one global
+    window).
+
+    Pairs come from a self-join of the bar frame on ``time_col`` with
+    ``sym_x < sym_y`` (each unordered pair once); the rolling window is
+    PARTITIONED BY the pair, so at scale every pair's series sorts and
+    folds on its own reducer — no global single-reducer sort anywhere.
+    The explicit-sums formulation and NULL/degenerate-window semantics
+    are identical to :func:`rolling_corr`.
+
+    Scale: the time-equi-join shuffles on ``time_col``; the window
+    shuffles on the pair key.  Output is |pairs| x |buckets| — for a
+    universe of S symbols that is S²/2 series, which is the point: the
+    work is embarrassingly parallel over pairs, bounded per-reducer by
+    one series' length.
+    """
+    x = bars.select(
+        F.col(symbol_col).alias("sym_x"), time_col, F.col(close_col).alias("x")
+    )
+    y = bars.select(
+        F.col(symbol_col).alias("sym_y"), time_col, F.col(close_col).alias("y")
+    )
+    j = x.join(y, time_col).filter(F.col("sym_x") < F.col("sym_y"))
+    w = (
+        Window.partitionBy("sym_x", "sym_y")
+        .orderBy(time_col)
+        .rowsBetween(-(window - 1), 0)
+    )
     n = F.count("x").over(w)
     sx, sy = F.sum("x").over(w), F.sum("y").over(w)
     sxx = F.sum(F.col("x") * F.col("x")).over(w)

@@ -49,9 +49,13 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def bpe_pieces(text: Column) -> Column:
+def bpe_pieces(text: Column, merges: list[tuple[str, str]] | None = None) -> Column:
     """Array of BPE pieces for a text column (lowercase whitespace
-    pre-tokenizer, then per-word merge application — see module doc)."""
+    pre-tokenizer, then per-word merge application — see module doc).
+    ``merges`` defaults to :data:`BPE_MERGES`; pass the output of
+    :func:`learn_merges` to apply a corpus-learned vocabulary."""
+    if merges is None:
+        merges = BPE_MERGES
 
     def word_pieces(w: Column) -> Column:
         s = F.concat(
@@ -59,7 +63,7 @@ def bpe_pieces(text: Column) -> Column:
             F.trim(F.regexp_replace(w, "(.)", "$1 ")),
             F.lit(" "),
         )
-        for x, y in BPE_MERGES:
+        for x, y in merges:
             pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
             s = F.replace(F.replace(s, pat, rep), pat, rep)
         return F.split(F.trim(s), " ")
@@ -67,11 +71,13 @@ def bpe_pieces(text: Column) -> Column:
     return F.flatten(F.transform(tokens(F.lower(text)), word_pieces))
 
 
-def duck_bpe_pieces(expr: str) -> str:
+def duck_bpe_pieces(expr: str, merges: list[tuple[str, str]] | None = None) -> str:
     """DuckDB SQL twin of :func:`bpe_pieces` over a text expression —
     generated from the SAME merge table so the two can never drift."""
+    if merges is None:
+        merges = BPE_MERGES
     s = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
-    for x, y in BPE_MERGES:
+    for x, y in merges:
         pat, rep = f" {x} {y} ", f" {x}{y} "
         s = f"replace({s}, '{pat}', '{rep}')"
         s = f"replace({s}, '{pat}', '{rep}')"
@@ -80,3 +86,138 @@ def duck_bpe_pieces(expr: str) -> str:
         f"string_split_regex(trim(lower({expr})), '\\s+'), "
         f"w -> string_split(trim({s}), ' ')))"
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary LEARNING (Sennrich et al. 2016, the other half of the story)
+# ---------------------------------------------------------------------------
+
+
+def learn_merges(df, text_col: str = "text", n_merges: int = 8):
+    """Learn a BPE merge table from a corpus — classic Sennrich et al.
+    2016: start from characters, repeatedly merge the most frequent
+    adjacent symbol pair.
+
+    Distribution story: the only corpus-scale job is the initial word
+    count (one explode + one shuffle).  Everything after runs on the
+    VOCABULARY — a model-sized frame (distinct words x frequencies) that
+    stays distributed but is orders of magnitude smaller than the corpus,
+    exactly how production BPE trainers work.  Each iteration is one
+    pair-count aggregation over the vocab plus a 1-row ``limit(1)``
+    collect (the argmax — model-sized by design, like the k-means partial
+    collect in ``similarity.ivf_refit_centroids``).
+
+    Determinism: argmax tie-break is (count DESC, pair ASC) — a pure
+    function of the data.  The merge rewrite is the SAME two-pass
+    left-to-right ``replace`` the apply path uses (module doc), so a
+    table learned here and applied with :func:`bpe_pieces` round-trips
+    exactly, and the unrolled SQL oracle (:func:`duck_bpe_learn`)
+    executes the identical algorithm stage by stage.
+
+    Returns ``(merges, counts)``: the ordered ``[(left, right), ...]``
+    list (feed to :func:`bpe_pieces`) and the pair frequency at each
+    selection.
+    """
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
+
+    wc = (
+        spread(df)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spaced = wc.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    ).persist()
+    merges: list[tuple[str, str]] = []
+    counts: list[int] = []
+    try:
+        for _ in range(n_merges):
+            syms = F.split(F.trim(F.col("s")), " ")
+            # guard: Spark sequence(1, 0) is DESCENDING, not empty
+            prs = F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat(
+                        F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            top = (
+                spaced.select(F.explode(prs).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+            x, y = pair.split(" ")
+            merges.append((x, y))
+            counts.append(cnt)
+            pat, rep = F.lit(f" {x} {y} "), F.lit(f" {x}{y} ")
+            nxt = spaced.select(
+                F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+                "freq",
+            ).persist()
+            nxt.count()
+            spaced.unpersist()
+            spaced = nxt
+    finally:
+        spaced.unpersist()
+    return merges, counts
+
+
+def duck_bpe_learn(n_merges: int = 8, table: str = "documents") -> str:
+    """Unrolled DuckDB SQL twin of :func:`learn_merges`: one CTE stage per
+    merge (pair-count -> argmax -> two-pass replace), generated by the
+    same loop so the algorithms cannot drift.  Output: (merge_rank,
+    left_sym, right_sym, cnt), one row per learned merge."""
+    sql = f"""
+        WITH wc AS MATERIALIZED (
+          SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM {table})
+          WHERE word != '' GROUP BY word
+        ),
+        w0 AS MATERIALIZED (
+          SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS s,
+                 freq
+          FROM wc
+        )"""
+    for r in range(n_merges):
+        sql += f""",
+        p{r} AS MATERIALIZED (
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(sy) >= 2
+                     THEN list_transform(generate_series(1, len(sy) - 1),
+                                         i -> sy[i] || ' ' || sy[i+1])
+                     ELSE []::VARCHAR[] END) AS pair, freq
+            FROM (SELECT string_split(trim(s), ' ') AS sy, freq FROM w{r}))
+          GROUP BY pair
+        ),
+        b{r} AS MATERIALIZED (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+        w{r + 1} AS MATERIALIZED (
+          SELECT replace(replace(s,
+                   ' ' || (SELECT pair FROM b{r}) || ' ',
+                   ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' '),
+                   ' ' || (SELECT pair FROM b{r}) || ' ',
+                   ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ') AS s,
+                 freq
+          FROM w{r}
+        )"""
+    sql += "\n        " + "\n        UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, string_split(pair, ' ')[1] AS left_sym,"
+        f" string_split(pair, ' ')[2] AS right_sym, cnt FROM b{r}"
+        for r in range(n_merges)
+    )
+    return sql

@@ -128,6 +128,78 @@ def paragraph_dedup(
     )
 
 
+def span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 10,
+) -> DataFrame:
+    """Repeated-span REMOVAL — the surgical half of Lee et al. 2022's
+    ExactSubstr dedup (:func:`repeated_span_stats` is the detection half).
+
+    A span is the run of ``span_n`` consecutive words starting at word
+    position ``s``.  A span occurrence is *duplicated* when its n-gram
+    hash occurs more than once corpus-wide AND this occurrence is not the
+    first global occurrence (first = min ``(id, pos)`` per hash — the
+    same winner rule as :func:`paragraph_dedup`, a pure function of the
+    data).  A word is cut iff it is covered by at least one duplicated
+    span; the document is reassembled from its surviving words in order.
+    Unlike document- or paragraph-level dedup this removes repeats that
+    cross paragraph boundaries or sit inside otherwise-unique prose —
+    boilerplate footers, license blocks, quoted chunks.
+
+    Output: one row per document with >= 1 token —
+    (id, n_words, n_kept_words, text_dedup).
+
+    Plan shape at 100 TB (all linear, no all-pairs, no second corpus
+    scan): explode word tokens + explode span hashes (8-byte keys, never
+    span text) -> ONE shuffle on the span hash for the first-occurrence
+    window -> ONE shuffle on the doc id joining dup-span starts back to
+    word positions, where a trailing ``span_n``-row window turns start
+    flags into per-word coverage (word ``p`` is covered iff some dup
+    span starts in ``[p - span_n + 1, p]``) -> per-doc reassembly on the
+    already-co-partitioned doc id.
+    """
+    toks = tokens(F.col(text_col))
+    words = spread(df).select(
+        F.col(id_col),
+        F.posexplode(toks).alias("p", "word"),
+    ).filter(F.col("word") != "")
+    spans = spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(toks, span_n)).alias("pos", "g"),
+    ).select(F.col(id_col), F.col("pos"), hash64(F.col("g"), "span").alias("gh"))
+    first = Window.partitionBy("gh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup_starts = (
+        spans.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") > 1)
+        .select(id_col, F.col("pos").alias("p"), F.lit(1).alias("ds"))
+    )
+    cover = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(span_n - 1), 0)
+    flagged = (
+        words.join(dup_starts, [id_col, "p"], "left")
+        .withColumn(
+            "keep",
+            (F.coalesce(F.sum("ds").over(cover), F.lit(0)) == 0).cast("int"),
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("keep").cast("long").alias("n_kept_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep") == 1, F.struct("p", "word"))
+                    )
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
 def repeated_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -472,6 +472,78 @@ def embedding_dedup_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = DEFAULT_IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): cluster
+    embeddings into coarse cells, then drop any vector that has a
+    smaller-id neighbor in the SAME cell with cosine >= ``threshold``.
+
+    This is the embedding-space analogue of exact/minhash dedup: it
+    removes *semantic* duplicates — paraphrases, re-encodings,
+    translations with shared embeddings — that no text-hash strategy can
+    see.  The min-id survivor rule is a pure function of the data (same
+    determinism argument as :func:`embedding_dedup_pairs`'s ``id_a <
+    id_b``), so re-runs and the SQL oracle agree exactly.
+
+    Output: one row per corpus vector — (id, cell, keep) with keep in
+    {0, 1}; downstream joins ``keep = 1`` back to the documents.
+
+    Scale: pairwise work is CELL-bounded, never all-pairs — cost is
+    sum over cells of |cell|², and ``n_cells`` grows with the corpus so
+    cells stay roughly constant-sized (SemDeDup uses 11k clusters for
+    LAION-440M; cells here are the same IVF coarse quantizer the ANN
+    path uses, :func:`ivf_refit_centroids` refits it).  The cell
+    self-join shuffles on the cell id only; each cell's pairs verify
+    with the sequential-fold cosine inside one task.
+    """
+    from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
+    base = with_norm(
+        spread(corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))),
+        "vec",
+    )
+    assigned = (
+        base.withColumn("dists", _cell_scores(F.col("vec"), centroids))
+        .withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int"))
+        .drop("dists")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell",
+        F.col("vec").alias("va"), F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cell",
+        F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+    )
+    raw = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # threshold the UNROUNDED cosine (the oracle filters raw too)
+        .filter(raw >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("dropmark", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("dropmark").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     query_ids: list[int],

@@ -25,10 +25,13 @@ from pyspark.sql import functions as F
 
 
 def _agg_check(df: DataFrame, name: str, violation: Column, checked: Column) -> DataFrame:
+    # coalesce: SUM over zero rows is NULL, but an empty table has 0
+    # violations / 0 checked (count(*) FILTER semantics, what monitoring
+    # consumers of the report expect)
     return df.agg(
         F.lit(name).alias("check"),
-        F.sum(violation.cast("long")).alias("n_violations"),
-        F.sum(checked.cast("long")).alias("n_checked"),
+        F.coalesce(F.sum(violation.cast("long")), F.lit(0)).alias("n_violations"),
+        F.coalesce(F.sum(checked.cast("long")), F.lit(0)).alias("n_checked"),
     )
 
 
@@ -63,10 +66,10 @@ def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(
         F.lit(f"unique:{','.join(cols)}").alias("check"),
         (
-            F.sum(keyed.cast("long"))
+            F.coalesce(F.sum(keyed.cast("long")), F.lit(0))
             - F.count_distinct(*[F.col(c) for c in cols])
         ).alias("n_violations"),
-        F.sum(keyed.cast("long")).alias("n_checked"),
+        F.coalesce(F.sum(keyed.cast("long")), F.lit(0)).alias("n_checked"),
     )
 
 

@@ -628,48 +628,53 @@ QUERIES.update(_rank.QUERIES)
 ORACLES.update(_rank.ORACLES)
 
 #: Driver-facing ordering.  The per-round correctness check covers the
-#: first 50 registered queries.  Round-7 curation: (a) queries whose
-#: OUTPUT or code changed recently (scrub gate changed corpus_prep /
-#: corpus_funnel; pack_chunks got the ROWS-frame guard), then (b) every
-#: query with NO driver row yet (the 6 earlier round-4 additions + the
-#: 19 round-7 additions: extended indicators, ranking, OHLC/corr/ranks,
-#: unpivot, incremental rollup, validation, salted top-k, funnel,
-#: temporal split, anomaly, cohort, PIT join, weighted sample, robust
-#: anomaly), then (c) stale rows ordered by how much their code changed
-#: after their last driver check (dedup/ANN families first).  With 115
-#: registered queries the 50-slot window drops orders_upsert /
-#: supplier_scd2 (whose scd2_apply code path the in-window scd2_pit_join
-#: still exercises) plus pricing_cube / lstm_dataset /
-#: nation_customer_orders / salted_event_stats / range_join_pairs and
-#: the 8 panel_* queries
-#: (r2-green, code untouched since) plus everything r3-hash-green — all
-#: of which hold green rows AND a fresh local full-sweep MATCH
-#: (tests/test_oracle.py at sf0.01 on a vanilla session, run per round).
+#: first 50 registered queries.
+#:
+#: STANDING ROTATION POLICY (adopted round 5, per the round-4 verdict):
+#: no query's most recent driver row may be more than 2 rounds old.
+#: Each round the window takes, in order: (a) queries whose code or
+#: oracle changed since their last driver row, (b) new registrations
+#: with no driver row, (c) every query whose latest row would otherwise
+#: age past 2 rounds, (d) oldest-first fill from the next-stalest tier.
+#: With 119 registered queries and a 50-slot window this is satisfiable
+#: indefinitely: 50 + 50 covers any 100 in two rounds, and the registry
+#: grows slower than that.
+#:
+#: Round-5 window: (a) data_quality_report (validation.py coalesce fix)
+#: and vwap_obv (oracle empty-fold guard); (b) the 4 round-5 additions
+#: (ExactSubstr removal, SemDeDup, BPE learn, pair-keyed rolling corr);
+#: (c) all 18 registered queries whose latest driver row is r2 (the 8
+#: panel_*, SCD2/upsert, cube, percentiles/quartiles, range join,
+#: salted events, lstm_dataset, nation_customer_orders, top_orders —
+#: approx_distinct's r2 row belongs to a de-registered sketch query
+#: whose hash-checked twin exact_distinct rides in tier (d));
+#: (d) 25 of the 47 r3-latest rows, hottest shared code paths first —
+#: the remaining 22 r3 rows (ann_pq trio, asof_join, text/fingerprint
+#: family, TPC-H-style joins) are exactly 2 rounds old at r5 and are
+#: FIRST in line for the r6 window.
 _DRIVER_PRIORITY = [
-    # (a) output/code changed this round
-    "corpus_prep", "corpus_funnel", "seq_packing",
+    # (a) code or oracle changed since their last (r4) driver row
+    "data_quality_report", "vwap_obv",
     # (b) registered this round — no driver row yet
-    "corpus_scrub", "quality_score", "dedup_paragraph", "dedup_spans",
-    "bpe_tokenize", "bpe_packing",
-    "macd_12_26", "bollinger_20", "stochastic_14", "vwap_obv",
-    "volatility_20", "max_drawdown", "tfidf_top_terms", "bm25_search",
-    "incremental_rollup", "ohlc_bars", "rolling_corr", "rank_functions", "unpivot_close_stats", "data_quality_report", "salted_topk_orders", "funnel_analysis", "temporal_split", "anomaly_zscore", "cohort_retention", "scd2_pit_join", "weighted_sample", "robust_anomaly",
-    # (c) driver rows older than the code they exercise (r1/r2 rows)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_embedding",
-    "ann_bruteforce", "ann_lsh", "ann_ivf", "lsh_bucket_histogram",
-    "text_quality", "train_val_split", "cap_per_lang", "vocab_topk",
-    "binary_payload",
-    "summarize_multiple", "pricing_summary", "shipping_priority",
-    "local_supplier_volume", "top_orders",
-    "orders_upsert", "supplier_scd2", "value_percentiles",
-    "value_quartiles", "pricing_cube", "lstm_dataset",
-    "nation_customer_orders", "salted_event_stats", "range_join_pairs",
+    "dedup_span_removal", "dedup_semantic", "bpe_learn",
+    "rolling_corr_pairs",
+    # (c) latest driver row is r2 — refresh now or violate the policy
+    "lstm_dataset", "nation_customer_orders",
+    "orders_upsert", "supplier_scd2", "pricing_cube",
+    "range_join_pairs", "salted_event_stats", "top_orders",
+    "value_percentiles", "value_quartiles",
     "panel_price_series", "panel_indicator_series", "panel_gain_loss",
     "panel_latest_signal", "panel_close_stats", "panel_candlestick",
     "panel_avg_gain_pivot", "panel_avg_loss_pivot",
-    # (d) regression sentinels for the hottest shared code paths
-    "enrich_indicators", "rsi_10", "last_per_minute", "feature_windows",
+    # (d) r3-latest fill: hottest shared code paths first
+    "enrich_indicators", "rsi_10", "ema_10", "sma_5",
+    "enrich_incremental", "enrich_pandas", "feature_windows",
+    "last_per_minute", "latest_per_key", "latest_signal",
+    "summarize", "global_stats", "api_avg", "api_highest", "api_lowest",
+    "candlestick_feed", "pivot_avg", "signal_rule", "ilp_lines",
+    "time_functions", "sessionize", "trailing_time_avg",
+    "tumbling_window_stats", "events_union", "minmax_scale",
+    "exact_distinct",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

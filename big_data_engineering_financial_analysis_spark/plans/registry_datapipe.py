@@ -248,6 +248,42 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_span_stats(docs, span_n=DEDUP_SPAN_N)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): cut every non-first
+    occurrence of a repeated 10-gram span and reassemble the surviving
+    words — the surgical counterpart of the ``dedup_spans`` detector."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_removal(docs, span_n=DEDUP_SPAN_N)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cell clustering + within-cell
+    cosine; smaller-id neighbor above threshold drops the vector.  Work
+    is cell-bounded — the embedding-space analogue of bucketed LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=EMB_DEDUP_THRESHOLD, dim=EMB_DIM)
+
+
+#: merges learned by the bpe_learn registry query (small on purpose: each
+#: merge is one vocab-frame aggregation; the corpus-scale work is the
+#: single word-count pass)
+BPE_LEARN_MERGES = 8
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary LEARNING (Sennrich et al. 2016) — iterative
+    top-pair merges as Spark aggregations over the word-frequency vocab;
+    completes the learn -> apply -> pack tokenizer story engine-side."""
+    from big_data_engineering_financial_analysis_spark.operators.bpe import learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, counts = learn_merges(docs, n_merges=BPE_LEARN_MERGES)
+    return spark.createDataFrame(
+        [(r, x, y, c) for r, ((x, y), c) in enumerate(zip(merges, counts))],
+        "merge_rank int, left_sym string, right_sym string, cnt long",
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier inference: deterministic linear scorer +
     rational sigmoid over with_quality features via an Arrow-batched
@@ -808,6 +844,68 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_spans,
                CAST(sum(CASE WHEN gh IN (SELECT gh FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
         FROM h GROUP BY doc_id
+    """,
+    # ExactSubstr span removal: duplicated = non-first occurrence of a
+    # >1-count span hash; a word is cut iff a dup span starts within the
+    # trailing span_n rows — mirrors dedup.span_removal stage for stage
+    "dedup_span_removal": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sp AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+{DEDUP_SPAN_N - 1}], ' ') || '#span'), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {DEDUP_SPAN_N - 1})) AS i
+                FROM t WHERE len(t) >= {DEDUP_SPAN_N})
+        ),
+        d AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+            FROM sp)
+          WHERE rn > 1
+        ),
+        w AS (
+          SELECT doc_id, p1 - 1 AS p, t[p1] AS word
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p1 FROM t)
+          WHERE t[p1] != ''
+        ),
+        jd AS (
+          SELECT w.doc_id, w.p, w.word,
+                 CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS ds
+          FROM w LEFT JOIN d ON w.doc_id = d.doc_id AND w.p = d.pos
+        ),
+        cov AS (
+          SELECT doc_id, p, word,
+                 sum(ds) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN {DEDUP_SPAN_N - 1} PRECEDING AND CURRENT ROW) AS ndup
+          FROM jd
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN ndup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_words,
+               coalesce(array_to_string(list(word ORDER BY p) FILTER (WHERE ndup = 0), ' '), '') AS text_dedup
+        FROM cov GROUP BY doc_id
+    """,
+    # SemDeDup: IVF cell assignment (same centroid literals + fold as
+    # ann_ivf), within-cell pairwise cosine, min-id survivor rule
+    "dedup_semantic": f"""
+        WITH base AS (
+          SELECT vec_id, vec, sqrt({_DOT.format(a="vec", b="vec")}) AS norm,
+                 {_IVF_DISTS} AS dists
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        ),
+        n AS (
+          SELECT vec_id, vec, norm,
+                 CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
+          FROM base
+        ),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE {_DOT.format(a="a.vec", b="b.vec")} / nullif(a.norm * b.norm, 0.0) >= {EMB_DEDUP_THRESHOLD}
+        )
+        SELECT n.vec_id, n.cell,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        FROM n LEFT JOIN drops d ON n.vec_id = d.vec_id
     """,
     # C4 scrub: sentence structure synthesized deterministically (every
     # ' line ' token closes a sentence) so the line rules vary on the
@@ -1526,6 +1624,10 @@ ORACLES["seq_packing"] = """
 
 # corpus_prep composes per-operator oracle fragments; the stage snippets are
 # substituted here (PUNCT_RE and friends contain no brace characters)
+from big_data_engineering_financial_analysis_spark.operators.bpe import duck_bpe_learn as _duck_bpe_learn  # noqa: E402
+
+ORACLES["bpe_learn"] = _duck_bpe_learn(BPE_LEARN_MERGES)
+
 ORACLES["vocab_topk"] = ORACLES["vocab_topk"].format(
     TOKS_LOWER="string_split_regex(trim(lower(text)), '\\s+')"
 )
@@ -1631,6 +1733,9 @@ QUERIES = {
     "quality_score": q_quality_score,
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_spans": q_dedup_spans,
+    "dedup_span_removal": q_dedup_span_removal,
+    "dedup_semantic": q_dedup_semantic,
+    "bpe_learn": q_bpe_learn,
     "seq_packing": q_seq_packing,
     "bpe_tokenize": q_bpe_tokenize,
     "bpe_packing": q_bpe_packing,

@@ -123,6 +123,26 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "x", "y", F.round("corr", 6).alias("corr"))
 
 
+#: Symbol universe for the correlation-matrix query (15 pairs).
+CORR_PAIR_SYMBOLS = [3, 7, 11, 23, 42, 57]
+
+
+def q_rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs rolling correlation — the correlation-matrix shape.
+    Unlike the single-pair ``rolling_corr`` (global window by contract),
+    every window here is PARTITIONED BY (sym_x, sym_y), so pairs
+    parallelize across reducers."""
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir, symbols=CORR_PAIR_SYMBOLS),
+        volume_col=None,
+        bar="day",
+    )
+    out = ix.rolling_corr_pairs(bars, window=10)
+    return out.select(
+        "sym_x", "sym_y", "bucket", "x", "y", F.round("corr", 6).alias("corr")
+    )
+
+
 def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking-window family in one pass: rank / dense_rank /
     percent_rank / cume_dist are peer-based (deterministic under close
@@ -230,6 +250,7 @@ QUERIES = {
     "robust_anomaly": q_robust_anomaly,
     "ohlc_bars": q_ohlc_bars,
     "rolling_corr": q_rolling_corr,
+    "rolling_corr_pairs": q_rolling_corr_pairs,
     "bollinger_20": q_bollinger,
     "stochastic_14": q_stochastic,
     "vwap_obv": q_vwap_obv,
@@ -359,6 +380,33 @@ SELECT bucket, x, y,
   END, 6) AS corr
 FROM c
 """,
+    "rolling_corr_pairs": _CANDLES_CTE.replace(
+        "FROM events", "FROM events WHERE user_id IN (3, 7, 11, 23, 42, 57)"
+    )
+    + _OHLC_CTE.replace("date_trunc('minute'", "date_trunc('day'")
+    + """,
+j AS (
+  SELECT a.stock_symbol AS sym_x, b.stock_symbol AS sym_y,
+         a.bucket, a.close AS x, b.close AS y
+  FROM bars a JOIN bars b USING (bucket)
+  WHERE a.stock_symbol < b.stock_symbol
+),
+c AS (
+  SELECT sym_x, sym_y, bucket, x, y,
+    count(x) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+    sum(x * y) OVER w AS sxy
+  FROM j
+  WINDOW w AS (PARTITION BY sym_x, sym_y ORDER BY bucket
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT sym_x, sym_y, bucket, x, y,
+  round(CASE WHEN n >= 10 THEN
+    (n * sxy - sx * sy)
+      / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+  END, 6) AS corr
+FROM c
+""",
     "macd_12_26": _CANDLES_CTE
     + f""",
 m1 AS (
@@ -444,9 +492,15 @@ SELECT event_id, stock_symbol, local_time, close, volume,
        -- ~1e-4 of rows.  The fold reproduces Spark's FP addition order.
        -- FILTER mirrors Spark's NULL-skipping sum: one NULL volume would
        -- otherwise NULL-poison the fold for every subsequent row
-       round(list_reduce(list(close * volume)
-                           FILTER (close * volume IS NOT NULL) OVER wh,
-                         (a, x) -> a + x)
+       -- the CASE guards list_reduce against an empty list (DuckDB errors
+       -- on one), which happens when a symbol's leading tick(s) all have
+       -- NULL volume; Spark's sum over an all-NULL frame is NULL, and so
+       -- is the guarded expression
+       round(CASE WHEN count(close * volume) OVER wh > 0
+                  THEN list_reduce(list(close * volume)
+                                     FILTER (close * volume IS NOT NULL) OVER wh,
+                                   (a, x) -> a + x)
+             END
              / nullif(sum(volume) OVER wh, 0), 6) AS vwap,
        round(sum(CASE WHEN delta > 0 THEN volume
                       WHEN delta < 0 THEN -volume

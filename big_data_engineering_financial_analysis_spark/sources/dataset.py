@@ -77,7 +77,12 @@ def compact_dataset(
 
     recover_compaction(path)
     parent = os.path.dirname(os.path.abspath(path))
-    tmp = tempfile.mkdtemp(prefix="_compact_", dir=parent)
+    # prefix carries the dataset name so recover_compaction of one dataset
+    # never reaps a sibling dataset's in-flight stage in a shared parent
+    tmp = tempfile.mkdtemp(
+        prefix=f"_compact_{os.path.basename(os.path.abspath(path))}_",
+        dir=parent,
+    )
     staged = os.path.join(tmp, "data")
     df = spark.read.parquet(path)
     write_sharded(
@@ -105,6 +110,16 @@ def recover_compaction(path: str) -> None:
             shutil.rmtree(old)
         else:
             os.rename(old, path)
+    # A crash BEFORE the first rename (e.g. mid-Spark-write) leaks the
+    # staged ``_compact_*`` tempdir; repeated crashed compactions would
+    # accumulate full-dataset-sized orphans.  The stage dir only becomes
+    # live via its rename, so any that still exists is garbage.
+    parent = os.path.dirname(os.path.abspath(path))
+    prefix = f"_compact_{os.path.basename(os.path.abspath(path))}_"
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(prefix):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def read_dataset(spark: SparkSession, path: str) -> DataFrame:

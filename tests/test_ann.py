@@ -151,3 +151,44 @@ def test_random_projection_preserves_norms_on_average(spark, sf_medium_embedding
     # original embeddings are ~unit-norm, direction var = 1/3 -> E[p2] ~ 1/3
     assert 0.15 < ratios < 0.7
     spark.catalog.clearCache()
+
+
+# --- semantic dedup (SemDeDup, Abbas et al. 2023) ------------------------
+
+
+def test_semantic_dedup_drops_within_cell_near_dup(spark):
+    from big_data_engineering_financial_analysis_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.01]),     # cell 1
+        (2, [0.99, 0.011]),   # cell 1, cosine ~1 with id 1 -> dropped
+        (3, [0.01, 1.0]),     # cell 2, alone -> kept
+        (4, [-1.0, 0.05]),    # lands in cell 2 but cos(3,4) ~ 0.04 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.9, centroids=cents, dim=2
+        ).collect()
+    }
+    assert len(out) == 4                      # one verdict row per vector
+    assert out[1]["keep"] == 1                # min-id survivor
+    assert out[2]["keep"] == 0                # its near-dup dropped
+    assert out[3]["keep"] == 1
+    assert out[4]["keep"] == 1                # anti-parallel: cos < 0
+
+
+def test_semantic_dedup_is_cell_local(spark):
+    """Near-dups in DIFFERENT cells are not compared — the documented
+    recall/cost trade-off (same contract as every bucketed strategy)."""
+    from big_data_engineering_financial_analysis_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.70710678, 0.70710678]]
+    # cosine(a, b) ~ 0.95 but a sits nearest centroid 1, b nearest centroid 2
+    rows = [(1, [1.0, 0.18]), (2, [0.84, 0.54])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9, centroids=cents, dim=2).collect()}
+    assert out[1]["cell"] != out[2]["cell"]
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 1

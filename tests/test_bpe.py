@@ -65,3 +65,110 @@ def test_merge_table_is_well_formed():
         for part in (x, y):
             assert len(part) == 1 or part in produced, (x, y)
         produced.add(x + y)
+
+
+# --- vocabulary LEARNING (Sennrich et al. 2016) --------------------------
+
+
+def _ref_learn(texts, n_merges):
+    """Independent pure-Python twin of learn_merges: dict pair counting,
+    (count DESC, pair ASC) argmax, two-pass left-to-right str.replace —
+    Python's str.replace shares the exact non-overlapping semantics of
+    Spark's and DuckDB's replace."""
+    from collections import Counter
+
+    freq = Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    spaced = {f" {' '.join(w)} ": n for w, n in freq.items()}
+    merges, counts = [], []
+    for _ in range(n_merges):
+        pc = Counter()
+        for s, n in spaced.items():
+            sy = s.split()
+            for i in range(len(sy) - 1):
+                pc[f"{sy[i]} {sy[i+1]}"] += n
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        merges.append(tuple(pair.split(" ")))
+        counts.append(pc[pair])
+        pat, rep = f" {pair} ", f" {pair.replace(' ', '')} "
+        nxt = Counter()
+        for s, n in spaced.items():
+            nxt[s.replace(pat, rep).replace(pat, rep)] += n
+        spaced = dict(nxt)
+    return merges, counts
+
+
+def test_learn_merges_matches_reference(spark):
+    from big_data_engineering_financial_analysis_spark.operators.bpe import learn_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_m, got_c = learn_merges(df, n_merges=6)
+    exp_m, exp_c = _ref_learn(texts, 6)
+    assert got_m == exp_m
+    assert got_c == exp_c
+
+
+def test_learned_table_round_trips_through_apply(spark):
+    """learn -> apply: tokenizing with the learned table reproduces the
+    reference tokenization (the verdict's end-to-end tokenizer story)."""
+    from big_data_engineering_financial_analysis_spark.operators.bpe import (
+        bpe_pieces,
+        learn_merges,
+    )
+
+    texts = ["banana bandana banana", "banana bandana", "ban ban banana"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, _ = learn_merges(df, n_merges=5)
+    exp_m, _ = _ref_learn(texts, 5)
+    assert merges == exp_m
+    # apply the learned merges with the reference's two-pass replace
+    word = "bandanas"
+    s = f" {' '.join(word)} "
+    for x, y in merges:
+        pat, rep = f" {x} {y} ", f" {x}{y} "
+        s = s.replace(pat, rep).replace(pat, rep)
+    expected_pieces = s.split()
+    got = (
+        spark.createDataFrame([(word,)], "text string")
+        .select(bpe_pieces(F.col("text"), merges=merges).alias("p"))
+        .first()["p"]
+    )
+    assert got == expected_pieces
+
+
+def test_duck_bpe_learn_matches_spark(spark, tmp_path):
+    """Engine parity of the unrolled SQL twin on a crafted corpus (the
+    registry query proves it on the shared tables; this pins it on an
+    adversarial fixture with overlapping repeats)."""
+    import os
+
+    import duckdb
+
+    from big_data_engineering_financial_analysis_spark.operators.bpe import (
+        duck_bpe_learn,
+        learn_merges,
+    )
+
+    texts = ["aaaa aaa aa a", "abab ababab", "lllll llll lll"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    sf = str(tmp_path / "docs")
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    got_m, got_c = learn_merges(
+        spark.read.parquet(os.path.join(sf, "documents.parquet")), n_merges=5
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    exp = con.execute(duck_bpe_learn(5)).fetchall()
+    exp = sorted(exp)  # by merge_rank
+    assert [(x, y) for _, x, y, _ in exp] == got_m
+    assert [c for _, _, _, c in exp] == got_c

@@ -207,3 +207,52 @@ def test_repeated_span_stats_counts_cross_and_within(spark):
     assert set(out) == {1, 2}  # doc 3 has no spans
     assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
     assert out[2]["n_spans"] == 3 and out[2]["n_dup_spans"] == 1
+
+
+def test_span_removal_cuts_what_doc_and_paragraph_dedup_keep(spark):
+    """The verdict's ExactSubstr-removal contract: a document that is
+    distinct at doc level AND at paragraph level still loses its repeated
+    span; the first global occurrence keeps its text."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"),
+        # distinct document, distinct (single) paragraph — but it embeds
+        # the span "a b c", whose first occurrence is doc 1 pos 0
+        (2, "x y a b c z w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.exact_dedup_groups(df).count() == 2
+    paras = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert paras[2]["n_kept_paras"] == paras[2]["n_paras"]  # paragraph dedup keeps it
+    out = {r["doc_id"]: r for r in dedup.span_removal(df, span_n=3).collect()}
+    # first occurrence untouched
+    assert out[1]["n_kept_words"] == 5 and out[1]["text_dedup"] == "a b c d e"
+    # later occurrence: words covered by the dup span (positions 2-4) cut,
+    # surviving words reassembled in order
+    assert out[2]["n_words"] == 7 and out[2]["n_kept_words"] == 4
+    assert out[2]["text_dedup"] == "x y z w"
+
+
+def test_span_removal_within_doc_repeat(spark):
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    # spans (n=3): pqr@0 qrs@1 rsp@2 spq@3 pqr@4 qrs@5; the second
+    # occurrences of pqr and qrs cover words 4..7
+    df = spark.createDataFrame(
+        [(1, "p q r s p q r s")], "doc_id long, text string"
+    )
+    r = dedup.span_removal(df, span_n=3).first()
+    assert r["n_words"] == 8 and r["n_kept_words"] == 4
+    assert r["text_dedup"] == "p q r s"
+
+
+def test_span_removal_short_docs_untouched(spark):
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "p q"), (2, "p q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.span_removal(df, span_n=3).collect()}
+    # no doc has a span -> nothing to cut, even for exact duplicates
+    assert out[1]["text_dedup"] == "p q" and out[2]["text_dedup"] == "p q"

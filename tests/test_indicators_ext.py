@@ -287,3 +287,50 @@ def test_vwap_obv_null_volume_policy(spark):
     assert vwap[1] == 10.0          # null-volume bar: unchanged
     assert vwap[2] == pytest.approx((20 + 56) / 6)
     assert obv == [0.0, 0.0, 4.0]   # null signed term skipped by sum
+
+
+def test_rolling_corr_pairs_matrix_shape_and_values(spark):
+    """Three symbols: B = 2A + 1 (corr +1 with A), C = -A (corr -1 with
+    A and B).  Every unordered pair appears exactly once and each
+    window is keyed on the pair."""
+    import itertools
+
+    a = [1.0, 2.0, 4.0, 3.0, 5.0, 7.0]
+    rows = []
+    for sym, series in (
+        ("A", a),
+        ("B", [2 * v + 1 for v in a]),
+        ("C", [-v for v in a]),
+    ):
+        for i, v in enumerate(series):
+            rows.append({
+                "stock_symbol": sym,
+                "bucket": T0 + dt.timedelta(days=i),
+                "close": float(v),
+            })
+    bars = spark.createDataFrame(rows)
+    out = ix.rolling_corr_pairs(bars, window=3).toPandas()
+    pairs = set(map(tuple, out[["sym_x", "sym_y"]].drop_duplicates().values))
+    assert pairs == set(itertools.combinations("ABC", 2))
+    full = out[out["corr"].notna()]
+    # 6 buckets, window 3 -> 4 full windows per pair
+    assert len(full) == 4 * 3
+    by = {(r.sym_x, r.sym_y): r.corr for r in full.itertuples()}
+    assert by[("A", "B")] == pytest.approx(1.0)
+    assert by[("A", "C")] == pytest.approx(-1.0)
+    assert by[("B", "C")] == pytest.approx(-1.0)
+
+
+def test_rolling_corr_pairs_window_is_pair_partitioned(spark):
+    """The scale contract: the physical plan's window spec is keyed on
+    (sym_x, sym_y) — no global single-reducer sort anywhere."""
+    rows = [
+        {"stock_symbol": s, "bucket": T0 + dt.timedelta(days=i), "close": float(i + j)}
+        for j, s in enumerate(("A", "B"))
+        for i in range(3)
+    ]
+    out = ix.rolling_corr_pairs(spark.createDataFrame(rows), window=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec, plan
+    assert all("sym_x" in ln and "sym_y" in ln for ln in spec)

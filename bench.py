@@ -71,6 +71,9 @@ EXTRA_FAMILIES = [
     ("pipeline", ["dedup_paragraph", "bpe_tokenize", "corpus_scrub",
                   "quality_score", "incremental_rollup",
                   "data_quality_report"]),
+    # round-5 additions: span removal / SemDeDup / BPE learn / corr matrix
+    ("r5", ["dedup_span_removal", "dedup_semantic", "bpe_learn",
+            "rolling_corr_pairs"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

@@ -192,3 +192,28 @@ def test_semantic_dedup_is_cell_local(spark):
     out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9, centroids=cents, dim=2).collect()}
     assert out[1]["cell"] != out[2]["cell"]
     assert out[1]["keep"] == 1 and out[2]["keep"] == 1
+
+
+def test_semantic_dedup_composes_with_refit_centroids(spark, sf_medium_embeddings):
+    """The production shape: refit the IVF coarse quantizer with Lloyd
+    iterations, then semantic-dedup on the trained cells.  Deterministic
+    (fixed init + deterministic assignment), and the trained cells must
+    yield a valid one-verdict-per-vector report."""
+    from big_data_engineering_financial_analysis_spark.operators.similarity import (
+        ivf_refit_centroids,
+        semantic_dedup,
+    )
+
+    emb = sf_medium_embeddings
+    cents = ivf_refit_centroids(emb, n_cells=8, iters=1, dim=64)
+    out = semantic_dedup(emb, threshold=0.45, centroids=cents, dim=64)
+    n = emb.count()
+    pdf = out.toPandas()
+    assert len(pdf) == n
+    assert set(pdf["keep"].unique()) <= {0, 1}
+    assert pdf["cell"].between(1, 8).all()
+    # determinism: second run bit-identical
+    pdf2 = semantic_dedup(emb, threshold=0.45, centroids=cents, dim=64).toPandas()
+    key = ["vec_id", "cell", "keep"]
+    assert pdf.sort_values("vec_id")[key].values.tolist() == \
+        pdf2.sort_values("vec_id")[key].values.tolist()

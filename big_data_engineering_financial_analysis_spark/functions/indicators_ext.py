@@ -424,3 +424,157 @@ def with_drawdown(
     return df.withColumn("run_max", run_max).withColumn(
         "drawdown", F.col(close_col) / F.nullif(run_max, F.lit(0.0)) - F.lit(1.0)
     )
+
+
+def with_atr_keltner(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    n_atr: int = 14,
+    n_ema: int = 20,
+    mult: float = 2.0,
+) -> DataFrame:
+    """Wilder ATR + Keltner channels over OHLC bars.
+
+    True range folds the gap against the prior close:
+    ``tr = greatest(high-low, |high-prev_close|, |low-prev_close|)``
+    (first bar: plain ``high-low``).  ATR is Wilder smoothing — the
+    RMA recursion ``atr = prev*(1-1/n) + tr/n`` — implemented with the
+    engine's standard EMA fold (``ewm(alpha=1/n, adjust=False)``
+    seeding: first observation seeds the recursion) and gated NULL
+    until ``n_atr`` bars.  Keltner mid is the gated EMA(n_ema) of
+    close; the band half-width is ``mult * atr``.
+
+    Scale: one window family keyed on the symbol — a single Exchange
+    shared by the lag, the fold and the EMA; per-reducer work bounded
+    by one symbol's bar count (bars, not ticks — the OHLC resample
+    upstream has already collapsed tick volume).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(time_col)
+    hist = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("close", 1).over(w)
+    tr = F.when(prev.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev),
+            F.abs(F.col("low") - prev),
+        )
+    )
+    bars = bars.withColumn("tr", tr)
+    alpha = 1.0 / n_atr
+    atr = F.when(
+        F.count("tr").over(hist) >= n_atr,
+        _ema_fold(F.collect_list("tr").over(hist), alpha),
+    )
+    bars = bars.withColumn("atr", atr)
+    mid = F.when(
+        F.count("close").over(hist) >= n_ema,
+        _ema_fold(F.collect_list("close").over(hist), 2.0 / (n_ema + 1.0)),
+    )
+    return (
+        bars.withColumn("kc_mid", mid)
+        .withColumn("kc_upper", F.col("kc_mid") + F.lit(mult) * F.col("atr"))
+        .withColumn("kc_lower", F.col("kc_mid") - F.lit(mult) * F.col("atr"))
+    )
+
+
+def rolling_beta(
+    bars: DataFrame,
+    benchmark_symbol: str,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    close_col: str = "close",
+    window: int = 20,
+) -> DataFrame:
+    """Rolling CAPM beta/alpha of every symbol against one benchmark.
+
+    Simple returns ``close/prev - 1`` per side (symbol windows keyed on
+    the symbol; the benchmark series is computed once), equi-joined on
+    the bar bucket, then the explicit-sums regression over the trailing
+    ``window`` aligned return pairs:
+
+      beta  = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)      (x = benchmark)
+      alpha = (Sy - beta*Sx) / n
+
+    NULL until ``window`` pairs; degenerate (constant-benchmark)
+    windows NULL via the nullif guard.  Explicit sums — not the builtin
+    ``covar``/``regr_slope`` — keep Spark and DuckDB on the identical
+    FP expression.
+
+    Scale: the benchmark side is one series (broadcastable); the join
+    shuffles symbols on ``time_col`` once and the rolling window re-keys
+    on the symbol — per-reducer state is one symbol's bar history.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(time_col)
+    rets = bars.withColumn(
+        "ret", F.col(close_col) / F.nullif(F.lag(close_col, 1).over(w), F.lit(0.0)) - 1.0
+    )
+    bench = rets.filter(F.col(symbol_col) == benchmark_symbol).select(
+        time_col, F.col("ret").alias("x")
+    )
+    syms = rets.filter(F.col(symbol_col) != benchmark_symbol).select(
+        symbol_col, time_col, F.col("ret").alias("y")
+    )
+    j = syms.join(F.broadcast(bench), time_col).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    wr = (
+        Window.partitionBy(symbol_col)
+        .orderBy(time_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count("x").over(wr)
+    sx, sy = F.sum("x").over(wr), F.sum("y").over(wr)
+    sxx = F.sum(F.col("x") * F.col("x")).over(wr)
+    sxy = F.sum(F.col("x") * F.col("y")).over(wr)
+    beta = F.when(
+        n >= window, (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    )
+    j = j.withColumn("beta", beta)
+    return j.withColumn(
+        "alpha", (sy - F.col("beta") * sx) / F.when(n >= window, n)
+    )
+
+
+def pairs_spread_z(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    close_col: str = "close",
+    window: int = 20,
+) -> DataFrame:
+    """Pairs-trading signal: rolling z-score of the log price spread for
+    every symbol pair.
+
+    ``spread = ln(x) - ln(y)`` (guarded positive prices) over the
+    time-aligned self-join with ``sym_x < sym_y``; z-score against the
+    trailing ``window`` bars' mean/sample-stddev of the spread, NULL
+    until the window fills and on zero-variance windows.
+
+    Scale: identical shape to :func:`rolling_corr_pairs` — the
+    equi-join shuffles on ``time_col``, the window re-keys on the pair,
+    so the S^2/2 spread series fold in parallel, one pair per reducer
+    slot, per-reducer state bounded by one series.
+    """
+    x = bars.select(
+        F.col(symbol_col).alias("sym_x"), time_col, F.col(close_col).alias("x")
+    )
+    y = bars.select(
+        F.col(symbol_col).alias("sym_y"), time_col, F.col(close_col).alias("y")
+    )
+    j = x.join(y, time_col).filter(F.col("sym_x") < F.col("sym_y"))
+    spread = F.when(
+        (F.col("x") > 0) & (F.col("y") > 0), F.log("x") - F.log("y")
+    )
+    j = j.withColumn("spread", spread)
+    w = (
+        Window.partitionBy("sym_x", "sym_y")
+        .orderBy(time_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    full = F.count("spread").over(w) >= window
+    mu = F.when(full, F.avg("spread").over(w))
+    sd = F.when(full, F.stddev_samp("spread").over(w))
+    return j.withColumn("spread_mu", mu).withColumn(
+        "spread_z", (F.col("spread") - mu) / F.nullif(sd, F.lit(0.0))
+    )

@@ -544,3 +544,182 @@ SELECT stock_symbol,
 FROM d1 GROUP BY stock_symbol
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: ATR/Keltner, CAPM beta, pairs spread z-score
+# ---------------------------------------------------------------------------
+
+#: Benchmark symbol for the CAPM beta query.
+BETA_BENCHMARK = 42
+
+
+def q_atr_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder ATR(14) + Keltner(EMA20, 2*ATR) over daily OHLC bars for
+    the whole symbol universe — linear in symbols, one window Exchange."""
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
+    )
+    out = ix.with_atr_keltner(bars, time_col="bucket")
+    cols = ["tr", "atr", "kc_mid", "kc_upper", "kc_lower"]
+    return _round6(
+        out.select("stock_symbol", "bucket", "close", *cols), cols + ["close"]
+    )
+
+
+def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling CAPM beta/alpha of every symbol vs the benchmark symbol
+    over daily simple returns; the benchmark series is broadcast."""
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
+    )
+    out = ix.rolling_beta(bars, str(BETA_BENCHMARK), window=10)
+    return out.select(
+        "stock_symbol",
+        "bucket",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("beta", 6).alias("beta"),
+        F.round("alpha", 6).alias("alpha"),
+    )
+
+
+def q_pairs_spread_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score of the log price spread for every pair in the
+    correlation universe — the stat-arb entry signal; windows keyed on
+    the pair like ``rolling_corr_pairs``."""
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir, symbols=CORR_PAIR_SYMBOLS),
+        volume_col=None,
+        bar="day",
+    )
+    out = ix.pairs_spread_z(bars, window=10)
+    return out.select(
+        "sym_x",
+        "sym_y",
+        "bucket",
+        F.round("spread", 6).alias("spread"),
+        F.round("spread_mu", 6).alias("spread_mu"),
+        F.round("spread_z", 6).alias("spread_z"),
+    )
+
+
+_OHLC_DAY = _OHLC_CTE.replace("date_trunc('minute'", "date_trunc('day'")
+
+QUERIES.update(
+    {
+        "atr_keltner": q_atr_keltner,
+        "beta_capm": q_beta_capm,
+        "pairs_spread_z": q_pairs_spread_z,
+    }
+)
+
+ORACLES.update(
+    {
+        "atr_keltner": _CANDLES_CTE
+        + _OHLC_DAY
+        + """,
+k1 AS (
+  SELECT stock_symbol, bucket, high, low, close,
+         lag(close) OVER (PARTITION BY stock_symbol ORDER BY bucket)
+           AS prev_close
+  FROM bars
+),
+k2 AS (
+  SELECT k1.*,
+    CASE WHEN prev_close IS NULL THEN high - low
+         ELSE greatest(high - low, abs(high - prev_close),
+                       abs(low - prev_close)) END AS tr
+  FROM k1
+),
+k3 AS (
+  SELECT stock_symbol, bucket, close, tr,
+    CASE WHEN count(tr) OVER wh >= 14 THEN
+      list_reduce(list(tr) OVER wh,
+                  (acc, x) -> acc * (1.0 - 1.0 / 14.0) + x * (1.0 / 14.0))
+    END AS atr,
+    CASE WHEN count(close) OVER wh >= 20 THEN
+      list_reduce(list(close) OVER wh,
+                  (acc, x) -> acc * (1.0 - 2.0 / 21.0) + x * (2.0 / 21.0))
+    END AS kc_mid
+  FROM k2
+  WINDOW wh AS (PARTITION BY stock_symbol ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close, round(tr, 6) AS tr,
+       round(atr, 6) AS atr, round(kc_mid, 6) AS kc_mid,
+       round(kc_mid + 2.0 * atr, 6) AS kc_upper,
+       round(kc_mid - 2.0 * atr, 6) AS kc_lower
+FROM k3
+""",
+        "beta_capm": _CANDLES_CTE
+        + _OHLC_DAY
+        + f""",
+r AS (
+  SELECT stock_symbol, bucket,
+         close / nullif(lag(close) OVER (PARTITION BY stock_symbol
+                                         ORDER BY bucket), 0) - 1.0 AS ret
+  FROM bars
+),
+bx AS (SELECT bucket, ret AS x FROM r
+       WHERE stock_symbol = '{BETA_BENCHMARK}'),
+yy AS (SELECT stock_symbol, bucket, ret AS y FROM r
+       WHERE stock_symbol <> '{BETA_BENCHMARK}'),
+j AS (
+  SELECT yy.stock_symbol, yy.bucket, x, y
+  FROM yy JOIN bx USING (bucket)
+  WHERE x IS NOT NULL AND y IS NOT NULL
+),
+c AS (
+  SELECT stock_symbol, bucket, x, y,
+    count(x) OVER w AS n, sum(x) OVER w AS s_x, sum(y) OVER w AS s_y,
+    sum(x * x) OVER w AS s_xx, sum(x * y) OVER w AS s_xy
+  FROM j
+  WINDOW w AS (PARTITION BY stock_symbol ORDER BY bucket
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT c.*,
+    CASE WHEN n >= 10 THEN
+      (n * s_xy - s_x * s_y) / nullif(n * s_xx - s_x * s_x, 0)
+    END AS beta
+  FROM c
+)
+SELECT stock_symbol, bucket, round(x, 6) AS x, round(y, 6) AS y,
+       round(beta, 6) AS beta,
+       round((s_y - beta * s_x) / (CASE WHEN n >= 10 THEN n END), 6) AS alpha
+FROM b
+""",
+        "pairs_spread_z": _CANDLES_CTE.replace(
+            "FROM events",
+            "FROM events WHERE user_id IN (3, 7, 11, 23, 42, 57)",
+        )
+        + _OHLC_DAY
+        + """,
+j AS (
+  SELECT a.stock_symbol AS sym_x, b.stock_symbol AS sym_y,
+         a.bucket, a.close AS x, b.close AS y
+  FROM bars a JOIN bars b USING (bucket)
+  WHERE a.stock_symbol < b.stock_symbol
+),
+s1 AS (
+  SELECT j.*,
+    CASE WHEN x > 0 AND y > 0 THEN ln(x) - ln(y) END AS spread
+  FROM j
+),
+s2 AS (
+  SELECT s1.*,
+    CASE WHEN count(spread) OVER w >= 10 THEN avg(spread) OVER w END AS mu,
+    CASE WHEN count(spread) OVER w >= 10
+         THEN stddev_samp(spread) OVER w END AS sd
+  FROM s1
+  WINDOW w AS (PARTITION BY sym_x, sym_y ORDER BY bucket
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT sym_x, sym_y, bucket, round(spread, 6) AS spread,
+       round(mu, 6) AS spread_mu,
+       round((spread - mu) / nullif(sd, 0.0), 6) AS spread_z
+FROM s2
+""",
+    }
+)

@@ -334,3 +334,111 @@ def test_rolling_corr_pairs_window_is_pair_partitioned(spark):
     spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert spec, plan
     assert all("sym_x" in ln and "sym_y" in ln for ln in spec)
+
+
+def _bars(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_atr_wilder_recursion_and_first_bar(spark):
+    """First bar's TR is high-low (no prior close); ATR is the
+    ewm(alpha=1/n, adjust=False) recursion over TR, NULL before n bars."""
+    n = 4
+    rows = []
+    highs = [10.0, 12.0, 11.0, 15.0, 13.0, 14.0]
+    lows = [8.0, 9.0, 9.5, 11.0, 10.0, 11.5]
+    closes = [9.0, 11.0, 10.0, 14.0, 11.0, 13.0]
+    for i in range(len(highs)):
+        rows.append({
+            "stock_symbol": "A",
+            "bucket": T0 + dt.timedelta(days=i),
+            "high": highs[i], "low": lows[i], "close": closes[i],
+        })
+    out = ix.with_atr_keltner(_bars(spark, rows), n_atr=n, n_ema=3)
+    got = {r["bucket"]: r for r in out.collect()}
+    # independent model
+    trs, prev = [], None
+    for h, l, c in zip(highs, lows, closes):
+        trs.append(h - l if prev is None else max(h - l, abs(h - prev), abs(l - prev)))
+        prev = c
+    atr = None
+    alpha = 1.0 / n
+    for i, tr in enumerate(trs):
+        atr = tr if atr is None else atr * (1 - alpha) + tr * alpha
+        row = got[T0 + dt.timedelta(days=i)]
+        assert row["tr"] == pytest.approx(tr)
+        if i + 1 < n:
+            assert _isnull(row["atr"])
+        else:
+            assert row["atr"] == pytest.approx(atr)
+    # Keltner bands bracket the mid symmetrically by 2*ATR
+    last = got[T0 + dt.timedelta(days=len(highs) - 1)]
+    assert last["kc_upper"] - last["kc_mid"] == pytest.approx(2 * last["atr"])
+    assert last["kc_mid"] - last["kc_lower"] == pytest.approx(2 * last["atr"])
+
+
+def test_rolling_beta_recovers_linear_relation(spark):
+    """y = 2x + noise-free intercept 0.01 -> beta exactly 2, alpha 0.01
+    once the window fills; the benchmark symbol never appears in the
+    output."""
+    rows = []
+    px_b, px_y = 100.0, 50.0
+    moves = [0.01, -0.02, 0.015, 0.03, -0.01, 0.02, -0.005]
+    for i, m in enumerate(moves):
+        rows.append({"stock_symbol": "BENCH", "bucket": T0 + dt.timedelta(days=i), "close": px_b})
+        rows.append({"stock_symbol": "Y", "bucket": T0 + dt.timedelta(days=i), "close": px_y})
+        px_b *= (1 + m)
+        px_y *= (1 + 2 * m + 0.01)
+    out = ix.rolling_beta(_bars(spark, rows), "BENCH", window=3).collect()
+    assert {r["stock_symbol"] for r in out} == {"Y"}
+    gated = [r for r in out if r["beta"] is not None]
+    assert gated, "window never filled"
+    for r in gated:
+        assert r["beta"] == pytest.approx(2.0, abs=1e-9)
+        assert r["alpha"] == pytest.approx(0.01, abs=1e-9)
+
+
+def test_rolling_beta_constant_benchmark_is_null(spark):
+    """Zero-variance benchmark window -> NULL beta via the nullif guard."""
+    rows = []
+    for i in range(5):
+        rows.append({"stock_symbol": "BENCH", "bucket": T0 + dt.timedelta(days=i), "close": 100.0})
+        rows.append({"stock_symbol": "Y", "bucket": T0 + dt.timedelta(days=i), "close": 50.0 + i})
+    out = ix.rolling_beta(_bars(spark, rows), "BENCH", window=3).collect()
+    assert out and all(_isnull(r["beta"]) for r in out)
+
+
+def test_pairs_spread_z_flat_spread_and_pair_partition(spark):
+    """A constant-ratio pair has zero spread variance -> NULL z (nullif);
+    a moving pair gets a finite z once the window fills.  Windows are
+    keyed on the pair, so the flat pair cannot dilute the moving one."""
+    rows = []
+    for i in range(6):
+        rows.append({"stock_symbol": "A", "bucket": T0 + dt.timedelta(days=i), "close": 10.0})
+        rows.append({"stock_symbol": "B", "bucket": T0 + dt.timedelta(days=i), "close": 20.0})
+        rows.append({"stock_symbol": "C", "bucket": T0 + dt.timedelta(days=i), "close": 10.0 * (1.1 ** i)})
+    out = ix.pairs_spread_z(_bars(spark, rows), window=3).collect()
+    ab = [r for r in out if (r["sym_x"], r["sym_y"]) == ("A", "B")]
+    ac = [r for r in out if (r["sym_x"], r["sym_y"]) == ("A", "C")]
+    assert len(ab) == 6 and len(ac) == 6
+    # flat pair: spread defined, z NULL everywhere (sd = 0)
+    assert all(r["spread"] == pytest.approx(math.log(0.5)) for r in ab)
+    assert all(_isnull(r["spread_z"]) for r in ab)
+    # moving pair: z defined once 3 bars accumulate
+    gated = [r for r in sorted(ac, key=lambda r: r["bucket"])][2:]
+    assert all(r["spread_z"] is not None for r in gated)
+
+
+def test_pairs_spread_z_nonpositive_price_guard(spark):
+    """Non-positive close yields NULL spread, and the NULL doesn't count
+    toward the window gate."""
+    rows = []
+    closes = [10.0, -1.0, 10.0, 10.0, 10.0]
+    for i, c in enumerate(closes):
+        rows.append({"stock_symbol": "A", "bucket": T0 + dt.timedelta(days=i), "close": c})
+        rows.append({"stock_symbol": "B", "bucket": T0 + dt.timedelta(days=i), "close": 5.0 + i})
+    out = {r["bucket"]: r for r in ix.pairs_spread_z(_bars(spark, rows), window=2).collect()}
+    assert _isnull(out[T0 + dt.timedelta(days=1)]["spread"])
+    # day 2's window frame is [day1, day2] -> only 1 valid spread -> NULL mu
+    assert _isnull(out[T0 + dt.timedelta(days=2)]["spread_mu"])
+    assert out[T0 + dt.timedelta(days=3)]["spread_mu"] is not None

@@ -627,6 +627,12 @@ from big_data_engineering_financial_analysis_spark.plans import registry_ranking
 QUERIES.update(_rank.QUERIES)
 ORACLES.update(_rank.ORACLES)
 
+# scale techniques (KMV sketch, Bloom-pruned semijoin, Z-order audit)
+from big_data_engineering_financial_analysis_spark.plans import registry_scale as _scale  # noqa: E402
+
+QUERIES.update(_scale.QUERIES)
+ORACLES.update(_scale.ORACLES)
+
 #: Driver-facing ordering.  The per-round correctness check covers the
 #: first 50 registered queries.
 #:

@@ -1,0 +1,138 @@
+"""Registry: scale-technique queries + DuckDB oracles.
+
+Operators whose *point* is the 100 TB plan shape, registered with
+exact-result formulations so the driver's oracle gate still applies:
+
+* ``kmv_distinct``      — K-Minimum-Values distinct sketch (portable
+                          md5 hash ⇒ the sketch itself is deterministic
+                          and engine-independent).
+* ``bloom_prune_join``  — Bloom-pruned semijoin; no false negatives ⇒
+                          result equals the plain semijoin the oracle
+                          runs.
+* ``zorder_index``      — Morton-key clustering audit; the key is pure
+                          integer arithmetic both engines compute
+                          identically.
+
+Reference parity: none of these exist in the reference (its distinct
+counts and joins are raw QuestDB SQL, services/serving/app/views.py) —
+they are the extension family a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.operators.layout import (
+    DIM_MASK,
+    zorder_stats,
+    zvalue_sql,
+)
+from big_data_engineering_financial_analysis_spark.operators.sketch import (
+    bloom_semi_join,
+    kmv_distinct,
+)
+from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+KMV_K = 64
+BLOOM_SEGMENT = "BUILDING"
+ZORDER_EPOCH = "1995-01-01"
+ZORDER_BUCKET_SHIFT = 18
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, estimated with a KMV
+    sketch: bounded map-side state (≤ k hashes per batch per group), no
+    full-distinct shuffle of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_custkey", "o_orderpriority", k=KMV_K)
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume for one market segment, with the fact scan
+    pre-pruned by a broadcast Bloom bitmap built from the segment's
+    customer keys.  Result is exactly the plain semijoin (no false
+    negatives); the Bloom bounds what reaches the residual join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == BLOOM_SEGMENT
+    )
+    hits = bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return hits.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering audit for a Z-order layout of orders on
+    (customer key, order day): per Z-bucket row count and min/max
+    envelope of BOTH dimensions — the per-file statistics a
+    range-partitioned writer would expose for two-sided file skipping."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit(ZORDER_EPOCH).cast("date")).alias(
+            "dayno"
+        ),
+    )
+    return zorder_stats(
+        d, "o_custkey", "dayno", bucket_shift=ZORDER_BUCKET_SHIFT
+    )
+
+
+QUERIES = {
+    "kmv_distinct": q_kmv_distinct,
+    "bloom_prune_join": q_bloom_prune_join,
+    "zorder_index": q_zorder_index,
+}
+
+_Z_SQL = zvalue_sql("x", "y")
+
+ORACLES = {
+    "kmv_distinct": f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM orders
+),
+rk AS (
+  SELECT o_orderpriority, h,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM h
+),
+agg AS (
+  SELECT o_orderpriority, count(*) AS k_used, max(h) AS kth_hash
+  FROM rk WHERE rn <= {KMV_K} GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, k_used, kth_hash,
+  round(CASE WHEN k_used >= {KMV_K}
+    THEN CAST(k_used - 1 AS DOUBLE) * 281474976710656.0 / kth_hash
+    ELSE CAST(k_used AS DOUBLE) END, 4) AS est_distinct
+FROM agg
+""",
+    "bloom_prune_join": f"""
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = '{BLOOM_SEGMENT}')
+GROUP BY 1
+""",
+    "zorder_index": f"""
+WITH d AS (
+  SELECT (o_custkey & {DIM_MASK}) AS x,
+         (date_diff('day', DATE '{ZORDER_EPOCH}', o_orderdate)
+          & {DIM_MASK}) AS y
+  FROM orders
+),
+z AS (SELECT x, y, {_Z_SQL} >> {ZORDER_BUCKET_SHIFT} AS zbucket FROM d)
+SELECT zbucket, count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z GROUP BY zbucket
+""",
+}

@@ -74,6 +74,12 @@ EXTRA_FAMILIES = [
     # round-5 additions: span removal / SemDeDup / BPE learn / corr matrix
     ("r5", ["dedup_span_removal", "dedup_semantic", "bpe_learn",
             "rolling_corr_pairs"]),
+    # round-5 additions (2): the financial family shares the candle/bar
+    # frames; the scale family shares nothing (cache-isolated on purpose)
+    ("r5fin", ["atr_keltner", "beta_capm", "pairs_spread_z",
+               "winsorize", "historical_var"]),
+    ("r5scale", ["kmv_distinct", "bloom_prune_join", "zorder_index",
+                 "nation_pagerank"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

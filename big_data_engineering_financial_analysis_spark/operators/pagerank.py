@@ -1,0 +1,102 @@
+"""Weighted PageRank with a deterministic, oracle-mirrorable iteration.
+
+PageRank (Page et al. 1999) as the engine's representative *iterative*
+graph algorithm.  The design splits the work the way a 100 TB run
+must:
+
+1. **Edge aggregation** — the scalable part.  Edges are distilled from
+   fact tables by plain joins + one grouped count; at scale this is the
+   usual co-partitioned fact shuffle and produces a graph whose size is
+   bounded by |nodes|², independent of fact row count.
+2. **Rank iteration** — runs on the aggregated graph.  Each of the
+   fixed ``iters`` steps is one tiny join + grouped fold; the graph
+   stays a DataFrame throughout (no driver collect).
+
+Floating-point determinism: a grouped ``sum`` of doubles is
+order-dependent, which would make the result flap run-to-run and
+engine-to-engine.  Every per-node accumulation here instead folds the
+incoming contributions **in source-node order** via
+``aggregate(array_sort(collect_list(struct(src, c))))`` — the same sum
+DuckDB computes with ``list_reduce(list(c ORDER BY src))`` — so ranks
+are bit-identical across engines and runs.  Out-weights are integer
+sums (exact).
+
+Dangling nodes (no out-edges) leak mass — the standard simplification;
+ranks then sum to < 1 but remain a fixed point of the documented
+recurrence ``pr(v) = (1-d)/N + d * Σ_u pr(u) * w(u,v) / outw(u)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """``edges``: (src, dst, w) with integer weights; ``nodes``: (node);
+    returns (node, pr) after ``iters`` synchronous iterations from the
+    uniform start 1/``n_nodes``."""
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outw, "src")
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    teleport = F.lit((1.0 - damping) / n_nodes)
+    for _ in range(iters):
+        contribs = e.join(pr, e["src"] == pr["node"]).select(
+            "dst", "src", (F.col("pr") * F.col("w") / F.col("outw")).alias("c")
+        )
+        inc = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("inc")
+        )
+        pr = nodes.join(inc, nodes["node"] == inc["dst"], "left").select(
+            "node",
+            (teleport + F.lit(damping) * F.coalesce(F.col("inc"), F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+    return pr
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    nodes_cte: str,
+    n_nodes: int,
+    iters: int = 5,
+    damping: float = 0.85,
+    final_select: str = "SELECT node, round(pr, 6) AS pr FROM pr{last}",
+) -> str:
+    """Unroll the identical iteration as DuckDB CTEs.  ``edges_cte``
+    must define ``e(src, dst, w)``; ``nodes_cte`` must define
+    ``nodes(node, ...)``.  The per-node fold sums contributions in
+    ``src`` order via ``list_reduce(list(c ORDER BY src))`` — the same
+    FP addition sequence as the Spark fold (a 0.0 seed adds exactly)."""
+    parts = [
+        edges_cte.rstrip().rstrip(","),
+        nodes_cte.rstrip().rstrip(","),
+        "ew AS (SELECT e.*, sum(w) OVER (PARTITION BY src) AS outw FROM e)",
+        f"pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / {n_nodes} AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS (
+  SELECT n.node,
+         CAST({1.0 - damping!r} AS DOUBLE) / {n_nodes}
+           + CAST({damping!r} AS DOUBLE) * coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT dst, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS inc
+    FROM (SELECT ew.dst, ew.src, p.pr * ew.w / ew.outw AS c
+          FROM ew JOIN pr{i - 1} p ON ew.src = p.node)
+    GROUP BY dst
+  ) s ON n.node = s.dst
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + final_select.format(last=iters)

@@ -136,3 +136,74 @@ SELECT zbucket, count(*) AS n_rows,
 FROM z GROUP BY zbucket
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# iterative graph: nation-to-nation trade PageRank
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.operators.pagerank import (  # noqa: E402
+    pagerank_oracle_sql,
+    weighted_pagerank,
+)
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+N_NATIONS = 25
+
+
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-nation → supplier-nation trade graph.
+
+    Edge aggregation is the scalable part (lineitem⋈orders⋈customer⋈
+    supplier, one grouped count — the same fact-shuffle shape as the
+    TPC-H joins); the 25-node iteration then runs on the aggregate.
+    Per-node accumulation folds contributions in source order, so ranks
+    are bit-identical to the oracle's unrolled CTE iteration."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    pr = weighted_pagerank(
+        edges, nodes, N_NATIONS, iters=PR_ITERS, damping=PR_DAMPING
+    )
+    return (
+        pr.join(
+            F.broadcast(nation),
+            pr["node"] == nation["n_nationkey"],
+        )
+        .select("node", "n_name", F.round("pr", 6).alias("pr"))
+    )
+
+
+QUERIES["nation_pagerank"] = q_nation_pagerank
+
+ORACLES["nation_pagerank"] = pagerank_oracle_sql(
+    edges_cte="""e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)""",
+    nodes_cte="nodes AS (SELECT n_nationkey AS node, n_name FROM nation)",
+    n_nodes=N_NATIONS,
+    iters=PR_ITERS,
+    damping=PR_DAMPING,
+    final_select=(
+        "SELECT nodes.node, nodes.n_name, round(pr{last}.pr, 6) AS pr\n"
+        "FROM pr{last} JOIN nodes ON pr{last}.node = nodes.node"
+    ),
+)

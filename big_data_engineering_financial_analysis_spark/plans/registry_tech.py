@@ -15,7 +15,7 @@ rounded to 6 dp on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions import indicators_ext as ix
@@ -720,6 +720,122 @@ SELECT sym_x, sym_y, bucket, round(spread, 6) AS spread,
        round(mu, 6) AS spread_mu,
        round((spread - mu) / nullif(sd, 0.0), 6) AS spread_z
 FROM s2
+""",
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions (2): winsorization, historical VaR / expected shortfall
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol winsorization of tick closes at the exact p05/p95
+    (linear interpolation — DuckDB ``quantile_cont``): outliers clamp to
+    the threshold, with a flag.  Thresholds are one grouped aggregate
+    joined back broadcast (group-count-sized); at 100 TB swap
+    ``percentile`` for ``percentile_approx`` and keep the same shape."""
+    c = _candles(spark, sf_dir).drop("volume")
+    th = c.groupBy("stock_symbol").agg(
+        F.percentile("close", F.lit(0.05)).alias("lo"),
+        F.percentile("close", F.lit(0.95)).alias("hi"),
+    )
+    j = c.join(F.broadcast(th), "stock_symbol")
+    clamped = F.least(F.greatest(F.col("close"), F.col("lo")), F.col("hi"))
+    return j.select(
+        "event_id",
+        "stock_symbol",
+        F.round("close", 6).alias("close"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round(clamped, 6).alias("clamped"),
+        ((F.col("close") < F.col("lo")) | (F.col("close") > F.col("hi")))
+        .cast("int")
+        .alias("is_clamped"),
+    )
+
+
+def q_historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR(95) and expected shortfall per symbol over daily
+    log returns: VaR = exact p05 of the return distribution, ES = mean
+    of the tail at or below it.  One bar resample, one threshold
+    aggregate, one conditional re-aggregate."""
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
+    )
+    w = Window.partitionBy("stock_symbol").orderBy("bucket")
+    prev = F.lag("close", 1).over(w)
+    ret = F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev))
+    rets = bars.withColumn("ret", ret)
+    th = rets.groupBy("stock_symbol").agg(
+        F.percentile("ret", F.lit(0.05)).alias("var95"),
+        F.count("ret").alias("n_rets"),
+    )
+    j = rets.join(F.broadcast(th), "stock_symbol")
+    return (
+        j.groupBy("stock_symbol", "var95", "n_rets")
+        .agg(
+            F.avg(F.when(F.col("ret") <= F.col("var95"), F.col("ret"))).alias(
+                "es95"
+            )
+        )
+        .select(
+            "stock_symbol",
+            "n_rets",
+            F.round("var95", 6).alias("var95"),
+            F.round("es95", 6).alias("es95"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "winsorize": q_winsorize,
+        "historical_var": q_historical_var,
+    }
+)
+
+ORACLES.update(
+    {
+        "winsorize": _CANDLES_CTE
+        + """,
+th AS (
+  SELECT stock_symbol,
+         quantile_cont(close, 0.05) AS lo,
+         quantile_cont(close, 0.95) AS hi
+  FROM candles GROUP BY stock_symbol
+)
+SELECT event_id, c.stock_symbol, round(close, 6) AS close,
+       round(lo, 6) AS lo, round(hi, 6) AS hi,
+       round(least(greatest(close, lo), hi), 6) AS clamped,
+       CAST(close < lo OR close > hi AS INT) AS is_clamped
+FROM candles c JOIN th USING (stock_symbol)
+""",
+        "historical_var": _CANDLES_CTE
+        + _OHLC_DAY
+        + """,
+r AS (
+  SELECT stock_symbol, bucket, close,
+         lag(close) OVER (PARTITION BY stock_symbol ORDER BY bucket)
+           AS prev
+  FROM bars
+),
+rr AS (
+  SELECT stock_symbol,
+         CASE WHEN close > 0 AND prev > 0 THEN ln(close / prev) END AS ret
+  FROM r
+),
+th AS (
+  SELECT stock_symbol, quantile_cont(ret, 0.05) AS var95,
+         count(ret) AS n_rets
+  FROM rr GROUP BY stock_symbol
+)
+SELECT rr.stock_symbol, any_value(n_rets) AS n_rets,
+       round(any_value(var95), 6) AS var95,
+       round(avg(ret) FILTER (ret <= var95), 6) AS es95
+FROM rr JOIN th USING (stock_symbol)
+GROUP BY rr.stock_symbol
 """,
     }
 )

@@ -79,7 +79,7 @@ EXTRA_FAMILIES = [
     ("r5fin", ["atr_keltner", "beta_capm", "pairs_spread_z",
                "winsorize", "historical_var"]),
     ("r5scale", ["kmv_distinct", "bloom_prune_join", "zorder_index",
-                 "nation_pagerank"]),
+                 "nation_pagerank", "countmin_topk", "nation_triangles"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

@@ -191,3 +191,87 @@ def bloom_semi_join(
         candidates[fact_key] == F.col("__k"),
         "left_semi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+#: Sketch geometry: depth d salted hash rows x width w counters.
+CM_DEPTH = 3
+CM_WIDTH = 1024
+
+
+def _cm_pos(key: Column, d: int) -> Column:
+    return hash48(F.concat(F.lit(f"cm{d}:"), key.cast("string"))) % F.lit(
+        CM_WIDTH
+    )
+
+
+def countmin_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate the stream into the ``CM_DEPTH x CM_WIDTH`` counter
+    grid: one explode to (depth, pos) then a grouped count.  The shuffle
+    carries at most ``depth * width`` partial counters per map task —
+    bounded by the sketch geometry, independent of key cardinality (the
+    point: a keyed count of a billion-key stream shuffles billions of
+    partials; the sketch shuffles 3072)."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cm_pos(F.col(key_col), d).alias("pos"),
+                )
+                for d in range(CM_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .select("cell.d", "cell.pos")
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, candidates: DataFrame, key_col: str
+) -> DataFrame:
+    """Point-query the sketch for every candidate key: the estimate is
+    the MIN over depths of the addressed counters (each row of the grid
+    overestimates by its collisions; the min is the tightest).  The
+    sketch folds to a single broadcast map keyed ``d * width + pos`` —
+    ≤ 3072 entries, a few KiB.
+
+    Count-Min guarantees ``true ≤ est ≤ true + eps * N`` w.h.p.;
+    both bounds are deterministic here because the salted md5 hashes
+    are — DuckDB rebuilds the identical grid and estimates.
+    """
+    as_map = sketch.agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (F.col("d") * CM_WIDTH + F.col("pos")).alias("k"),
+                        F.col("c").alias("v"),
+                    )
+                )
+            )
+        ).alias("cm")
+    )
+    out = candidates.crossJoin(F.broadcast(as_map))
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    F.col("cm"),
+                    (F.lit(d * CM_WIDTH) + _cm_pos(F.col(key_col), d)).cast(
+                        "long"
+                    ),
+                ),
+                F.lit(0).cast("long"),
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+    return out.withColumn("est_count", est).drop("cm")

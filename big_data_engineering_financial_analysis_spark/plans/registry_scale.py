@@ -207,3 +207,118 @@ ORACLES["nation_pagerank"] = pagerank_oracle_sql(
         "FROM pr{last} JOIN nodes ON pr{last}.node = nodes.node"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters + triangle counting
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.operators.graph import (  # noqa: E402
+    triangle_participation,
+)
+from big_data_engineering_financial_analysis_spark.operators.sketch import (  # noqa: E402
+    CM_DEPTH,
+    CM_WIDTH,
+    countmin_build,
+    countmin_estimate,
+)
+
+#: Shared trade-graph edge aggregation (same joins as nation_pagerank).
+_TRADE_EDGES_CTE = """e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch: the shuffle carries ≤
+    depth x width partial counters per map task (3072 cells) instead of
+    one partial per key — the bounded-state alternative to a keyed
+    count at billion-key cardinality.  Candidates here are the distinct
+    keys (group-count-sized); at true scale the candidate set comes
+    from sampling or a SpaceSaving pass, the sketch stays identical."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = countmin_build(ev, "user_id")
+    cands = ev.select("user_id").distinct()
+    est = countmin_estimate(sk, cands, "user_id")
+    return est.orderBy(F.col("est_count").desc(), "user_id").limit(10)
+
+
+def q_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected trade graph
+    — edge aggregation at fact scale, enumeration on the aggregate with
+    the each-triangle-once a<b<c ordering (integer-exact, no FP)."""
+    edges = _trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    out = triangle_participation(edges, nodes)
+    return out.join(
+        F.broadcast(nation), out["node"] == nation["n_nationkey"]
+    ).select("node", "n_name", "n_triangles")
+
+
+QUERIES["countmin_topk"] = q_countmin_topk
+QUERIES["nation_triangles"] = q_nation_triangles
+
+_CM_HASH = (
+    "('0x' || substr(md5('cm' || {d} || ':' || CAST({key} AS VARCHAR)), 1, 12))"
+    f"::BIGINT % {CM_WIDTH}"
+)
+
+ORACLES["countmin_topk"] = f"""
+WITH d(d) AS (VALUES {", ".join(f"({i})" for i in range(CM_DEPTH))}),
+cells AS (
+  SELECT d.d, {_CM_HASH.format(d="d.d", key="user_id")} AS pos
+  FROM events CROSS JOIN d
+),
+grid AS (SELECT d, pos, count(*) AS c FROM cells GROUP BY 1, 2),
+cand AS (SELECT DISTINCT user_id FROM events),
+est AS (
+  SELECT cand.user_id, min(grid.c) AS est_count
+  FROM cand CROSS JOIN d
+  JOIN grid ON grid.d = d.d
+           AND grid.pos = {_CM_HASH.format(d="d.d", key="cand.user_id")}
+  GROUP BY cand.user_id
+)
+SELECT user_id, est_count FROM est
+ORDER BY est_count DESC, user_id LIMIT 10
+"""
+
+ORACLES["nation_triangles"] = f"""
+WITH {_TRADE_EDGES_CTE},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e WHERE least(src, dst) < greatest(src, dst)
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+m AS (SELECT unnest([a, b, c]) AS node FROM tri),
+cnt AS (SELECT node, count(*) AS n_triangles FROM m GROUP BY node)
+SELECT n.n_nationkey AS node, n.n_name,
+       coalesce(cnt.n_triangles, 0) AS n_triangles
+FROM nation n LEFT JOIN cnt ON n.n_nationkey = cnt.node
+"""

@@ -89,3 +89,33 @@ def test_partitioning_does_not_change_ranks(spark):
     a = sorted(weighted_pagerank(e.repartition(7), n, 10, iters=3).collect())
     b = sorted(weighted_pagerank(e.coalesce(1), n, 10, iters=3).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    from big_data_engineering_financial_analysis_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    def run(edge_list, nodes):
+        e = spark.createDataFrame(edge_list, "src int, dst int")
+        n = spark.createDataFrame([(v,) for v in nodes], "node int")
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_participation(e, n).collect()
+        }
+
+    # a 4-cycle has no triangles
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert run(square, range(4)) == {0: 0, 1: 0, 2: 0, 3: 0}
+    # K4 has 4 triangles, 3 through each node; direction and duplicate
+    # edges must not matter (undirect() collapses them)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert run(k4, range(4)) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # one triangle + a pendant node and a disconnected node
+    tri = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    assert run(tri, range(5)) == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}

@@ -120,3 +120,46 @@ def test_zvalue_locality_beats_linear_key_on_second_dim(spark):
         # each 256-key bucket covers a 16x16 tile: both dims bounded
         assert r["x_max"] - r["x_min"] <= 15
         assert r["y_max"] - r["y_min"] <= 15
+
+
+def test_countmin_overestimates_never_under(spark):
+    """CMS guarantee: est >= true count for every key, and with 3 rows
+    x 1024 counters over 20 keys, est == true (collision-free load)."""
+    from big_data_engineering_financial_analysis_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rows = [(i % 20,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long")
+    sk = countmin_build(df, "k")
+    cands = df.distinct()
+    out = {r["k"]: r["est_count"] for r in countmin_estimate(sk, cands, "k").collect()}
+    assert all(v == 50 for v in out.values())
+
+
+def test_countmin_grid_is_bounded(spark):
+    """The sketch never exceeds depth x width cells no matter the key
+    cardinality — the bounded-shuffle claim."""
+    from big_data_engineering_financial_analysis_spark.operators.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        countmin_build,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20000)], "k long")
+    assert countmin_build(df, "k").count() <= CM_DEPTH * CM_WIDTH
+
+
+def test_countmin_absent_key_estimates_only_collisions(spark):
+    """A key never inserted gets the collision mass of its cells — with
+    a near-empty grid that is 0."""
+    from big_data_engineering_financial_analysis_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    sk = countmin_build(df, "k")
+    cands = spark.createDataFrame([(999,)], "k long")
+    assert countmin_estimate(sk, cands, "k").first()["est_count"] == 0

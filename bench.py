@@ -80,6 +80,7 @@ EXTRA_FAMILIES = [
                "winsorize", "historical_var"]),
     ("r5scale", ["kmv_distinct", "bloom_prune_join", "zorder_index",
                  "nation_pagerank", "countmin_topk", "nation_triangles"]),
+    ("r5pipe", ["perplexity_filter", "kfold_split"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

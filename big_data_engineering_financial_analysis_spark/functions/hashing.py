@@ -43,11 +43,11 @@ def hash64_py(s: str, seed=None) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def duck_hash64(expr: str, seed=None) -> str:
+def duck_hash64(expr: str, seed=None, nhex: int = 15) -> str:
     """DuckDB SQL twin of :func:`hash64` over an SQL expression string."""
     if seed is not None:
         expr = f"({expr} || '#{seed}')"
-    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    return f"('0x' || substr(md5({expr}), 1, {nhex}))::BIGINT"
 
 
 #: Mersenne prime for the minhash universal-hash family.

@@ -142,3 +142,18 @@ def weighted_sample(
     monotone in the weight (raising a doc's weight can only keep it)."""
     u = hash64(F.col(key_col).cast("string"), salt, 13) / F.lit(float(16**13))
     return df.withColumn("u", u).filter(F.col("u") < F.col(weight_col))
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    keyed-hash % k.  Row-local (zero shuffle), append-stable, and
+    GROUP-COHERENT — every row sharing the key lands in the same fold,
+    which is what prevents leakage when the key is an entity id rather
+    than a row id.  Same hash family as :func:`hash_split`."""
+    fold = hash64(F.col(key_col).cast("string"), salt, 8) % F.lit(k)
+    return df.withColumn("fold", fold.cast("int"))

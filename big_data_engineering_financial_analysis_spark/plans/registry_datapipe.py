@@ -1761,3 +1761,64 @@ QUERIES = {
     "lsh_bucket_histogram": q_lsh_bucket_histogram,
     "dedup_embedding": q_dedup_embedding,
 }
+
+
+# ---------------------------------------------------------------------------
+# driver-round-5: bigram-LM perplexity filtering (CCNet-style)
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.operators.lm import (  # noqa: E402
+    perplexity_score,
+)
+
+#: Keep threshold — around the corpus median self-perplexity, so the
+#: flag exercises both branches at every SF.
+PPL_THRESHOLD = 30.0
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: score every document by bigram-LM
+    perplexity (model = two grouped counts; per-doc log-probs folded in
+    token order for engine-exact means) and keep the fluent tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_score(docs, threshold=PPL_THRESHOLD)
+
+
+QUERIES["perplexity_filter"] = q_perplexity_filter
+
+ORACLES["perplexity_filter"] = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+uni AS (
+  SELECT w FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
+  GROUP BY w
+),
+v AS (SELECT count(*) AS v FROM uni),
+prefix AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+pairs AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+sc AS (
+  SELECT bg.doc_id, bg.pos,
+         ln((c12 + CAST(1.0 AS DOUBLE)) / (c1 + v.v)) AS logp
+  FROM bg JOIN pairs USING (w1, w2) JOIN prefix USING (w1) CROSS JOIN v
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS sum_logp
+  FROM sc GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, n_bigrams, sum_logp / n_bigrams AS avg_logp,
+         exp(-(sum_logp / n_bigrams)) AS ppl
+  FROM pd
+)
+SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       round(avg_logp, 6) AS avg_logp, round(ppl, 6) AS ppl,
+       CASE WHEN ppl <= {PPL_THRESHOLD} THEN 1 ELSE 0 END AS keep
+FROM documents d LEFT JOIN m USING (doc_id)
+"""

@@ -322,3 +322,45 @@ SELECT n.n_nationkey AS node, n.n_name,
        coalesce(cnt.n_triangles, 0) AS n_triangles
 FROM nation n LEFT JOIN cnt ON n.n_nationkey = cnt.node
 """
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment (leakage-safe, zero shuffle)
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.functions.hashing import (  # noqa: E402
+    duck_hash64,
+)
+from big_data_engineering_financial_analysis_spark.operators.sampling import (  # noqa: E402
+    kfold_assign,
+)
+
+KFOLD_K = 5
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold balance audit for a 5-fold CV split of events keyed on
+    user_id (entity-coherent: all of a user's rows share a fold — the
+    leakage-safe grouping).  Assignment is row-local; the only shuffle
+    is the audit's own grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    folds = kfold_assign(ev, "user_id", k=KFOLD_K)
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+QUERIES["kfold_split"] = q_kfold_split
+
+_KF_HASH = duck_hash64("CAST(user_id AS VARCHAR)", "kfold", nhex=8)
+
+ORACLES["kfold_split"] = f"""
+SELECT CAST({_KF_HASH} % {KFOLD_K} AS INT) AS fold,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+"""

@@ -102,3 +102,27 @@ def test_weighted_sample_monotone_and_exact(spark):
     # reproducible across repartitions
     again = weighted_sample(docs.repartition(7), "w").toPandas()
     assert set(again["doc_id"]) == set(kept["doc_id"])
+
+
+def test_kfold_assignment_is_entity_coherent_and_balanced(spark):
+    from big_data_engineering_financial_analysis_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    rows = [(u, r) for u in range(200) for r in range(3)]
+    df = spark.createDataFrame(rows, "user long, row long")
+    out = kfold_assign(df, "user", k=5).collect()
+    folds = {}
+    for r in out:
+        folds.setdefault(r["user"], set()).add(r["fold"])
+    # entity-coherent: every user's rows share one fold
+    assert all(len(s) == 1 for s in folds.values())
+    assert set(f for s in folds.values() for f in s) == {0, 1, 2, 3, 4}
+    # roughly balanced: each fold gets 200/5 = 40 users +/- 50%
+    from collections import Counter
+    per_fold = Counter(next(iter(s)) for s in folds.values())
+    assert all(20 <= per_fold[f] <= 60 for f in range(5))
+    # append-stable: re-assigning a subset yields identical folds
+    sub = kfold_assign(df.filter("user < 50"), "user", k=5).collect()
+    base = {r["user"]: r["fold"] for r in out}
+    assert all(base[r["user"]] == r["fold"] for r in sub)

@@ -1822,3 +1822,75 @@ SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
        CASE WHEN ppl <= {PPL_THRESHOLD} THEN 1 ELSE 0 END AS keep
 FROM documents d LEFT JOIN m USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# driver-round-5: PSI distribution-drift monitoring
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.operators.drift import (  # noqa: E402
+    psi_report,
+)
+
+DRIFT_CUTOFF = "2024-01-16"
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the month — the standard serving-time drift monitor;
+    fixed-width global bins, smoothed proportions, bin-ordered fold."""
+    ev = load_table(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") < F.lit(DRIFT_CUTOFF).cast("timestamp"), "ref"
+    ).otherwise("cur")
+    out = psi_report(ev, "value", period, "event_type")
+    return out.withColumnRenamed("grp", "event_type")
+
+
+QUERIES["drift_psi"] = q_drift_psi
+
+ORACLES["drift_psi"] = f"""
+WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+d AS (
+  SELECT event_type AS grp,
+         CASE WHEN ts < TIMESTAMP '{DRIFT_CUTOFF}' THEN 'ref'
+              ELSE 'cur' END AS period,
+         value AS v
+  FROM events
+),
+b AS (
+  SELECT grp, period,
+         CAST(least(floor((v - s.vmin) / ((s.vmax - s.vmin) / 10.0)), 9)
+              AS INT) AS bin
+  FROM d CROSS JOIN s
+),
+counts AS (SELECT grp, period, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+grid AS (
+  SELECT grp, unnest(generate_series(0, 9)) AS bin
+  FROM (SELECT DISTINCT grp FROM counts)
+),
+g AS (
+  SELECT grid.grp, grid.bin,
+         coalesce(r.c, 0) AS c_ref, coalesce(cu.c, 0) AS c_cur
+  FROM grid
+  LEFT JOIN (SELECT * FROM counts WHERE period = 'ref') r USING (grp, bin)
+  LEFT JOIN (SELECT * FROM counts WHERE period = 'cur') cu USING (grp, bin)
+),
+tot AS (SELECT grp, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+               CAST(sum(c_cur) AS BIGINT) AS n_cur FROM g GROUP BY 1),
+t AS (
+  SELECT g.grp, g.bin, tot.n_ref, tot.n_cur,
+    (g.c_ref + CAST(0.5 AS DOUBLE)) / (tot.n_ref + CAST(5.0 AS DOUBLE)) AS p,
+    (g.c_cur + CAST(0.5 AS DOUBLE)) / (tot.n_cur + CAST(5.0 AS DOUBLE)) AS q
+  FROM g JOIN tot USING (grp)
+),
+t2 AS (SELECT grp, bin, n_ref, n_cur, (p - q) * ln(p / q) AS term FROM t),
+f AS (
+  SELECT grp, n_ref, n_cur,
+         list_reduce(list(term ORDER BY bin), (a, b) -> a + b) AS psi
+  FROM t2 GROUP BY grp, n_ref, n_cur
+)
+SELECT grp AS event_type, n_ref, n_cur, round(psi, 6) AS psi,
+       CAST(psi > 0.2 AS INT) AS drift
+FROM f
+"""

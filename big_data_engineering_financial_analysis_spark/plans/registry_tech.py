@@ -839,3 +839,163 @@ GROUP BY rr.stock_symbol
 """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions (3): dense-calendar forward fill
+# ---------------------------------------------------------------------------
+
+
+def q_calendar_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed asfreq+ffill: densify every symbol's daily bars onto
+    its own observed calendar span and forward-fill closes; the fill is
+    an O(1)-per-row running aggregate sharing the join's key
+    partitioning."""
+    from big_data_engineering_financial_analysis_spark.operators.timegrid import (
+        calendar_ffill,
+    )
+
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
+    )
+    out = calendar_ffill(bars, value_cols=("close",))
+    return out.select(
+        "stock_symbol", "bucket", F.round("close", 6).alias("close"), "is_filled"
+    )
+
+
+QUERIES["calendar_ffill"] = q_calendar_ffill
+
+ORACLES["calendar_ffill"] = (
+    _CANDLES_CTE
+    + _OHLC_DAY
+    + """,
+span AS (
+  SELECT stock_symbol, min(bucket) AS t0, max(bucket) AS t1
+  FROM bars GROUP BY 1
+),
+grid AS (
+  SELECT stock_symbol,
+         unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS bucket
+  FROM span
+),
+g2 AS (
+  SELECT g.stock_symbol, g.bucket, b.close
+  FROM grid g LEFT JOIN bars b USING (stock_symbol, bucket)
+),
+f AS (
+  SELECT stock_symbol, bucket,
+         CAST(close IS NULL AS INT) AS is_filled,
+         last_value(close IGNORE NULLS)
+           OVER (PARTITION BY stock_symbol ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
+  FROM g2
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close, is_filled FROM f
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions (4): signal backtest with equity curve
+# ---------------------------------------------------------------------------
+
+
+def q_backtest_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector backtest of the SMA5>EMA10 crossover on daily bars: the
+    position is YESTERDAY's signal (lag 1 — no lookahead), strategy
+    return = position x daily return, equity = exp of the RUNNING sum
+    of log growth.  Running window aggregates accumulate in frame
+    order, so the equity curve is FP-deterministic and engine-exact —
+    the reason the curve uses a running log-sum rather than a grouped
+    product.  Everything rides one (symbol)-keyed window family."""
+    from pyspark.sql import Window as W
+
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
+    )
+    w = W.partitionBy("stock_symbol").orderBy("bucket")
+    hist = w.rowsBetween(W.unboundedPreceding, 0)
+    frame5 = w.rowsBetween(-4, 0)
+    close = F.col("close")
+    sma5 = F.when(F.count(close).over(frame5) >= 5, F.avg(close).over(frame5))
+    from big_data_engineering_financial_analysis_spark.functions.indicators import _ema_fold
+
+    ema10 = F.when(
+        F.count(close).over(hist) >= 10,
+        _ema_fold(F.collect_list(close).over(hist), 2.0 / 11.0),
+    )
+    b = (
+        bars.withColumn("sma_5", sma5)
+        .withColumn("ema_10", ema10)
+        .withColumn(
+            "pos_raw",
+            F.when(F.col("sma_5") > F.col("ema_10"), 1).otherwise(0),
+        )
+    )
+    b = b.withColumn("pos", F.coalesce(F.lag("pos_raw", 1).over(w), F.lit(0)))
+    b = b.withColumn("ret", close / F.nullif(F.lag(close, 1).over(w), F.lit(0.0)) - 1.0)
+    strat = F.col("pos") * F.col("ret")
+    logg = F.when(strat.isNull(), F.lit(0.0)).when(
+        strat > -1.0, F.log(F.lit(1.0) + strat)
+    )
+    b = b.withColumn("__logg", logg).withColumn(
+        "equity", F.exp(F.sum("__logg").over(hist))
+    )
+    return b.select(
+        "stock_symbol",
+        "bucket",
+        F.round("close", 6).alias("close"),
+        "pos",
+        F.round("ret", 6).alias("ret"),
+        F.round("equity", 6).alias("equity"),
+    )
+
+
+QUERIES["backtest_equity"] = q_backtest_equity
+
+ORACLES["backtest_equity"] = (
+    _CANDLES_CTE
+    + _OHLC_DAY
+    + f""",
+s1 AS (
+  SELECT stock_symbol, bucket, close,
+    CASE WHEN count(close) OVER w5 >= 5 THEN avg(close) OVER w5 END AS sma_5,
+    CASE WHEN count(close) OVER wh >= 10 THEN
+      list_reduce(list(close) OVER wh,
+                  (acc, x) -> acc * (1.0 - 2.0 / 11.0) + x * (2.0 / 11.0))
+    END AS ema_10,
+    close / nullif(lag(close) OVER ws, 0) - 1.0 AS ret
+  FROM bars
+  WINDOW ws AS (PARTITION BY stock_symbol ORDER BY bucket),
+         w5 AS (ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wh AS (ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT s1.*, CASE WHEN sma_5 > ema_10 THEN 1 ELSE 0 END AS pos_raw
+  FROM s1
+),
+s3 AS (
+  SELECT s2.*,
+    coalesce(lag(pos_raw) OVER (PARTITION BY stock_symbol ORDER BY bucket),
+             0) AS pos
+  FROM s2
+),
+s4 AS (
+  SELECT s3.*,
+    CASE WHEN pos * ret IS NULL THEN CAST(0.0 AS DOUBLE)
+         WHEN pos * ret > -1.0 THEN ln(1.0 + pos * ret) END AS logg
+  FROM s3
+),
+s5 AS (
+  SELECT s4.*,
+    exp(sum(logg) OVER (PARTITION BY stock_symbol ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      AS equity
+  FROM s4
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close, pos,
+       round(ret, 6) AS ret, round(equity, 6) AS equity
+FROM s5
+"""
+)

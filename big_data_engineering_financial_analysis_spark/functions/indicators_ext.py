@@ -485,6 +485,7 @@ def rolling_beta(
     time_col: str = "bucket",
     close_col: str = "close",
     window: int = 20,
+    bench_bars: DataFrame | None = None,
 ) -> DataFrame:
     """Rolling CAPM beta/alpha of every symbol against one benchmark.
 
@@ -504,17 +505,28 @@ def rolling_beta(
     Scale: the benchmark side is one series (broadcastable); the join
     shuffles symbols on ``time_col`` once and the rolling window re-keys
     on the symbol — per-reducer state is one symbol's bar history.
+
+    Pass ``bench_bars`` (the benchmark's own bar frame, typically from
+    a symbol-pushed scan) to keep the benchmark branch off the
+    all-symbol plan: without it, deriving the 1-symbol series by
+    filtering ``bars`` forces the full OHLC resample to run twice (the
+    10x audit measured 14 s vs 4 s at sf1x for exactly this reason).
     """
     w = Window.partitionBy(symbol_col).orderBy(time_col)
-    rets = bars.withColumn(
-        "ret", F.col(close_col) / F.nullif(F.lag(close_col, 1).over(w), F.lit(0.0)) - 1.0
-    )
-    bench = rets.filter(F.col(symbol_col) == benchmark_symbol).select(
-        time_col, F.col("ret").alias("x")
-    )
-    syms = rets.filter(F.col(symbol_col) != benchmark_symbol).select(
-        symbol_col, time_col, F.col("ret").alias("y")
-    )
+
+    def with_ret(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "ret",
+            F.col(close_col) / F.nullif(F.lag(close_col, 1).over(w), F.lit(0.0))
+            - 1.0,
+        )
+
+    if bench_bars is None:
+        bench_bars = bars.filter(F.col(symbol_col) == benchmark_symbol)
+    bench = with_ret(bench_bars).select(time_col, F.col("ret").alias("x"))
+    syms = with_ret(
+        bars.filter(F.col(symbol_col) != benchmark_symbol)
+    ).select(symbol_col, time_col, F.col("ret").alias("y"))
     j = syms.join(F.broadcast(bench), time_col).filter(
         F.col("x").isNotNull() & F.col("y").isNotNull()
     )

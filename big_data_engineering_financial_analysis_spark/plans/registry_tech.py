@@ -569,11 +569,20 @@ def q_atr_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling CAPM beta/alpha of every symbol vs the benchmark symbol
-    over daily simple returns; the benchmark series is broadcast."""
+    over daily simple returns; the benchmark series is broadcast AND
+    scanned separately with the symbol predicate pushed to parquet, so
+    the all-symbol OHLC resample runs once, not twice."""
     bars = ix.ohlc_bars(
         _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
     )
-    out = ix.rolling_beta(bars, str(BETA_BENCHMARK), window=10)
+    bench_bars = ix.ohlc_bars(
+        _candles(spark, sf_dir, symbols=[BETA_BENCHMARK]).drop("volume"),
+        volume_col=None,
+        bar="day",
+    )
+    out = ix.rolling_beta(
+        bars, str(BETA_BENCHMARK), window=10, bench_bars=bench_bars
+    )
     return out.select(
         "stock_symbol",
         "bucket",

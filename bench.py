@@ -80,7 +80,8 @@ EXTRA_FAMILIES = [
                "winsorize", "historical_var"]),
     ("r5scale", ["kmv_distinct", "bloom_prune_join", "zorder_index",
                  "nation_pagerank", "countmin_topk", "nation_triangles"]),
-    ("r5pipe", ["perplexity_filter", "kfold_split", "drift_psi"]),
+    ("r5pipe", ["perplexity_filter", "kfold_split", "drift_psi",
+                "mmr_diverse", "hist_quantiles"]),
     ("r5fin2", ["calendar_ffill", "backtest_equity"]),
 ]
 

@@ -275,3 +275,75 @@ def countmin_estimate(
         ]
     )
     return out.withColumn("est_count", est).drop("cm")
+
+
+# ---------------------------------------------------------------------------
+# Histogram sketch quantiles (equi-width; the bounded-state percentile)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 1024
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles from an equi-width histogram.
+
+    The exact ``percentile`` buffers every value per group; this sketch
+    shuffles ≤ ``HIST_BINS`` partial counters per (group, map task) —
+    the bounded-state path the winsorize/percentile family swaps to at
+    100 TB.  Estimate: find the bin where the cumulative count crosses
+    ``q * n`` and interpolate linearly inside it; error ≤ one bin width
+    of the global range.  Every step is plain arithmetic on integers
+    and doubles, so (unlike t-digest/GK sketches) the estimate is
+    deterministic and engine-portable — the DuckDB oracle reproduces it
+    exactly.
+
+    Output: (group, q, n, est).
+    """
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
+    )
+    d = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).crossJoin(F.broadcast(stats))
+    width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(HIST_BINS))
+    bin_ = F.least(
+        F.floor((F.col("v") - F.col("__vmin")) / width), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    counts = (
+        d.withColumn("bin", bin_)
+        .groupBy("grp", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("__vmin").alias("__vmin"),
+            F.first("__vmax").alias("__vmax"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counts = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("grp"))
+    )
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    per_q = counts.select("*", qlit).filter(
+        F.col("cum") >= F.col("q") * F.col("n")
+    )
+    wpick = Window.partitionBy("grp", "q").orderBy("bin")
+    pick = per_q.withColumn("rn", F.row_number().over(wpick)).filter(
+        F.col("rn") == 1
+    )
+    width_o = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(HIST_BINS))
+    frac = (F.col("q") * F.col("n") - (F.col("cum") - F.col("c"))) / F.col("c")
+    est = F.col("__vmin") + width_o * (F.col("bin") + frac)
+    return pick.select(
+        F.col("grp"), "q", "n", F.round(est, 6).alias("est")
+    )

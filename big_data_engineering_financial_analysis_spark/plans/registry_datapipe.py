@@ -1894,3 +1894,32 @@ SELECT grp AS event_type, n_ref, n_cur, round(psi, 6) AS psi,
        CAST(psi > 0.2 AS INT) AS drift
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# driver-round-5: MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.operators.mmr import (  # noqa: E402
+    mmr_oracle_sql,
+    mmr_select,
+)
+
+MMR_QUERY_ID = 0
+MMR_K, MMR_SHORTLIST, MMR_LAMBDA = 5, 20, 0.7
+
+
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: exact-cosine shortlist (the fact-scale
+    pass) then k unrolled greedy MMR steps on the shortlist — returns
+    the k distinct-best neighbors instead of k near-copies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb, MMR_QUERY_ID, k=MMR_K, shortlist=MMR_SHORTLIST, lam=MMR_LAMBDA
+    )
+
+
+QUERIES["mmr_diverse"] = q_mmr_diverse
+ORACLES["mmr_diverse"] = mmr_oracle_sql(
+    MMR_QUERY_ID, k=MMR_K, shortlist=MMR_SHORTLIST, lam=MMR_LAMBDA
+)

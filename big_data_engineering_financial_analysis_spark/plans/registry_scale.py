@@ -364,3 +364,63 @@ SELECT CAST({_KF_HASH} % {KFOLD_K} AS INT) AS fold,
 FROM events
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch quantiles
+# ---------------------------------------------------------------------------
+
+from big_data_engineering_financial_analysis_spark.operators.sketch import (  # noqa: E402
+    HIST_BINS,
+    hist_quantiles,
+)
+
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state percentiles: equi-width histogram counts (≤ 1024
+    partial counters per map task) + in-bin linear interpolation — the
+    sketch twin of the exact `value_percentiles`, deterministic in any
+    engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return hist_quantiles(ev, "value", "event_type", qs=HIST_QS)
+
+
+QUERIES["hist_quantiles"] = q_hist_quantiles
+
+_HQ_VALUES = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in HIST_QS)
+
+ORACLES["hist_quantiles"] = f"""
+WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+d AS (
+  SELECT event_type AS grp, value AS v, s.vmin, s.vmax,
+         CAST(least(floor((value - s.vmin)
+                          / ((s.vmax - s.vmin) / {float(HIST_BINS)!r})),
+                    {HIST_BINS - 1}) AS INT) AS bin
+  FROM events CROSS JOIN s
+),
+counts AS (
+  SELECT grp, bin, count(*) AS c,
+         any_value(vmin) AS vmin, any_value(vmax) AS vmax
+  FROM d GROUP BY grp, bin
+),
+cum AS (
+  SELECT counts.*,
+    sum(c) OVER (PARTITION BY grp ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY grp) AS n
+  FROM counts
+),
+qq(q) AS (VALUES {_HQ_VALUES}),
+pick AS (
+  SELECT cum.*, qq.q,
+         row_number() OVER (PARTITION BY grp, q ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qq
+  WHERE cum >= q * n
+)
+SELECT grp, q, CAST(n AS BIGINT) AS n,
+       round(vmin + ((vmax - vmin) / {float(HIST_BINS)!r})
+                    * (bin + (q * n - (cum - c)) / c), 6) AS est
+FROM pick WHERE rn = 1
+"""

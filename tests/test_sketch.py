@@ -163,3 +163,31 @@ def test_countmin_absent_key_estimates_only_collisions(spark):
     sk = countmin_build(df, "k")
     cands = spark.createDataFrame([(999,)], "k long")
     assert countmin_estimate(sk, cands, "k").first()["est_count"] == 0
+
+
+def test_hist_quantiles_close_to_exact_and_bounded_error(spark):
+    from big_data_engineering_financial_analysis_spark.operators.sketch import (
+        HIST_BINS,
+        hist_quantiles,
+    )
+
+    rows = [("g", float(i)) for i in range(10000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["q"]: r for r in hist_quantiles(df, "v", "g").collect()}
+    bin_width = (9999.0 - 0.0) / HIST_BINS
+    for q in (0.5, 0.9, 0.99):
+        exact = q * 9999.0
+        assert abs(out[q]["est"] - exact) <= bin_width + 1e-6, (q, out[q])
+        assert out[q]["n"] == 10000
+
+
+def test_hist_quantiles_partition_invariant(spark):
+    from big_data_engineering_financial_analysis_spark.operators.sketch import (
+        hist_quantiles,
+    )
+
+    rows = [("a", float((i * 31) % 997)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = sorted(hist_quantiles(df.repartition(11), "v", "g").collect())
+    b = sorted(hist_quantiles(df.coalesce(1), "v", "g").collect())
+    assert a == b

@@ -82,7 +82,8 @@ EXTRA_FAMILIES = [
                  "nation_pagerank", "countmin_topk", "nation_triangles"]),
     ("r5pipe", ["perplexity_filter", "kfold_split", "drift_psi",
                 "mmr_diverse", "hist_quantiles"]),
-    ("r5fin2", ["calendar_ffill", "backtest_equity"]),
+    ("r5fin2", ["calendar_ffill", "backtest_equity", "black_scholes",
+                "event_transitions"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

@@ -923,3 +923,57 @@ def build_oracles() -> dict[str, str]:
     for panel in dashboard.PANEL_SQL:
         out[panel] = _panel_oracle(panel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# driver-round-5: behavioral Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: P(next | current) from lead() pairs.  One keyed window
+    (partitioned by user — the sequence owner) + one grouped count;
+    probabilities are exact integer ratios, so the matrix is
+    engine-exact without any fold tricks."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type", 1).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLES["event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n / (sum(n) OVER (PARTITION BY cur)), 6) AS prob
+FROM pairs
+"""

@@ -1008,3 +1008,96 @@ SELECT stock_symbol, bucket, round(close, 6) AS close, pos,
 FROM s5
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions (5): Black-Scholes option pricing surface
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+from big_data_engineering_financial_analysis_spark.operators.options import (  # noqa: E402
+    black_scholes_sql,
+)
+
+BS_T_YEARS = 30.0 / 365.0
+BS_RATE = 0.02
+_SQRT252 = _math.sqrt(252.0)
+_BS = black_scholes_sql("close", "strike", "ann_vol", BS_T_YEARS, BS_RATE)
+
+
+def q_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-the-money 30-day option surface over daily bars: sigma is the
+    trailing-10 realized vol (annualized), strike the rounded spot.
+    The normal CDF is the A&S polynomial via SHARED SQL fragments
+    (operators/options.py) evaluated by F.expr — the same text the
+    oracle runs, so prices are bit-identical.  Entirely row-local after
+    the vol window: pricing scales as a pure map."""
+    bars = ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="day"
+    )
+    w = Window.partitionBy("stock_symbol").orderBy("bucket")
+    prev = F.lag("close", 1).over(w)
+    ret = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    )
+    b = bars.withColumn("ret", ret)
+    frame = w.rowsBetween(-9, 0)
+    vol = F.when(
+        F.count("ret").over(frame) >= 10, F.stddev_samp("ret").over(frame)
+    )
+    b = (
+        b.withColumn("ann_vol", vol * F.lit(_SQRT252))
+        .filter(F.col("ann_vol").isNotNull() & (F.col("ann_vol") > 0))
+        .withColumn("strike", F.expr("CAST(round(close, 0) AS DOUBLE)"))
+        # near-zero spots round to a 0 strike: un-priceable, drop
+        .filter((F.col("close") > 0) & (F.col("strike") > 0))
+    )
+    return b.selectExpr(
+        "stock_symbol",
+        "bucket",
+        "round(close, 6) AS close",
+        "strike",
+        "round(ann_vol, 6) AS sigma",
+        f"round({_BS['call']}, 6) AS call_px",
+        f"round({_BS['put']}, 6) AS put_px",
+        f"round({_BS['delta_call']}, 6) AS delta_call",
+    )
+
+
+QUERIES["black_scholes"] = q_black_scholes
+
+ORACLES["black_scholes"] = (
+    _CANDLES_CTE
+    + _OHLC_DAY
+    + f""",
+v1 AS (
+  SELECT stock_symbol, bucket, close,
+    CASE WHEN close > 0
+          AND lag(close) OVER ws > 0
+         THEN ln(close / lag(close) OVER ws) END AS ret
+  FROM bars
+  WINDOW ws AS (PARTITION BY stock_symbol ORDER BY bucket)
+),
+v2 AS (
+  SELECT v1.*,
+    CASE WHEN count(ret) OVER w10 >= 10
+         THEN stddev_samp(ret) OVER w10 END * {_SQRT252!r} AS ann_vol
+  FROM v1
+  WINDOW w10 AS (PARTITION BY stock_symbol ORDER BY bucket
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+v3 AS (
+  SELECT stock_symbol, bucket, close, ann_vol,
+         CAST(round(close, 0) AS DOUBLE) AS strike
+  FROM v2 WHERE ann_vol IS NOT NULL AND ann_vol > 0
+    AND close > 0 AND CAST(round(close, 0) AS DOUBLE) > 0
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close, strike,
+       round(ann_vol, 6) AS sigma,
+       round({_BS["call"]}, 6) AS call_px,
+       round({_BS["put"]}, 6) AS put_px,
+       round({_BS["delta_call"]}, 6) AS delta_call
+FROM v3
+"""
+)

@@ -83,7 +83,7 @@ EXTRA_FAMILIES = [
     ("r5pipe", ["perplexity_filter", "kfold_split", "drift_psi",
                 "mmr_diverse", "hist_quantiles"]),
     ("r5fin2", ["calendar_ffill", "backtest_equity", "black_scholes",
-                "event_transitions"]),
+                "event_transitions", "ab_test_welch"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

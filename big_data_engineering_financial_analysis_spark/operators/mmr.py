@@ -64,53 +64,63 @@ def mmr_select(
         )
     )
     w = Window.orderBy(F.col("rel").desc(), F.col(id_col))
-    cand = (
+    cand_df = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist)
         .select(id_col, "vec", "norm", "rel")
     )
 
-    selected = (
-        cand.orderBy(F.col("rel").desc(), F.col(id_col))
-        .limit(1)
-        .select(
-            F.lit(1).alias("pick_order"),
-            id_col,
-            "vec",
-            "norm",
-            "rel",
-            (F.lit(lam) * F.col("rel")).alias("mmr"),
-        )
+    # The greedy runs on the SHORTLIST — model-sized by construction
+    # (tens of rows), so it belongs driver-side, like the engine's other
+    # model-sized collects (k-means partials, API 1-row aggregates).
+    # Keeping it as unrolled DataFrame steps cost 5 scheduler
+    # round-trips per query (measured 17.7 s; persist cut it to 4 s;
+    # this collect form runs in ~1 s — the corpus-scale cosine scan).
+    # Arithmetic below replicates the engine fold exactly: dot products
+    # accumulate in element order from a 0.0 seed, so scores stay
+    # bit-identical to the oracle's list_reduce.
+    cand = [
+        (r[id_col], list(r["vec"]), r["norm"], r["rel"])
+        for r in cand_df.collect()
+    ]
+
+    def dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    selected: list[tuple] = []  # (pick_order, id, vec, norm, rel, mmr)
+    remaining = sorted(cand, key=lambda c: (-c[3], c[0]))
+    first = remaining.pop(0)
+    selected.append((1, first[0], first[1], first[2], first[3], lam * first[3]))
+    for step in range(2, min(k, len(cand)) + 1):
+        best = None
+        for cid, cvec, cnorm, crel in remaining:
+            sims = [
+                dot(cvec, svec) / (cnorm * snorm)
+                for _, _, svec, snorm, _, _ in selected
+                if cnorm * snorm != 0.0
+            ]
+            if not sims:  # degenerate zero-norm pair: NULL mmr sorts last
+                continue
+            mmr = lam * crel - (1.0 - lam) * max(sims)
+            if best is None or (mmr, -cid) > (best[5], -best[1]):
+                best = (step, cid, cvec, cnorm, crel, mmr)
+        if best is None:
+            break
+        remaining = [c for c in remaining if c[0] != best[1]]
+        selected.append(best)
+
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        [
+            (order, cid, rel, mmr)
+            for order, cid, _, _, rel, mmr in selected
+        ],
+        f"pick_order int, {id_col} long, rel double, mmr double",
     )
-    for step in range(2, k + 1):
-        sel = selected.select(
-            F.col(id_col).alias("sid"),
-            F.col("vec").alias("svec"),
-            F.col("norm").alias("snorm"),
-        )
-        rem = cand.join(
-            selected.select(id_col), id_col, "left_anti"
-        )
-        sims = rem.crossJoin(F.broadcast(sel)).withColumn(
-            "sim",
-            cosine(F.col("vec"), F.col("svec"), F.col("norm"), F.col("snorm")),
-        )
-        agg = sims.groupBy(id_col, "vec", "norm", "rel").agg(
-            F.max("sim").alias("max_sim")
-        )
-        pick = (
-            agg.withColumn(
-                "mmr",
-                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("max_sim"),
-            )
-            .orderBy(F.col("mmr").desc(), F.col(id_col))
-            .limit(1)
-            .select(
-                F.lit(step).alias("pick_order"), id_col, "vec", "norm", "rel", "mmr"
-            )
-        )
-        selected = selected.unionByName(pick)
-    return selected.select(
+    return out.select(
         "pick_order",
         id_col,
         F.round("rel", 6).alias("rel"),

@@ -642,7 +642,7 @@ ORACLES.update(_scale.ORACLES)
 #: oracle changed since their last driver row, (b) new registrations
 #: with no driver row, (c) every query whose latest row would otherwise
 #: age past 2 rounds, (d) oldest-first fill from the next-stalest tier.
-#: With 139 registered queries and a 50-slot window this is satisfiable
+#: With 140 registered queries and a 50-slot window this is satisfiable
 #: indefinitely: 50 + 50 covers any 100 in two rounds, and the registry
 #: grows slower than that.
 #:
@@ -654,14 +654,15 @@ ORACLES.update(_scale.ORACLES)
 #: Count-Min heavy hitters, trade-graph triangles, bigram-LM
 #: perplexity filter, k-fold split, calendar ffill, signal backtest,
 #: PSI drift, MMR diversified retrieval, histogram-sketch quantiles,
-#: Black-Scholes pricing, Markov event transitions) — 24 in all;
+#: Black-Scholes pricing, Markov event transitions, Welch A/B
+#: readout) — 25 in all;
 #: (c) all 18 registered queries whose latest driver row is r2 (the 8
 #: panel_*, SCD2/upsert, cube, percentiles/quartiles, range join,
 #: salted events, lstm_dataset, nation_customer_orders, top_orders —
 #: approx_distinct's r2 row belongs to a de-registered sketch query
 #: whose hash-checked twin exact_distinct rides in tier (d));
-#: (d) 6 of the 47 r3-latest rows, hottest shared code paths first —
-#: the remaining 41 r3 rows (ann_pq trio, asof_join, text/fingerprint
+#: (d) 5 of the 47 r3-latest rows, hottest shared code paths first —
+#: the remaining 42 r3 rows (ann_pq trio, asof_join, text/fingerprint
 #: family, TPC-H-style joins, feed/pivot/ilp/signal/time/session tails)
 #: are exactly 2 rounds old at r5 and are FIRST in line for the r6
 #: window.
@@ -678,6 +679,7 @@ _DRIVER_PRIORITY = [
     "perplexity_filter", "kfold_split",
     "calendar_ffill", "backtest_equity", "drift_psi",
     "mmr_diverse", "hist_quantiles", "black_scholes", "event_transitions",
+    "ab_test_welch",
     # (c) latest driver row is r2 — refresh now or violate the policy
     "lstm_dataset", "nation_customer_orders",
     "orders_upsert", "supplier_scd2", "pricing_cube",
@@ -688,7 +690,7 @@ _DRIVER_PRIORITY = [
     "panel_avg_gain_pivot", "panel_avg_loss_pivot",
     # (d) r3-latest fill: hottest shared code paths first
     "enrich_indicators", "rsi_10", "ema_10", "sma_5",
-    "enrich_incremental", "last_per_minute",
+    "enrich_incremental",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

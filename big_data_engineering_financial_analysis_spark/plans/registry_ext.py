@@ -977,3 +977,76 @@ SELECT cur, nxt, n,
        round(n / (sum(n) OVER (PARTITION BY cur)), 6) AS prob
 FROM pairs
 """
+
+
+# ---------------------------------------------------------------------------
+# driver-round-5: A/B experiment readout (Welch's t)
+# ---------------------------------------------------------------------------
+
+
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout in one scan: deterministic variant assignment
+    (user parity — stand-in for the real assignment column), per-variant
+    count/mean/sample-variance as conditional aggregates, then Welch's
+    t statistic and Welch-Satterthwaite degrees of freedom as row-local
+    arithmetic on the 1-row aggregate.  The pattern every experimentation
+    pipeline runs at fact scale: ONE map-side-combined aggregate, O(1)
+    result."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    a = F.col("user_id") % 2 == 0
+    agg = ev.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(~a, 1)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("mean_a"),
+        F.avg(F.when(~a, F.col("value"))).alias("mean_b"),
+        # var = sd*sd (never pow(): libm pow can differ in the last ulp)
+        (
+            F.stddev_samp(F.when(a, F.col("value")))
+            * F.stddev_samp(F.when(a, F.col("value")))
+        ).alias("var_a"),
+        (
+            F.stddev_samp(F.when(~a, F.col("value")))
+            * F.stddev_samp(F.when(~a, F.col("value")))
+        ).alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b)
+    df_w = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 4).alias("welch_df"),
+    )
+
+
+QUERIES["ab_test_welch"] = q_ab_test_welch
+
+ORACLES["ab_test_welch"] = """
+WITH agg AS (
+  SELECT
+    count(*) FILTER (user_id % 2 = 0) AS n_a,
+    count(*) FILTER (user_id % 2 <> 0) AS n_b,
+    avg(value) FILTER (user_id % 2 = 0) AS mean_a,
+    avg(value) FILTER (user_id % 2 <> 0) AS mean_b,
+    stddev_samp(value) FILTER (user_id % 2 = 0)
+      * stddev_samp(value) FILTER (user_id % 2 = 0) AS var_a,
+    stddev_samp(value) FILTER (user_id % 2 <> 0)
+      * stddev_samp(value) FILTER (user_id % 2 <> 0) AS var_b
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  round((mean_a - mean_b)
+        / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+  round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+        / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+           + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_df
+FROM agg
+"""

@@ -633,6 +633,13 @@ from big_data_engineering_financial_analysis_spark.plans import registry_scale a
 QUERIES.update(_scale.QUERIES)
 ORACLES.update(_scale.ORACLES)
 
+# trend/cross-sectional TA (ADX, Ichimoku, Heikin-Ashi, momentum deciles,
+# Sharpe/Sortino, volume profile) + Q7/Q18-shape join analytics
+from big_data_engineering_financial_analysis_spark.plans import registry_ta as _ta  # noqa: E402
+
+QUERIES.update(_ta.QUERIES)
+ORACLES.update(_ta.ORACLES)
+
 #: Driver-facing ordering.  The per-round correctness check covers the
 #: first 50 registered queries.
 #:
@@ -661,11 +668,12 @@ ORACLES.update(_scale.ORACLES)
 #: salted events, lstm_dataset, nation_customer_orders, top_orders —
 #: approx_distinct's r2 row belongs to a de-registered sketch query
 #: whose hash-checked twin exact_distinct rides in tier (d));
-#: (d) 5 of the 47 r3-latest rows, hottest shared code paths first —
-#: the remaining 42 r3 rows (ann_pq trio, asof_join, text/fingerprint
-#: family, TPC-H-style joins, feed/pivot/ilp/signal/time/session tails)
-#: are exactly 2 rounds old at r5 and are FIRST in line for the r6
-#: window.
+#: (b-late) 5 of the 8 late-session registry_ta additions (ADX,
+#: Ichimoku, Heikin-Ashi, momentum deciles, volume profile — the
+#: fold/rank-subtle ones); the other 3 plus all 47 r3-latest rows
+#: (ann_pq trio, asof_join, text/fingerprint family, TPC-H-style
+#: joins, feed/pivot/ilp/signal/time/session tails) are FIRST in line
+#: for the r6 window (47 + 3 = 50: exactly fits).
 _DRIVER_PRIORITY = [
     # (a) code or oracle changed since their last (r4) driver row
     "data_quality_report", "vwap_obv",
@@ -688,9 +696,14 @@ _DRIVER_PRIORITY = [
     "panel_price_series", "panel_indicator_series", "panel_gain_loss",
     "panel_latest_signal", "panel_close_stats", "panel_candlestick",
     "panel_avg_gain_pivot", "panel_avg_loss_pivot",
-    # (d) r3-latest fill: hottest shared code paths first
-    "enrich_indicators", "rsi_10", "ema_10", "sma_5",
-    "enrich_incremental",
+    # (b, late round-5 session) — the fold/rank-subtle five of the 8
+    # registry_ta additions take the last window slots; the remaining
+    # three (sharpe_rolling, nation_volume_flow, large_orders — all
+    # riding machinery other window rows already prove: the bollinger
+    # stddev frames and the Q3/Q5 join family) defer to the r6 window
+    # alongside the 47 r3-latest rows (47 + 3 = 50: exactly fits).
+    "adx_dmi", "ichimoku", "heikin_ashi", "xsec_momentum",
+    "volume_profile",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

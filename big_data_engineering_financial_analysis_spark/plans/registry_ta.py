@@ -1,0 +1,466 @@
+"""Registry: trend/cross-sectional TA + two canonical join analytics.
+
+Round-5 session additions, two families:
+
+* **TA over hourly OHLC bars** (ADX/DMI, Ichimoku, Heikin-Ashi,
+  cross-sectional momentum, rolling Sharpe/Sortino) and a tick-level
+  volume profile — the trend-analysis surface a user of the reference's
+  indicator pipeline (services/stream-processing/app/consumer.py:107-155
+  computes SMA/EMA/RSI only) reaches for next.  Hour bars because the
+  test corpus spans 30 days with ~67 events/symbol: hourly buckets give
+  every symbol a ~60-bar series, enough to populate 14/20-period gates.
+  Ichimoku runs a compressed (6, 13, 26, shift 13) parameterization for
+  the same reason — the operator's defaults are the standard 9/26/52.
+
+* **TPC-H-shape join analytics** (Q7-style bilateral nation flow,
+  Q18-style large-order hunt) — widening the relational join family of
+  ``plans/registry.py`` (Q1/Q3/Q5 shapes) with a two-sided dimension
+  filter and a having-filtered self-aggregation semi-join.
+
+All derived doubles round to 6 dp (revenue sums to 2 dp, matching the
+``pricing_summary`` convention); every window orders by a deterministic
+key.  Oracles mirror the engine's floating-point evaluation order
+exactly (same fold shapes as ``registry_tech``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.functions import indicators_ext as ix
+from big_data_engineering_financial_analysis_spark.functions import indicators_ta as ta
+from big_data_engineering_financial_analysis_spark.plans.registry_tech import (
+    _CANDLES_CTE,
+    _OHLC_CTE,
+    _candles,
+    _round6,
+)
+from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+_OHLC_HOUR = _OHLC_CTE.replace("date_trunc('minute'", "date_trunc('hour'")
+
+#: shared DuckDB window clauses
+_WO = "PARTITION BY stock_symbol ORDER BY bucket"
+_WH = f"{_WO} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+def _hour_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ix.ohlc_bars(
+        _candles(spark, sf_dir).drop("volume"), volume_col=None, bar="hour"
+    )
+
+
+def q_adx_dmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder DMI/ADX(14) over hourly bars, whole symbol universe."""
+    out = ta.with_adx_dmi(_hour_bars(spark, sf_dir))
+    cols = ["tr", "atr", "plus_di", "minus_di", "dx", "adx"]
+    return _round6(
+        out.select("stock_symbol", "bucket", "close", *cols), ["close"] + cols
+    )
+
+
+def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud, compressed (6, 13, 26, shift 13) for the 30-day
+    corpus; pure window functions, one Exchange."""
+    out = ta.with_ichimoku(
+        _hour_bars(spark, sf_dir), tenkan_n=6, kijun_n=13, senkou_n=26, shift=13
+    )
+    cols = ["tenkan", "kijun", "senkou_a", "senkou_b", "chikou"]
+    return _round6(
+        out.select("stock_symbol", "bucket", "close", *cols), ["close"] + cols
+    )
+
+
+def _round6fp(col: str) -> F.Column:
+    """6-dp rounding as pure FP ops: ``floor(x * 1e6 + 0.5) / 1e6``.
+
+    The Heikin-Ashi recursion halves values repeatedly, so outputs land
+    exactly on 6-dp rounding ties (…0.5e-6) far more often than any
+    other indicator — and there Spark's ``round`` (exact BigDecimal,
+    HALF_UP) and DuckDB's (fp-multiply path) disagree.  This formula is
+    the same IEEE multiply/add/floor/divide on both engines, so equal
+    inputs give bit-equal outputs regardless of tie side.
+    """
+    return F.floor(F.col(col) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles — the ha_open recursion is the same
+    aggregate() fold family as the EMA/ATR oracles."""
+    out = ta.with_heikin_ashi(_hour_bars(spark, sf_dir))
+    cols = ["ha_open", "ha_high", "ha_low", "ha_close"]
+    out = out.select("stock_symbol", "bucket", F.round("close", 6).alias("close"), *cols)
+    for c in cols:
+        out = out.withColumn(c, _round6fp(c))
+    return out
+
+
+def q_xsec_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum deciles per hourly bar."""
+    out = ta.xsec_momentum(_hour_bars(spark, sf_dir), lookback=5, n_buckets=10)
+    return out.select(
+        "stock_symbol",
+        "bucket",
+        F.round("mom_ret", 6).alias("mom_ret"),
+        "mom_rank",
+        "n_universe",
+        "mom_bucket",
+        "position",
+    )
+
+
+def q_sharpe_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling annualized Sharpe/Sortino over 20 hourly returns."""
+    out = ta.with_sharpe_sortino(_hour_bars(spark, sf_dir), window=20)
+    cols = ["ret", "ret_mu", "ret_sd", "sharpe", "sortino"]
+    return _round6(
+        out.select("stock_symbol", "bucket", "close", *cols), ["close"] + cols
+    )
+
+
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-level volume-at-price histogram (20 bins) with POC flag."""
+    out = ta.volume_profile(_candles(spark, sf_dir), n_bins=20)
+    return out.select(
+        "stock_symbol",
+        "bin",
+        "bin_volume",
+        "n_ticks",
+        F.round("price_lo", 6).alias("price_lo"),
+        F.round("price_hi", 6).alias("price_hi"),
+        "is_poc",
+    )
+
+
+def q_nation_volume_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year.
+
+    The supplier side reduces lineitem first: nation (25 rows) filters
+    supplier, and that filtered dim is broadcast onto the fact scan —
+    at 100 TB supplier is ~1/7000 of lineitem and the two-nation filter
+    keeps 2/25 of it, comfortably inside the broadcast threshold.  The
+    customer side carries no hint (fact-scale in TPC-H, same reasoning
+    as ``shipping_priority``): the optimizer broadcasts while it fits
+    and AQE shuffles on ``o_custkey`` beyond that.  One fact shuffle on
+    orderkey joins the two sides.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1999-12-31"))
+    )
+    joined = (
+        line.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("flow_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    top 100 by order value.
+
+    The lineitem self-aggregation shuffles once on ``l_orderkey``; the
+    join back to orders rides the same key, so AQE coalesces to one
+    fact-side Exchange.  Quantities are integer-valued doubles, so the
+    HAVING comparison is exact on both engines regardless of partial-agg
+    order.  customer carries no broadcast hint (fact-scale at SF).
+    Deterministic top-100 via (totalprice desc, orderdate, orderkey).
+    """
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+    return out
+
+
+QUERIES = {
+    "adx_dmi": q_adx_dmi,
+    "ichimoku": q_ichimoku,
+    "heikin_ashi": q_heikin_ashi,
+    "xsec_momentum": q_xsec_momentum,
+    "sharpe_rolling": q_sharpe_rolling,
+    "volume_profile": q_volume_profile,
+    "nation_volume_flow": q_nation_volume_flow,
+    "large_orders": q_large_orders,
+}
+
+
+_WILDER14 = "(acc, x) -> acc * (1.0 - 1.0 / 14.0) + x * (1.0 / 14.0)"
+
+ORACLES = {
+    "adx_dmi": _CANDLES_CTE
+    + _OHLC_HOUR
+    + f""",
+d1 AS (
+  SELECT stock_symbol, bucket, high, low, close,
+         lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+         lag(close) OVER w AS pc
+  FROM bars WINDOW w AS ({_WO})
+),
+d2 AS (
+  SELECT stock_symbol, bucket, high, low, close,
+    CASE WHEN ph IS NULL THEN 0.0
+         WHEN (high - ph) > (pl - low) AND (high - ph) > 0 THEN high - ph
+         ELSE 0.0 END AS plus_dm,
+    CASE WHEN pl IS NULL THEN 0.0
+         WHEN (pl - low) > (high - ph) AND (pl - low) > 0 THEN pl - low
+         ELSE 0.0 END AS minus_dm,
+    CASE WHEN pc IS NULL THEN high - low
+         ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+  FROM d1
+),
+d3 AS (
+  SELECT d2.*,
+    CASE WHEN count(tr) OVER wh >= 14
+         THEN list_reduce(list(tr) OVER wh, {_WILDER14}) END AS atr,
+    CASE WHEN count(plus_dm) OVER wh >= 14
+         THEN list_reduce(list(plus_dm) OVER wh, {_WILDER14}) END AS s_plus,
+    CASE WHEN count(minus_dm) OVER wh >= 14
+         THEN list_reduce(list(minus_dm) OVER wh, {_WILDER14}) END AS s_minus
+  FROM d2 WINDOW wh AS ({_WH})
+),
+d4 AS (
+  SELECT d3.*,
+    100.0 * s_plus / nullif(atr, 0.0) AS plus_di,
+    100.0 * s_minus / nullif(atr, 0.0) AS minus_di
+  FROM d3
+),
+d5 AS (
+  SELECT d4.*,
+    100.0 * abs(plus_di - minus_di) / nullif(plus_di + minus_di, 0.0) AS dx
+  FROM d4
+),
+d6 AS (
+  SELECT d5.*,
+    CASE WHEN count(dx) OVER wh >= 14
+         THEN list_reduce(list(dx) FILTER (dx IS NOT NULL) OVER wh,
+                          {_WILDER14}) END AS adx
+  FROM d5 WINDOW wh AS ({_WH})
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close, round(tr, 6) AS tr,
+       round(atr, 6) AS atr, round(plus_di, 6) AS plus_di,
+       round(minus_di, 6) AS minus_di, round(dx, 6) AS dx,
+       round(adx, 6) AS adx
+FROM d6
+""",
+    "ichimoku": _CANDLES_CTE
+    + _OHLC_HOUR
+    + f""",
+i1 AS (
+  SELECT stock_symbol, bucket, close,
+    CASE WHEN count(close) OVER w6 >= 6
+         THEN (max(high) OVER w6 + min(low) OVER w6) / 2.0 END AS tenkan,
+    CASE WHEN count(close) OVER w13 >= 13
+         THEN (max(high) OVER w13 + min(low) OVER w13) / 2.0 END AS kijun,
+    CASE WHEN count(close) OVER w26 >= 26
+         THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0 END AS sb_raw
+  FROM bars
+  WINDOW w6 AS ({_WO} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         w13 AS ({_WO} ROWS BETWEEN 12 PRECEDING AND CURRENT ROW),
+         w26 AS ({_WO} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close,
+       round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
+       round(lag((tenkan + kijun) / 2.0, 13) OVER w, 6) AS senkou_a,
+       round(lag(sb_raw, 13) OVER w, 6) AS senkou_b,
+       round(lead(close, 13) OVER w, 6) AS chikou
+FROM i1 WINDOW w AS ({_WO})
+""",
+    "heikin_ashi": _CANDLES_CTE
+    + _OHLC_HOUR
+    + f""",
+h1 AS (
+  SELECT stock_symbol, bucket, open, high, low, close,
+         (open + high + low + close) / 4.0 AS ha_close
+  FROM bars
+),
+h2 AS (
+  SELECT h1.*,
+    (first_value(open) OVER wh + first_value(close) OVER wh) / 2.0 AS seed,
+    list(ha_close) OVER wp AS prefix
+  FROM h1
+  WINDOW wh AS ({_WH}),
+         wp AS ({_WO} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+h3 AS (
+  SELECT h2.*,
+    list_reduce(list_prepend(seed, coalesce(prefix, [])),
+                (a, x) -> (a + x) / 2.0) AS ha_open
+  FROM h2
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close,
+       -- floor(x*1e6+0.5)/1e6 mirrors the engine's _round6fp: pure FP
+       -- half-up, identical on both engines even at exact 6-dp ties
+       -- (common here: the ha_open recursion halves repeatedly)
+       floor(ha_open * 1000000.0 + 0.5) / 1000000.0 AS ha_open,
+       floor(greatest(high, ha_open, ha_close) * 1000000.0 + 0.5)
+         / 1000000.0 AS ha_high,
+       floor(least(low, ha_open, ha_close) * 1000000.0 + 0.5)
+         / 1000000.0 AS ha_low,
+       floor(ha_close * 1000000.0 + 0.5) / 1000000.0 AS ha_close
+FROM h3
+""",
+    "xsec_momentum": _CANDLES_CTE
+    + _OHLC_HOUR
+    + f""",
+m1 AS (
+  SELECT stock_symbol, bucket,
+         close / nullif(lag(close, 5) OVER w, 0.0) - 1.0 AS mom_ret
+  FROM bars WINDOW w AS ({_WO})
+),
+m2 AS (
+  SELECT stock_symbol, bucket, mom_ret,
+    row_number() OVER (PARTITION BY bucket
+                       ORDER BY mom_ret DESC, stock_symbol) AS mom_rank,
+    count(*) OVER (PARTITION BY bucket) AS n_universe
+  FROM m1 WHERE mom_ret IS NOT NULL
+),
+m3 AS (
+  SELECT m2.*,
+    CAST(floor((mom_rank - 1) * 10 / n_universe) AS BIGINT) + 1 AS mom_bucket
+  FROM m2
+)
+SELECT stock_symbol, bucket, round(mom_ret, 6) AS mom_ret,
+       mom_rank, n_universe, mom_bucket,
+       CASE WHEN mom_bucket = 1 THEN 'LONG'
+            WHEN mom_bucket = 10 THEN 'SHORT'
+            ELSE 'FLAT' END AS position
+FROM m3
+""",
+    "sharpe_rolling": _CANDLES_CTE
+    + _OHLC_HOUR
+    + f""",
+s1 AS (
+  SELECT stock_symbol, bucket, close,
+         close / nullif(lag(close, 1) OVER w, 0.0) - 1.0 AS ret
+  FROM bars WINDOW w AS ({_WO})
+),
+s2 AS (
+  SELECT s1.*,
+    CASE WHEN count(ret) OVER w20 >= 20 THEN avg(ret) OVER w20 END AS ret_mu,
+    CASE WHEN count(ret) OVER w20 >= 20
+         THEN stddev_samp(ret) OVER w20 END AS ret_sd,
+    CASE WHEN count(ret) OVER w20 >= 20 THEN
+      sqrt(avg(CASE WHEN ret IS NOT NULL
+                    THEN pow(least(ret, 0.0), 2) END) OVER w20)
+    END AS downside
+  FROM s1
+  WINDOW w20 AS ({_WO} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT stock_symbol, bucket, round(close, 6) AS close, round(ret, 6) AS ret,
+       round(ret_mu, 6) AS ret_mu, round(ret_sd, 6) AS ret_sd,
+       round(sqrt(252.0) * ret_mu / nullif(ret_sd, 0.0), 6) AS sharpe,
+       round(sqrt(252.0) * ret_mu / nullif(downside, 0.0), 6) AS sortino
+FROM s2
+""",
+    "volume_profile": _CANDLES_CTE
+    + """,
+e AS (
+  SELECT stock_symbol, min(close) AS px_min, max(close) AS px_max
+  FROM candles GROUP BY stock_symbol
+),
+b AS (
+  SELECT c.stock_symbol,
+    CASE WHEN px_max - px_min = 0 THEN 0
+         ELSE CAST(least(floor((close - px_min) / nullif(px_max - px_min, 0.0)
+                               * 20), 19) AS INT) END AS bin,
+    px_min, px_max, volume
+  FROM candles c JOIN e USING (stock_symbol)
+),
+p AS (
+  SELECT stock_symbol, bin,
+         min(px_min) AS px_min, max(px_max) AS px_max,
+         CAST(sum(CAST(volume AS BIGINT)) AS BIGINT) AS bin_volume,
+         count(*) AS n_ticks
+  FROM b GROUP BY stock_symbol, bin
+),
+q AS (
+  SELECT stock_symbol, bin, bin_volume, n_ticks,
+         px_min + bin * (px_max - px_min) / 20 AS price_lo,
+         px_min + (bin + 1) * (px_max - px_min) / 20 AS price_hi,
+         row_number() OVER (PARTITION BY stock_symbol
+                            ORDER BY bin_volume DESC, bin) AS rnk
+  FROM p
+)
+SELECT stock_symbol, bin, bin_volume, n_ticks,
+       round(price_lo, 6) AS price_lo, round(price_hi, 6) AS price_hi,
+       CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS is_poc
+FROM q
+""",
+    "nation_volume_flow": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS flow_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <= TIMESTAMP '1999-12-31'
+GROUP BY 1, 2, 3
+""",
+    "large_orders": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) b ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+}

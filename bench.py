@@ -84,6 +84,11 @@ EXTRA_FAMILIES = [
                 "mmr_diverse", "hist_quantiles"]),
     ("r5fin2", ["calendar_ffill", "backtest_equity", "black_scholes",
                 "event_transitions", "ab_test_welch"]),
+    # round-5 additions (3): trend TA over the shared hourly-bar frame
+    # + the two new join shapes
+    ("r5ta", ["adx_dmi", "ichimoku", "heikin_ashi", "xsec_momentum",
+              "sharpe_rolling", "volume_profile"]),
+    ("r5join", ["nation_volume_flow", "large_orders"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

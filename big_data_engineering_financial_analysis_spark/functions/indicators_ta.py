@@ -109,6 +109,146 @@ def with_adx_dmi(
     return bars.drop("s_plus", "s_minus")
 
 
+def adx_pandas(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    n: int = 14,
+) -> DataFrame:
+    """ADX/DMI via per-key Arrow-batched pandas — the O(history) scale
+    path (the HOF fold re-reduces the whole prefix per row:
+    O(history²)).  ``ewm(alpha=1/n, adjust=False)`` runs the identical
+    seeded Wilder recursion as the fold; the ADX smoothing uses
+    ``ignore_na=True`` so interior NaN DX values (both DIs zero on a
+    flat stretch) are skipped exactly the way ``collect_list`` skips
+    NULLs — outputs are bit-identical to :func:`with_adx_dmi`
+    (asserted in tests)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in bars.schema.fields
+    )
+    out_schema = (
+        f"{out_fields}, plus_dm double, minus_dm double, tr double, "
+        "atr double, plus_di double, minus_di double, dx double, adx double"
+    )
+    alpha = 1.0 / n
+
+    def compute(pdf):
+        pdf = pdf.sort_values(time_col, kind="stable").reset_index(drop=True)
+        h, l, c = pdf["high"], pdf["low"], pdf["close"]
+        ph, pl, pc = h.shift(1), l.shift(1), c.shift(1)
+        up, dn = h - ph, pl - l
+        # NaN comparisons are False -> first row falls through to 0.0,
+        # matching the fold's explicit prev-IS-NULL branch
+        pdf["plus_dm"] = np.where((up > dn) & (up > 0), up, 0.0)
+        pdf["minus_dm"] = np.where((dn > up) & (dn > 0), dn, 0.0)
+        tr = pd.concat([h - l, (h - pc).abs(), (l - pc).abs()], axis=1).max(axis=1)
+        pdf["tr"] = tr
+
+        def rma(s):
+            return s.ewm(alpha=alpha, adjust=False, min_periods=n).mean()
+
+        atr, sp, sm = rma(pdf["tr"]), rma(pdf["plus_dm"]), rma(pdf["minus_dm"])
+        pdf["atr"] = atr
+        pdf["plus_di"] = (100.0 * sp) / atr.where(atr != 0.0)
+        pdf["minus_di"] = (100.0 * sm) / atr.where(atr != 0.0)
+        den = (pdf["plus_di"] + pdf["minus_di"]).where(
+            pdf["plus_di"] + pdf["minus_di"] != 0.0
+        )
+        pdf["dx"] = (100.0 * (pdf["plus_di"] - pdf["minus_di"]).abs()) / den
+        pdf["adx"] = pdf["dx"].ewm(
+            alpha=alpha, adjust=False, min_periods=n, ignore_na=True
+        ).mean()
+        return pdf
+
+    return bars.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
+
+
+def adx_auto(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    n: int = 14,
+    fold_limit: int = 1000,
+) -> DataFrame:
+    """ADX with automatic path selection (same contract as ``macd_auto``):
+    probe the longest per-key bar history with one metadata-sized count
+    aggregate, fold below ``fold_limit`` bars/key, pandas above.  Both
+    paths are bit-identical, so the switch only changes the physical
+    plan, never results."""
+    longest = (
+        bars.groupBy(symbol_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if longest is not None and longest > fold_limit:
+        return adx_pandas(bars, symbol_col, time_col, n)
+    return with_adx_dmi(bars, symbol_col, time_col, n)
+
+
+def heikin_ashi_pandas(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+) -> DataFrame:
+    """Heikin-Ashi via per-key Arrow-batched pandas — O(history) per key.
+
+    The ha_open recursion runs as an explicit ``(acc + x) / 2.0`` loop —
+    the *same* IEEE operation order as the ``aggregate()`` fold (an
+    ``ewm(alpha=0.5)`` would compute ``0.5*acc + 0.5*x``, which can
+    differ by 1 ulp) — so outputs are bit-identical to
+    :func:`with_heikin_ashi` (asserted in tests)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in bars.schema.fields
+    )
+    out_schema = (
+        f"{out_fields}, ha_close double, ha_open double, "
+        "ha_high double, ha_low double"
+    )
+
+    def compute(pdf):
+        pdf = pdf.sort_values(time_col, kind="stable").reset_index(drop=True)
+        o, h, l, c = (pdf[k].to_numpy() for k in ("open", "high", "low", "close"))
+        ha_close = (o + h + l + c) / 4.0
+        ha_open = np.empty_like(ha_close)
+        if len(ha_open):
+            ha_open[0] = (o[0] + c[0]) / 2.0
+            for i in range(1, len(ha_open)):
+                ha_open[i] = (ha_open[i - 1] + ha_close[i - 1]) / 2.0
+        pdf["ha_close"] = ha_close
+        pdf["ha_open"] = ha_open
+        pdf["ha_high"] = np.maximum.reduce([h, ha_open, ha_close])
+        pdf["ha_low"] = np.minimum.reduce([l, ha_open, ha_close])
+        return pdf
+
+    return bars.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
+
+
+def heikin_ashi_auto(
+    bars: DataFrame,
+    symbol_col: str = "stock_symbol",
+    time_col: str = "bucket",
+    fold_limit: int = 1000,
+) -> DataFrame:
+    """Heikin-Ashi with automatic fold/pandas path selection — same
+    probe-and-switch contract as :func:`adx_auto`."""
+    longest = (
+        bars.groupBy(symbol_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if longest is not None and longest > fold_limit:
+        return heikin_ashi_pandas(bars, symbol_col, time_col)
+    return with_heikin_ashi(bars, symbol_col, time_col)
+
+
 def with_ichimoku(
     bars: DataFrame,
     symbol_col: str = "stock_symbol",

@@ -219,6 +219,56 @@ def test_volume_profile_bins_and_poc(spark):
     assert int(b.is_poc.iloc[0]) == 1
 
 
+def _cells(df, names, order=("stock_symbol", "bucket")):
+    pdf = df.toPandas().sort_values(list(order)).reset_index(drop=True)
+    out = []
+    for _, row in pdf.iterrows():
+        out.append(tuple("<null>" if _isnull(row[n]) else row[n] for n in names))
+    return out
+
+
+def test_adx_pandas_bit_identical_to_fold(spark):
+    bars = _bars(spark, _synthetic_ohlc(45), symbol="A").union(
+        _bars(spark, _synthetic_ohlc(38, seed_phase=2.0), symbol="B")
+    )
+    cols = ["plus_dm", "minus_dm", "tr", "atr", "plus_di", "minus_di", "dx", "adx"]
+    fold = _cells(ta.with_adx_dmi(bars), cols)
+    pand = _cells(ta.adx_pandas(bars), cols)
+    assert fold == pand  # exact, not approximate
+
+
+def test_adx_interior_nan_dx_parity(spark):
+    # a flat stretch drives both DIs to 0 -> dx NULL mid-series; the
+    # ADX smoothing must skip it identically on both paths
+    ohlc = _synthetic_ohlc(20) + [(100.0, 100.0, 100.0, 100.0)] * 10 + _synthetic_ohlc(15)
+    bars = _bars(spark, ohlc)
+    cols = ["dx", "adx"]
+    assert _cells(ta.with_adx_dmi(bars), cols) == _cells(ta.adx_pandas(bars), cols)
+
+
+def test_heikin_ashi_pandas_bit_identical_to_fold(spark):
+    bars = _bars(spark, _synthetic_ohlc(40), symbol="A").union(
+        _bars(spark, _synthetic_ohlc(33, seed_phase=1.0), symbol="B")
+    )
+    cols = ["ha_open", "ha_high", "ha_low", "ha_close"]
+    assert _cells(ta.with_heikin_ashi(bars), cols) == _cells(
+        ta.heikin_ashi_pandas(bars), cols
+    )
+
+
+def test_auto_variants_route_and_agree(spark):
+    bars = _bars(spark, _synthetic_ohlc(30))
+    cols = ["atr", "adx"]
+    # fold_limit below the history -> pandas path; above -> fold path
+    assert _cells(ta.adx_auto(bars, fold_limit=10), cols) == _cells(
+        ta.adx_auto(bars, fold_limit=1000), cols
+    )
+    hcols = ["ha_open", "ha_close"]
+    assert _cells(ta.heikin_ashi_auto(bars, fold_limit=10), hcols) == _cells(
+        ta.heikin_ashi_auto(bars, fold_limit=1000), hcols
+    )
+
+
 def test_volume_profile_poc_tie_breaks_low_bin(spark):
     rows = [
         {"stock_symbol": "A", "close": 10.0, "volume": 5.0},

@@ -649,9 +649,9 @@ ORACLES.update(_ta.ORACLES)
 #: oracle changed since their last driver row, (b) new registrations
 #: with no driver row, (c) every query whose latest row would otherwise
 #: age past 2 rounds, (d) oldest-first fill from the next-stalest tier.
-#: With 140 registered queries and a 50-slot window this is satisfiable
-#: indefinitely: 50 + 50 covers any 100 in two rounds, and the registry
-#: grows slower than that.
+#: With 148 registered queries and a 50-slot window this is satisfiable
+#: on a 3-round rotation (capacity 150) with near-zero headroom —
+#: registry growth from here should be replacement, not addition.
 #:
 #: Round-5 window: (a) data_quality_report (validation.py coalesce fix)
 #: and vwap_obv (oracle empty-fold guard); (b) the 15 round-5 additions

@@ -182,6 +182,31 @@ def main() -> None:
                 time.sleep(COOLDOWN_SEC)
             spark.catalog.clearCache()
 
+    # cross-RUN reference: the in-run canary only detects heat CHANGES
+    # (baseline and observations inflate together on a uniformly hot
+    # machine — observed: a post-test-suite run read 16.4 s headline with
+    # every canary "clean", a cooled rerun read 12.3 s).  Persisting the
+    # best canary ever seen at this (sf, cpus) lets a whole-run-hot bench
+    # label itself instead of masquerading as a regression.
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_canary.json")
+    ref_key = f"sf={sf},cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+    try:
+        with open(ref_path) as fh:
+            refs = json.load(fh)
+    except (OSError, ValueError):
+        refs = {}
+    best_known = refs.get(ref_key)
+    machine_hot = (
+        best_known is not None and canary_base > best_known * CANARY_TOL
+    )
+    refs[ref_key] = round(min(canary_base, best_known or canary_base), 3)
+    try:
+        with open(ref_path, "w") as fh:
+            json.dump(refs, fh)
+    except OSError:
+        pass  # read-only checkout: the label below still works this run
+
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -193,6 +218,8 @@ def main() -> None:
             "baseline_sec": round(canary_base, 3),
             "tolerance": CANARY_TOL,
             "observations": canary_log,
+            "best_known_sec": refs[ref_key],
+            "machine_hot": machine_hot,
         },
     }
     if extra:

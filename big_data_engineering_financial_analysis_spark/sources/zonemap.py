@@ -1,0 +1,173 @@
+"""File-level zone maps — external min/max manifest for data skipping.
+
+Parquet row-group statistics already prune WITHIN a file once the
+scheduler has opened it; at 100 TB the bigger win is never scheduling
+the file at all.  Lakehouse table formats (Iceberg/Delta) do this with
+per-file min/max column stats in a manifest; this module is that
+pattern over plain parquet directories, composing with the dataset
+layer's Hive partition pruning (`sources/dataset.py`):
+
+* :func:`build_zonemap` reads every data file's parquet FOOTER (pyarrow,
+  no row IO) and writes ``_zonemap.json``: file -> column -> [min, max].
+  Cost: one footer read per file — run it right after `write_sharded` /
+  `compact_dataset`, whose per-file sort on the clustering key is what
+  makes the zones narrow and therefore selective.
+* :func:`read_pruned` lists the directory, drops every file whose
+  [min, max] zone is disjoint from the requested range, and hands the
+  survivors to one `spark.read.parquet(*files)` scan — the residual
+  filter is still applied, so the result ALWAYS equals a full scan +
+  filter (pruning is an optimization, never a semantics change).
+
+Safety rules (all tested):
+* a file not in the manifest (appended after the build) is kept;
+* a manifest entry without stats for the column is kept;
+* manifest entries for deleted files are ignored (the directory listing
+  is the source of truth);
+* all-NULL columns store a null zone and are kept only for IS NULL-
+  compatible reads (range requests drop them: min/max cannot match).
+
+The reference has no at-rest pruning beyond QuestDB's daily partitions
+(db/init_questdb.sql:20-21); this is the engine-native generalization.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_zonemap.json"
+
+
+def _encode(v: Any):
+    """JSON-encode a parquet statistics value, tagging non-JSON types."""
+    if isinstance(v, dt.datetime):
+        return {"$ts": v.isoformat()}
+    if isinstance(v, dt.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, bytes):
+        return {"$hex": v.hex()}
+    return v
+
+
+def _decode(v: Any):
+    if isinstance(v, dict):
+        if "$ts" in v:
+            return dt.datetime.fromisoformat(v["$ts"])
+        if "$date" in v:
+            return dt.date.fromisoformat(v["$date"])
+        if "$hex" in v:
+            return bytes.fromhex(v["$hex"])
+    return v
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def build_zonemap(path: str, cols: list[str]) -> dict:
+    """Scan every data file's footer and write the zone-map manifest.
+
+    Returns the manifest dict: relative file path -> column ->
+    ``[min, max]`` (a ``None`` zone means the column is all-NULL in that
+    file; a missing column key means no statistics were available).
+    """
+    import pyarrow.parquet as pq
+
+    manifest: dict[str, dict] = {}
+    for fpath in _data_files(path):
+        meta = pq.ParquetFile(fpath).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        zones: dict[str, Any] = {}
+        for col in cols:
+            idx = names.get(col)
+            if idx is None:
+                continue  # e.g. a Hive partition column: not in the file
+            lo = hi = None
+            have = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    if st is not None and st.num_values == 0:
+                        continue  # empty row group contributes nothing
+                    have = False
+                    break
+                if st.num_values == 0:
+                    continue
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if not have:
+                continue  # no stats -> omit: reader must keep the file
+            zones[col] = (
+                None if lo is None else [_encode(lo), _encode(hi)]
+            )
+        manifest[os.path.relpath(fpath, path)] = zones
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def load_zonemap(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, MANIFEST_NAME)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def prune_files(
+    path: str, col: str, lo=None, hi=None
+) -> tuple[list[str], int]:
+    """Return (files to scan, total files).  A file survives unless its
+    manifest zone for ``col`` proves it cannot contain a row in
+    ``[lo, hi]`` (either bound may be None for a half-open range)."""
+    files = _data_files(path)
+    manifest = load_zonemap(path) or {}
+    keep = []
+    for fpath in files:
+        zones = manifest.get(os.path.relpath(fpath, path))
+        if zones is None or col not in zones:
+            keep.append(fpath)  # unknown file / no stats: must scan
+            continue
+        zone = zones[col]
+        if zone is None:
+            continue  # all-NULL column: no row can match a range
+        zmin, zmax = _decode(zone[0]), _decode(zone[1])
+        if lo is not None and zmax < lo:
+            continue
+        if hi is not None and zmin > hi:
+            continue
+        keep.append(fpath)
+    return keep, len(files)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Range-read with file-level skipping.  ALWAYS applies the residual
+    filter, so the result equals ``read + filter`` regardless of manifest
+    staleness; the manifest only shrinks the file list."""
+    keep, _total = prune_files(path, col, lo, hi)
+    if not keep:
+        # empty relation with the dataset's schema (schema-only read)
+        empty = spark.read.parquet(path).limit(0)
+        return empty
+    df = spark.read.option("basePath", path).parquet(*keep)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df

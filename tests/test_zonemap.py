@@ -1,0 +1,125 @@
+"""Zone-map file pruning: result always equals full-scan + filter, and
+the manifest actually skips files."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _rows(n=400):
+    return [
+        {
+            "doc_id": i,
+            "lang": "en" if i % 4 else "de",
+            "score": float(i % 100),
+            "ts": T0 + dt.timedelta(minutes=i),
+        }
+        for i in range(n)
+    ]
+
+
+def _write(spark, path):
+    df = spark.createDataFrame(_rows())
+    write_sharded(
+        df, path, partition_cols=["lang"], sort_cols=["doc_id"],
+        max_records_per_file=50,
+    )
+    return df
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_pruned_read_equals_filter_and_skips_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id", "score", "ts"])
+
+    keep, total = zm.prune_files(path, "doc_id", lo=100, hi=140)
+    assert total > 4  # maxRecordsPerFile made a multi-file dataset
+    assert len(keep) < total  # zones on the sort key actually prune
+
+    got = zm.read_pruned(spark, path, "doc_id", lo=100, hi=140)
+    exp = (
+        spark.read.parquet(path)
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 140))
+    )
+    assert _ids(got) == _ids(exp) == list(range(100, 141))
+    # partition columns recovered through basePath
+    assert set(got.columns) == set(exp.columns)
+
+
+def test_timestamp_zone_pruning(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["ts"])
+    lo, hi = T0 + dt.timedelta(minutes=50), T0 + dt.timedelta(minutes=60)
+    got = zm.read_pruned(spark, path, "ts", lo=lo, hi=hi)
+    assert _ids(got) == list(range(50, 61))
+
+
+def test_unknown_appended_file_is_kept(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id"])
+    # append new data AFTER the manifest build: must still be scanned
+    extra = spark.createDataFrame(
+        [{"doc_id": 10_000, "lang": "en", "score": 1.0,
+          "ts": T0 + dt.timedelta(days=30)}]
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("lang").parquet(path)
+    got = zm.read_pruned(spark, path, "doc_id", lo=9_999, hi=10_001)
+    assert _ids(got) == [10_000]
+
+
+def test_stale_manifest_never_changes_results(spark, tmp_path):
+    """Deleted files are ignored; pruning is only ever an optimization."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id"])
+    # blow a partition away after the build
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "lang=de"))
+    got = zm.read_pruned(spark, path, "doc_id", lo=0, hi=50)
+    exp = (
+        spark.read.parquet(path)
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") <= 50))
+    )
+    assert _ids(got) == _ids(exp)
+
+
+def test_disjoint_range_returns_empty_with_schema(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id"])
+    keep, _total = zm.prune_files(path, "doc_id", lo=10_000)
+    assert keep == []
+    got = zm.read_pruned(spark, path, "doc_id", lo=10_000)
+    assert got.count() == 0
+    assert "doc_id" in got.columns
+
+
+def test_all_null_zone_dropped_for_ranges(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    rows = [
+        {"doc_id": i, "maybe": None if i < 50 else float(i)} for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, maybe double")
+    # two files: one all-NULL in `maybe`, one populated
+    df.filter("doc_id < 50").coalesce(1).write.parquet(path)
+    df.filter("doc_id >= 50").coalesce(1).write.mode("append").parquet(path)
+    zm.build_zonemap(path, ["maybe"])
+    keep, total = zm.prune_files(path, "maybe", lo=0.0)
+    assert total == 2 and len(keep) == 1  # the all-NULL file is skipped
+    got = zm.read_pruned(spark, path, "maybe", lo=0.0)
+    assert got.count() == 50

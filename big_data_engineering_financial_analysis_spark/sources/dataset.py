@@ -89,6 +89,16 @@ def compact_dataset(
         df, staged, partition_cols, sort_cols,
         max_records_per_file=max_records_per_file,
     )
+    # a zone-map manifest would die with the pre-compaction copy (file
+    # names all change); rebuild it on the staged data BEFORE the swap so
+    # manifest and files go live atomically together, same columns
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as _zm
+
+    old_manifest = _zm.load_zonemap(path)
+    if old_manifest:
+        cols = sorted({c for zones in old_manifest.values() for c in zones})
+        if cols:
+            _zm.build_zonemap(staged, cols)
     old = path + "._pre_compact"
     os.rename(path, old)
     os.rename(staged, path)

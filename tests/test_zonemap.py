@@ -109,6 +109,66 @@ def test_disjoint_range_returns_empty_with_schema(spark, tmp_path):
     assert "doc_id" in got.columns
 
 
+def test_compaction_rebuilds_manifest_atomically(spark, tmp_path):
+    """compact_dataset replaces every data file; a manifest built before
+    compaction must be rebuilt on the new files in the same swap."""
+    from big_data_engineering_financial_analysis_spark.sources.dataset import (
+        compact_dataset,
+    )
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id"])
+    before = set(zm.load_zonemap(path))
+    compact_dataset(
+        spark, path, partition_cols=["lang"], sort_cols=["doc_id"],
+        max_records_per_file=50,
+    )
+    manifest = zm.load_zonemap(path)
+    assert manifest is not None and set(manifest) != before  # new files
+    # every current data file is covered -> pruning is effective again
+    keep, total = zm.prune_files(path, "doc_id", lo=100, hi=140)
+    assert len(keep) < total
+    got = zm.read_pruned(spark, path, "doc_id", lo=100, hi=140)
+    assert _ids(got) == list(range(100, 141))
+
+
+def test_zorder_plus_zonemap_two_dimensional_skip(spark, tmp_path):
+    """Sorting files by the Morton key makes the zone map prune on BOTH
+    dimensions of a 2-D range query — the z-order payoff at file level."""
+    from big_data_engineering_financial_analysis_spark.operators.layout import zvalue
+
+    path = str(tmp_path / "zds")
+    n = 32
+    rows = [
+        {"x": i, "y": j, "payload": float(i * n + j)}
+        for i in range(n)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "zkey", zvalue(F.col("x"), F.col("y"))
+    )
+    df.repartition(1).sortWithinPartitions("zkey").write.option(
+        "maxRecordsPerFile", 64
+    ).parquet(path)
+    zm.build_zonemap(path, ["x", "y", "zkey"])
+
+    # a small 2-D box: prune on x, then on y, intersect file sets
+    kx, total = zm.prune_files(path, "x", lo=4, hi=7)
+    ky, _ = zm.prune_files(path, "y", lo=4, hi=7)
+    both = sorted(set(kx) & set(ky))
+    assert total == 16
+    assert len(both) < len(kx) and len(both) < len(ky)  # both dims prune
+    assert len(both) <= 4  # z-locality: a 4x4 box touches few 64-row tiles
+
+    got = (
+        spark.read.parquet(*both)
+        .filter((F.col("x").between(4, 7)) & (F.col("y").between(4, 7)))
+        .count()
+    )
+    assert got == 16  # every row of the box survives the file pruning
+
+
 def test_all_null_zone_dropped_for_ranges(spark, tmp_path):
     path = str(tmp_path / "ds")
     rows = [

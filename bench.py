@@ -188,6 +188,10 @@ def main() -> None:
     # every canary "clean", a cooled rerun read 12.3 s).  Persisting the
     # best canary ever seen at this (sf, cpus) lets a whole-run-hot bench
     # label itself instead of masquerading as a regression.
+    # SCOPE: the reference is per-CONTAINER state (this repo runs in one
+    # fixed container per round).  machine_hot is advisory, never a gate:
+    # on different hardware the label can be a false positive — read it
+    # together with canary_vs_best, which carries the raw ratio.
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_canary.json")
     ref_key = f"sf={sf},cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
@@ -219,6 +223,7 @@ def main() -> None:
             "tolerance": CANARY_TOL,
             "observations": canary_log,
             "best_known_sec": refs[ref_key],
+            "canary_vs_best": round(canary_base / refs[ref_key], 3),
             "machine_hot": machine_hot,
         },
     }

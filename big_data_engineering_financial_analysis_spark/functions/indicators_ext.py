@@ -141,6 +141,19 @@ def macd_pandas(
     return df.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
 
 
+def longest_history(df: DataFrame, symbol_col: str) -> int | None:
+    """Longest per-key row count — the shared probe behind every
+    ``*_auto`` fold-vs-pandas routing switch (macd_auto, adx_auto,
+    heikin_ashi_auto).  One count aggregate, map-side combined:
+    metadata-sized at any scale."""
+    return (
+        df.groupBy(symbol_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+
+
 def macd_auto(
     df: DataFrame,
     symbol_col: str = "stock_symbol",
@@ -150,17 +163,11 @@ def macd_auto(
     fold_limit: int = 1000,
 ) -> DataFrame:
     """MACD with automatic path selection, same contract as
-    ``indicators.enrich_auto``: probe the longest per-key history with one
-    count aggregate (map-side combined — metadata-sized at any scale),
-    fold below ``fold_limit`` rows/key, pandas above.  Both paths are
-    bit-identical (asserted in tests), so the switch only changes the
-    physical plan, never results."""
-    longest = (
-        df.groupBy(symbol_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
-    )
+    ``indicators.enrich_auto``: probe the longest per-key history
+    (:func:`longest_history`), fold below ``fold_limit`` rows/key,
+    pandas above.  Both paths are bit-identical (asserted in tests), so
+    the switch only changes the physical plan, never results."""
+    longest = longest_history(df, symbol_col)
     if longest is not None and longest > fold_limit:
         return macd_pandas(df, symbol_col, time_col, close_col, id_col=id_col)
     return with_macd(df, symbol_col, time_col, id_col, close_col)

@@ -37,7 +37,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.indicators import _ema_fold
-from big_data_engineering_financial_analysis_spark.functions.indicators_ext import TRADING_DAYS
+from big_data_engineering_financial_analysis_spark.functions.indicators_ext import (
+    TRADING_DAYS,
+    longest_history,
+)
 
 
 def _wilder(src: str, n: int, hist) -> Column:
@@ -174,16 +177,11 @@ def adx_auto(
     fold_limit: int = 1000,
 ) -> DataFrame:
     """ADX with automatic path selection (same contract as ``macd_auto``):
-    probe the longest per-key bar history with one metadata-sized count
-    aggregate, fold below ``fold_limit`` bars/key, pandas above.  Both
-    paths are bit-identical, so the switch only changes the physical
-    plan, never results."""
-    longest = (
-        bars.groupBy(symbol_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
-    )
+    probe the longest per-key bar history (``longest_history``), fold
+    below ``fold_limit`` bars/key, pandas above.  Both paths are
+    bit-identical, so the switch only changes the physical plan, never
+    results."""
+    longest = longest_history(bars, symbol_col)
     if longest is not None and longest > fold_limit:
         return adx_pandas(bars, symbol_col, time_col, n)
     return with_adx_dmi(bars, symbol_col, time_col, n)
@@ -238,12 +236,7 @@ def heikin_ashi_auto(
 ) -> DataFrame:
     """Heikin-Ashi with automatic fold/pandas path selection — same
     probe-and-switch contract as :func:`adx_auto`."""
-    longest = (
-        bars.groupBy(symbol_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
-    )
+    longest = longest_history(bars, symbol_col)
     if longest is not None and longest > fold_limit:
         return heikin_ashi_pandas(bars, symbol_col, time_col)
     return with_heikin_ashi(bars, symbol_col, time_col)
@@ -432,9 +425,13 @@ def volume_profile(
     Bins each symbol's price range [min_close, max_close] into
     ``n_bins`` equal-width buckets and sums traded volume per bucket;
     the POC is the highest-volume bucket (volume desc, bin asc
-    tie-break).  Volume is summed as BIGINT — the source volumes are
-    integer-valued — so the per-bin totals are exact regardless of
-    partial-aggregation order on either engine.
+    tie-break).  Volume is summed as BIGINT after a per-tick
+    ``floor(v + 0.5)`` half-up rounding — pure FP ops, identical on any
+    engine (a bare double→int CAST truncates in Spark but rounds in
+    DuckDB) — so the per-bin totals are exact regardless of
+    partial-aggregation order.  Integer-valued volumes (the common
+    exchange feed) pass through unchanged; fractional volumes lose
+    sub-share precision by contract, documented here.
 
     Scale: per-symbol price extremes come from a grouped aggregate
     (symbols × 2 doubles) broadcast back onto the tick stream — no
@@ -461,7 +458,7 @@ def volume_profile(
         # under any partial-aggregation order, unlike first()
         F.min("px_min").alias("px_min"),
         F.max("px_max").alias("px_max"),
-        F.sum(F.col(volume_col).cast("bigint")).alias("bin_volume"),
+        F.sum(F.floor(F.col(volume_col) + F.lit(0.5))).alias("bin_volume"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
     prof = prof.withColumn(

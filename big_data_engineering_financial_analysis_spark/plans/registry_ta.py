@@ -416,7 +416,10 @@ b AS (
 p AS (
   SELECT stock_symbol, bin,
          min(px_min) AS px_min, max(px_max) AS px_max,
-         CAST(sum(CAST(volume AS BIGINT)) AS BIGINT) AS bin_volume,
+         -- floor(v+0.5) mirrors the engine's per-tick half-up rounding
+         -- (bare double->int CAST truncates in Spark, rounds in DuckDB)
+         CAST(sum(CAST(floor(volume + 0.5) AS BIGINT)) AS BIGINT)
+           AS bin_volume,
          count(*) AS n_ticks
   FROM b GROUP BY stock_symbol, bin
 ),

@@ -23,8 +23,12 @@ Safety rules (all tested):
 * a manifest entry without stats for the column is kept;
 * manifest entries for deleted files are ignored (the directory listing
   is the source of truth);
-* all-NULL columns store a null zone and are kept only for IS NULL-
-  compatible reads (range requests drop them: min/max cannot match).
+* all-NULL columns store a null zone: RANGE requests drop the file
+  (no value can match), but a boundless read keeps it — its rows are
+  part of the dataset;
+* a bound that cannot be compared with the stored stat type (e.g. a
+  datetime bound against date stats) keeps the file — the residual
+  filter decides, exactly as a plain scan would.
 
 The reference has no at-rest pruning beyond QuestDB's daily partitions
 (db/init_questdb.sql:20-21); this is the engine-native generalization.
@@ -132,6 +136,7 @@ def prune_files(
     ``[lo, hi]`` (either bound may be None for a half-open range)."""
     files = _data_files(path)
     manifest = load_zonemap(path) or {}
+    bounded = lo is not None or hi is not None
     keep = []
     for fpath in files:
         zones = manifest.get(os.path.relpath(fpath, path))
@@ -140,12 +145,23 @@ def prune_files(
             continue
         zone = zones[col]
         if zone is None:
-            continue  # all-NULL column: no row can match a range
+            # all-NULL column: no row can match a RANGE, but a boundless
+            # read has no range — dropping the file would lose its rows
+            if bounded:
+                continue
+            keep.append(fpath)
+            continue
         zmin, zmax = _decode(zone[0]), _decode(zone[1])
-        if lo is not None and zmax < lo:
-            continue
-        if hi is not None and zmin > hi:
-            continue
+        try:
+            if lo is not None and zmax < lo:
+                continue
+            if hi is not None and zmin > hi:
+                continue
+        except TypeError:
+            # bound/stat type mismatch (e.g. date stats vs datetime
+            # bound): a plain scan+filter would handle it, so pruning
+            # must too — keep the file, let the residual filter decide
+            pass
         keep.append(fpath)
     return keep, len(files)
 

@@ -174,7 +174,10 @@ def adx_stream(
         )
         frames = [pdf for pdf in pdfs if len(pdf)]
         if frames:
-            pdf = pd.concat(frames).sort_values(time_col, kind="stable")
+            # concat preserves arrival order; process_group does the one
+            # stable event-time sort (a pre-sort here would be a
+            # redundant second O(n log n) pass per micro-batch)
+            pdf = pd.concat(frames)
             out = process_group(st, pdf, time_col)
             if len(out):
                 yield out

@@ -269,6 +269,20 @@ def test_auto_variants_route_and_agree(spark):
     )
 
 
+def test_volume_profile_fractional_volumes_round_half_up(spark):
+    """Per-tick floor(v+0.5): fractional volumes round, never truncate
+    (a bare double->bigint cast would zero out every 0.7-share tick)."""
+    rows = [
+        {"stock_symbol": "A", "close": 10.0, "volume": 0.7},
+        {"stock_symbol": "A", "close": 10.0, "volume": 0.7},
+        {"stock_symbol": "A", "close": 20.0, "volume": 2.5},
+    ]
+    out = ta.volume_profile(spark.createDataFrame(rows), n_bins=10).toPandas()
+    a = out[out.stock_symbol == "A"].set_index("bin")
+    assert a.loc[0, "bin_volume"] == 2  # 0.7 -> 1 each, not 0
+    assert a.loc[9, "bin_volume"] == 3  # 2.5 -> 3 (half-up)
+
+
 def test_volume_profile_poc_tie_breaks_low_bin(spark):
     rows = [
         {"stock_symbol": "A", "close": 10.0, "volume": 5.0},

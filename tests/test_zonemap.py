@@ -183,3 +183,19 @@ def test_all_null_zone_dropped_for_ranges(spark, tmp_path):
     assert total == 2 and len(keep) == 1  # the all-NULL file is skipped
     got = zm.read_pruned(spark, path, "maybe", lo=0.0)
     assert got.count() == 50
+    # boundless read: NO range to prune against — the all-NULL file's
+    # rows are part of the dataset and must come back (regression: an
+    # unconditional null-zone skip silently lost them)
+    keep, total = zm.prune_files(path, "maybe")
+    assert len(keep) == total == 2
+    assert zm.read_pruned(spark, path, "maybe").count() == 100
+
+
+def test_incomparable_bound_type_keeps_file(spark, tmp_path):
+    """A bound the stored stats cannot compare with must not crash the
+    read — plain scan+filter would succeed, so pruning must too."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["lang"])  # string stats
+    keep, total = zm.prune_files(path, "lang", lo=0)  # int bound
+    assert len(keep) == total  # nothing pruned, nothing raised

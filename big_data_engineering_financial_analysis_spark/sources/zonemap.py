@@ -78,6 +78,42 @@ def _data_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _file_zones(fpath: str, cols: list[str]) -> dict:
+    """One file's footer scan: column -> [min, max] / None (all-NULL) /
+    absent (no statistics — the reader must keep the file)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(fpath).metadata
+    names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    zones: dict[str, Any] = {}
+    for col in cols:
+        idx = names.get(col)
+        if idx is None:
+            continue  # e.g. a Hive partition column: not in the file
+        lo = hi = None
+        have = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                if st is not None and st.num_values == 0:
+                    continue  # empty row group contributes nothing
+                have = False
+                break
+            if st.num_values == 0:
+                continue
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if not have:
+            continue  # no stats -> omit: reader must keep the file
+        zones[col] = None if lo is None else [_encode(lo), _encode(hi)]
+    return zones
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh)
+
+
 def build_zonemap(path: str, cols: list[str]) -> dict:
     """Scan every data file's footer and write the zone-map manifest.
 
@@ -85,38 +121,31 @@ def build_zonemap(path: str, cols: list[str]) -> dict:
     ``[min, max]`` (a ``None`` zone means the column is all-NULL in that
     file; a missing column key means no statistics were available).
     """
-    import pyarrow.parquet as pq
+    manifest = {
+        os.path.relpath(fpath, path): _file_zones(fpath, cols)
+        for fpath in _data_files(path)
+    }
+    _write_manifest(path, manifest)
+    return manifest
 
-    manifest: dict[str, dict] = {}
-    for fpath in _data_files(path):
-        meta = pq.ParquetFile(fpath).metadata
-        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-        zones: dict[str, Any] = {}
-        for col in cols:
-            idx = names.get(col)
-            if idx is None:
-                continue  # e.g. a Hive partition column: not in the file
-            lo = hi = None
-            have = True
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    if st is not None and st.num_values == 0:
-                        continue  # empty row group contributes nothing
-                    have = False
-                    break
-                if st.num_values == 0:
-                    continue
-                lo = st.min if lo is None or st.min < lo else lo
-                hi = st.max if hi is None or st.max > hi else hi
-            if not have:
-                continue  # no stats -> omit: reader must keep the file
-            zones[col] = (
-                None if lo is None else [_encode(lo), _encode(hi)]
-            )
-        manifest[os.path.relpath(fpath, path)] = zones
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh)
+
+def update_zonemap(path: str, cols: list[str] | None = None) -> dict:
+    """Incrementally maintain the manifest: footer-scan ONLY files not
+    yet covered, drop entries for deleted files.  O(new files) instead
+    of :func:`build_zonemap`'s O(all files) — the right call after each
+    streaming micro-batch append.  Columns default to the manifest's
+    union (+ any extra ``cols``) so appends keep covering what the
+    build covered."""
+    manifest = load_zonemap(path) or {}
+    want = sorted(
+        set(cols or []) | {c for zones in manifest.values() for c in zones}
+    )
+    current = {os.path.relpath(f, path): f for f in _data_files(path)}
+    manifest = {rel: z for rel, z in manifest.items() if rel in current}
+    for rel, fpath in current.items():
+        if rel not in manifest:
+            manifest[rel] = _file_zones(fpath, want)
+    _write_manifest(path, manifest)
     return manifest
 
 
@@ -128,41 +157,51 @@ def load_zonemap(path: str) -> dict | None:
         return None
 
 
+def _zone_allows(zones: dict | None, col: str, lo, hi) -> bool:
+    """True unless the file's zone PROVES no row can satisfy the range."""
+    if zones is None or col not in zones:
+        return True  # unknown file / no stats: must scan
+    zone = zones[col]
+    if zone is None:
+        # all-NULL column: no row can match a RANGE, but a boundless
+        # read has no range — dropping the file would lose its rows
+        return lo is None and hi is None
+    zmin, zmax = _decode(zone[0]), _decode(zone[1])
+    try:
+        if lo is not None and zmax < lo:
+            return False
+        if hi is not None and zmin > hi:
+            return False
+    except TypeError:
+        # bound/stat type mismatch (e.g. date stats vs datetime bound):
+        # a plain scan+filter would handle it, so pruning must too —
+        # keep the file, let the residual filter decide
+        pass
+    return True
+
+
 def prune_files(
     path: str, col: str, lo=None, hi=None
 ) -> tuple[list[str], int]:
     """Return (files to scan, total files).  A file survives unless its
     manifest zone for ``col`` proves it cannot contain a row in
     ``[lo, hi]`` (either bound may be None for a half-open range)."""
+    return prune_files_multi(path, [(col, lo, hi)])
+
+
+def prune_files_multi(
+    path: str, predicates: list[tuple]
+) -> tuple[list[str], int]:
+    """Conjunctive multi-column pruning: a file survives only if EVERY
+    ``(col, lo, hi)`` predicate's zone allows it — the 2-D z-order case
+    (x-range AND y-range) in one call."""
     files = _data_files(path)
     manifest = load_zonemap(path) or {}
-    bounded = lo is not None or hi is not None
     keep = []
     for fpath in files:
         zones = manifest.get(os.path.relpath(fpath, path))
-        if zones is None or col not in zones:
-            keep.append(fpath)  # unknown file / no stats: must scan
-            continue
-        zone = zones[col]
-        if zone is None:
-            # all-NULL column: no row can match a RANGE, but a boundless
-            # read has no range — dropping the file would lose its rows
-            if bounded:
-                continue
+        if all(_zone_allows(zones, col, lo, hi) for col, lo, hi in predicates):
             keep.append(fpath)
-            continue
-        zmin, zmax = _decode(zone[0]), _decode(zone[1])
-        try:
-            if lo is not None and zmax < lo:
-                continue
-            if hi is not None and zmin > hi:
-                continue
-        except TypeError:
-            # bound/stat type mismatch (e.g. date stats vs datetime
-            # bound): a plain scan+filter would handle it, so pruning
-            # must too — keep the file, let the residual filter decide
-            pass
-        keep.append(fpath)
     return keep, len(files)
 
 
@@ -176,14 +215,24 @@ def read_pruned(
     """Range-read with file-level skipping.  ALWAYS applies the residual
     filter, so the result equals ``read + filter`` regardless of manifest
     staleness; the manifest only shrinks the file list."""
-    keep, _total = prune_files(path, col, lo, hi)
+    return read_pruned_multi(spark, path, [(col, lo, hi)])
+
+
+def read_pruned_multi(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+) -> DataFrame:
+    """Conjunctive multi-range read with file-level skipping — same
+    result-equals-full-scan contract as :func:`read_pruned`."""
+    keep, _total = prune_files_multi(path, predicates)
     if not keep:
         # empty relation with the dataset's schema (schema-only read)
-        empty = spark.read.parquet(path).limit(0)
-        return empty
+        return spark.read.parquet(path).limit(0)
     df = spark.read.option("basePath", path).parquet(*keep)
-    if lo is not None:
-        df = df.filter(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        df = df.filter(F.col(col) <= F.lit(hi))
+    for col, lo, hi in predicates:
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
     return df

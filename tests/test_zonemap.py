@@ -191,6 +191,55 @@ def test_all_null_zone_dropped_for_ranges(spark, tmp_path):
     assert zm.read_pruned(spark, path, "maybe").count() == 100
 
 
+def test_update_zonemap_covers_appends_incrementally(spark, tmp_path):
+    """update_zonemap footer-scans only the new files (O(new), not
+    O(all)), inherits the column set, and reaps deleted entries."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id"])
+    before = zm.load_zonemap(path)
+    extra = spark.createDataFrame(
+        [{"doc_id": 10_000, "lang": "en", "score": 1.0,
+          "ts": T0 + dt.timedelta(days=30)}]
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("lang").parquet(path)
+    after = zm.update_zonemap(path)  # columns inherited from the manifest
+    assert set(before) < set(after)
+    new_rel = (set(after) - set(before)).pop()
+    assert "doc_id" in after[new_rel]  # the append IS zone-covered
+    for rel in before:
+        assert after[rel] == before[rel]  # untouched files not rescanned
+
+    # now the appended file prunes like any other
+    keep, total = zm.prune_files(path, "doc_id", lo=9_999)
+    assert [k for k in keep] == [k for k in keep if new_rel in k]
+    # deleted files drop out of the manifest
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "lang=de"))
+    healed = zm.update_zonemap(path)
+    assert all("lang=de" not in rel for rel in healed)
+
+
+def test_multi_predicate_prune_and_read(spark, tmp_path):
+    """Conjunctive pruning intersects zones; the read still equals a
+    full scan with both filters."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["doc_id", "score"])
+    preds = [("doc_id", 100, 200), ("score", 10.0, 20.0)]
+    keep_multi, total = zm.prune_files_multi(path, preds)
+    keep_one, _ = zm.prune_files(path, "doc_id", 100, 200)
+    assert len(keep_multi) <= len(keep_one)
+    got = zm.read_pruned_multi(spark, path, preds)
+    exp = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id").between(100, 200))
+        .filter(F.col("score").between(10.0, 20.0))
+    )
+    assert _ids(got) == _ids(exp)
+
+
 def test_incomparable_bound_type_keeps_file(spark, tmp_path):
     """A bound the stored stats cannot compare with must not crash the
     read — plain scan+filter would succeed, so pruning must too."""

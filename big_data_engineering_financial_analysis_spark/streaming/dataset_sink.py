@@ -1,0 +1,63 @@
+"""Streaming → at-rest dataset sink with zone-map maintenance.
+
+Completes the ingest story: micro-batches append into the Hive-
+partitioned, within-file-sorted layout of ``sources/dataset.py`` and
+each commit incrementally extends the zone-map manifest
+(``sources/zonemap.py`` — O(new files) footer scans), so serving-side
+range reads keep skipping files as the stream grows.
+
+Exactly-once notes (the same contract as the engine's other foreachBatch
+sinks): Structured Streaming may REPLAY a batch id after a crash.  A
+plain parquet append would duplicate the replayed rows, so the sink
+keeps a tiny ``_batches/<id>`` marker directory per committed batch and
+skips ids it has already seen — the standard idempotent-foreachBatch
+recipe.  The marker is written AFTER the data commit: a crash between
+the two leaves a replayed batch appending twice only if the first
+attempt's files are also visible, which plain-directory parquet cannot
+guarantee transactionally — the compactor (``compact_dataset``) plus
+exact dedup downstream is the engine's documented answer, as for any
+filesystem table without a log-backed format underneath.
+
+The reference's equivalent is the kafka-to-questdb consumer appending
+rows into the daily-partitioned ``stock_data`` table
+(services/kafka-to-questdb/consumer.py:46-80); this is the engine-native
+generalization with file skipping on top.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def dataset_sink(
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    zonemap_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+):
+    """Build a ``foreachBatch`` function appending micro-batches into a
+    sharded dataset, maintaining the zone-map manifest per commit.
+
+    Use as ``stream.writeStream.foreachBatch(dataset_sink(...))``.
+    """
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(path, "_batches", str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already committed, idempotent skip
+        out = batch_df.repartition(*partition_cols).sortWithinPartitions(
+            *partition_cols, *sort_cols
+        )
+        writer = out.write.mode("append")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(*partition_cols).parquet(path)
+        if zonemap_cols is not None:
+            zm.update_zonemap(path, zonemap_cols)
+        os.makedirs(marker, exist_ok=True)
+
+    return write_batch

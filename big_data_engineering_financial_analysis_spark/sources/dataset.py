@@ -99,6 +99,12 @@ def compact_dataset(
         cols = sorted({c for zones in old_manifest.values() for c in zones})
         if cols:
             _zm.build_zonemap(staged, cols)
+    # the streaming sink's replay markers (_batches/<id>) must survive
+    # compaction: losing them would make a post-compaction crash replay
+    # re-append an already-committed micro-batch
+    markers = os.path.join(path, "_batches")
+    if os.path.isdir(markers):
+        shutil.copytree(markers, os.path.join(staged, "_batches"))
     old = path + "._pre_compact"
     os.rename(path, old)
     os.rename(staged, path)

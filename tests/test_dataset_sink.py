@@ -77,6 +77,29 @@ def test_streaming_appends_keep_zonemap_current(spark, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) == list(range(250, 300))
 
 
+def test_replay_markers_survive_compaction(spark, tmp_path):
+    """Compaction rewrites every data file; the _batches replay markers
+    must ride along or a post-compaction crash replay double-appends."""
+    from big_data_engineering_financial_analysis_spark.sources.dataset import (
+        compact_dataset,
+    )
+
+    out = str(tmp_path / "ds")
+    sink = dataset_sink(
+        out, partition_cols=["lang"], sort_cols=["doc_id"],
+        zonemap_cols=["doc_id"],
+    )
+    sink(_chunk(spark, 0, 50), 0)
+    sink(_chunk(spark, 50, 100), 1)
+    compact_dataset(spark, out, ["lang"], ["doc_id"])
+    sink(_chunk(spark, 0, 50), 0)  # crash replay AFTER compaction
+    assert spark.read.parquet(out).count() == 100  # no double-append
+    # and the sink keeps going with fresh batches
+    sink(_chunk(spark, 100, 120), 2)
+    assert spark.read.parquet(out).count() == 120
+    assert zm.read_pruned(spark, out, "doc_id", lo=100).count() == 20
+
+
 def test_replayed_batch_is_skipped(spark, tmp_path):
     out = str(tmp_path / "ds")
     sink = dataset_sink(

@@ -30,10 +30,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--explain", action="store_true", help="print the formatted plan instead"
     )
+    ap.add_argument(
+        "--oracle",
+        action="store_true",
+        help="print the query's DuckDB oracle SQL instead (no Spark session)",
+    )
     ap.add_argument("--list", action="store_true", help="list query names")
     args = ap.parse_args(argv)
 
-    from big_data_engineering_financial_analysis_spark.plans.registry import QUERIES
+    from big_data_engineering_financial_analysis_spark.plans.registry import ORACLES, QUERIES
 
     if args.list or not args.query:
         for name in QUERIES:
@@ -42,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.query not in QUERIES:
         print(f"unknown query {args.query!r} (use --list)", file=sys.stderr)
         return 2
+    if args.oracle:
+        sql = ORACLES.get(args.query)
+        if sql is None:
+            print(f"{args.query} has no oracle (rows-only check)", file=sys.stderr)
+            return 1
+        print(sql)
+        return 0
 
     from big_data_engineering_financial_analysis_spark import get_spark
 

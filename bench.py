@@ -230,7 +230,60 @@ def main() -> None:
     if extra:
         payload["extra_queries"] = extra
         payload["extra_total"] = round(sum(extra.values()), 3)
+
+    # Artifact self-containment (round-5 verdict ask #2): the driver
+    # records only the LAST ~2000 chars of stdout, and the full payload
+    # (canary observation log + 48 extra-tier queries) overflows that
+    # window — BENCH_r05's recorded artifact lost the headline dict
+    # entirely ("parsed": null).  So emit the verbose payload FIRST for
+    # humans/local files, then a compact summary line LAST that always
+    # fits a tail window: headline total + per-query headline dict +
+    # extra total + canary verdict + worst per-query ratio vs the
+    # committed round-1 anchor.  Any tail-window consumer parsing the
+    # final line gets the whole regression signal.
     print(json.dumps(payload))
+    anchors = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r01.json")) as fh:
+            parsed = json.load(fh).get("parsed") or {}
+        # ratios only make sense at the anchor's own scale factor
+        if parsed.get("sf") == sf:
+            anchors = parsed.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    worst_q, worst_ratio = None, None
+    for name, sec in timings.items():
+        a = anchors.get(name)
+        if a:
+            r = sec / a
+            if worst_ratio is None or r > worst_ratio:
+                worst_q, worst_ratio = name, r
+    summary = {
+        "metric": "headline_queries_total",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "extra_total": payload.get("extra_total"),
+        "extra_count": len(extra),
+        "canary": {
+            "baseline_sec": round(canary_base, 3),
+            "best_known_sec": refs[ref_key],
+            "canary_vs_best": round(canary_base / refs[ref_key], 3),
+            "machine_hot": machine_hot,
+            "observations_clean": sum(
+                1 for o in canary_log if o.get("clean", True)
+            ),
+            "observations_total": len(canary_log),
+        },
+        "worst_vs_r01": (
+            {"query": worst_q, "ratio": round(worst_ratio, 3)}
+            if worst_ratio is not None
+            else None
+        ),
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

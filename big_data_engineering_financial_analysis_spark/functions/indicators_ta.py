@@ -438,7 +438,14 @@ def volume_profile(
     whole-partition window sort over the ticks; then one grouped
     aggregate keyed (symbol, bin) and a final window over #bins rows per
     symbol.  Two small shuffles, both keyed by symbol.
+
+    NULL closes carry no price information, so their ticks are dropped
+    before binning (min/max already skip NULLs on every engine).  The
+    previous behavior — NULL close → NULL raw_bin → NULL-skipping
+    ``least`` silently parking the tick in the TOP bin — was a
+    surprising artifact, flagged in round-5 review.
     """
+    ticks = ticks.filter(F.col(close_col).isNotNull())
     extremes = ticks.groupBy(symbol_col).agg(
         F.min(close_col).alias("px_min"), F.max(close_col).alias("px_max")
     )

@@ -401,9 +401,12 @@ FROM s2
 """,
     "volume_profile": _CANDLES_CTE
     + """,
+-- NULL closes are dropped before binning (mirrors the engine's
+-- close-IS-NOT-NULL gate; min/max skip NULLs on both engines anyway)
+t AS (SELECT * FROM candles WHERE close IS NOT NULL),
 e AS (
   SELECT stock_symbol, min(close) AS px_min, max(close) AS px_max
-  FROM candles GROUP BY stock_symbol
+  FROM t GROUP BY stock_symbol
 ),
 b AS (
   SELECT c.stock_symbol,
@@ -411,7 +414,7 @@ b AS (
          ELSE CAST(least(floor((close - px_min) / nullif(px_max - px_min, 0.0)
                                * 20), 19) AS INT) END AS bin,
     px_min, px_max, volume
-  FROM candles c JOIN e USING (stock_symbol)
+  FROM t c JOIN e USING (stock_symbol)
 ),
 p AS (
   SELECT stock_symbol, bin,

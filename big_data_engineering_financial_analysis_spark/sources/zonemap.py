@@ -110,8 +110,18 @@ def _file_zones(fpath: str, cols: list[str]) -> dict:
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+    """Atomic manifest swap: write to a temp file in the same directory
+    and ``os.replace`` it over the live name.  A plain ``open('w')``
+    truncates in place, so a concurrent :func:`read_pruned` (or a crash
+    mid-write) would see a partial manifest — ``load_zonemap`` degrades
+    that to a full scan, but pruning would silently vanish until the
+    next rebuild.  ``os.replace`` is atomic on POSIX within one
+    filesystem, so readers always see the old or the new manifest."""
+    final = os.path.join(path, MANIFEST_NAME)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    os.replace(tmp, final)
 
 
 def build_zonemap(path: str, cols: list[str]) -> dict:

@@ -42,6 +42,15 @@ def dataset_sink(
     sharded dataset, maintaining the zone-map manifest per commit.
 
     Use as ``stream.writeStream.foreachBatch(dataset_sink(...))``.
+
+    Durability window (user-facing contract, see module doc): the
+    ``_batches/<id>`` marker is written AFTER the parquet append and
+    zone-map update, so a crash landing exactly between data commit and
+    marker creation makes the replayed batch append twice; markers live
+    on the driver-local filesystem.  Both are accepted limits of the
+    plain-directory contract — run :func:`..sources.dataset.compact_dataset`
+    periodically and keep exact dedup downstream, or use a log-backed
+    table format when genuine transactional appends are required.
     """
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
 

@@ -219,6 +219,29 @@ def test_volume_profile_bins_and_poc(spark):
     assert int(b.is_poc.iloc[0]) == 1
 
 
+def test_volume_profile_null_close_ticks_dropped(spark):
+    """A NULL close carries no price: its tick must vanish, not get
+    silently parked in the top bin (round-5 review finding)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("stock_symbol", T.StringType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("volume", T.DoubleType()),
+        ]
+    )
+    rows = [("A", 10.0, 1.0), ("A", 20.0, 2.0), ("A", None, 999.0)]
+    out = ta.volume_profile(
+        spark.createDataFrame(rows, schema), n_bins=10
+    ).toPandas()
+    # the NULL tick contributes to no bin: totals exclude its volume
+    assert int(out.bin_volume.sum()) == 3
+    assert int(out.n_ticks.sum()) == 2
+    # extremes (and thus bin edges) come from non-NULL closes only
+    assert out.price_lo.min() == 10.0 and out.price_hi.max() == 20.0
+
+
 def _cells(df, names, order=("stock_symbol", "bucket")):
     pdf = df.toPandas().sort_values(list(order)).reset_index(drop=True)
     out = []

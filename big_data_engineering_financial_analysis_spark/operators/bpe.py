@@ -135,10 +135,21 @@ def learn_merges(df, text_col: str = "text", n_merges: int = 8):
         ).alias("s"),
         "freq",
     ).persist()
-    # every iteration's frame stays cached until the end: each is
-    # vocab-sized (distinct words), so holding all n_merges of them costs
-    # kilobytes, and skipping the per-iteration force-materialize+unpersist
-    # cycle halves the job count (measured 14.1 s -> ~7 s at sf0.1)
+    # Cache policy: SLIDING WINDOW of the last 2 iteration frames.  Each
+    # frame is vocab-sized (distinct words), so the per-frame cost is
+    # small — but the merge COUNT scales with the target vocabulary
+    # (32k merges for a production tokenizer), and pinning every
+    # iteration's frame until the end (the round-5 layout) would hold
+    # 32k cached frames at once.  The iteration-i argmax collect()
+    # materializes frame i's cache; frame i+1 derives only from frame i,
+    # so once frame i is materialized every frame <= i-1 has no future
+    # reference and is unpersisted immediately.  Keeping TWO frames (the
+    # materialized current one plus its parent) means an executor-side
+    # cache eviction of the current frame recomputes one replace() step
+    # from its cached parent instead of climbing the whole lineage back
+    # to the corpus scan.  No force-materialize cycle is added: the
+    # argmax collect each iteration already does it (skipping a separate
+    # count() per iteration is what took 14.1 s -> ~7 s at sf0.1).
     cached = [spaced]
     merges: list[tuple[str, str]] = []
     counts: list[int] = []
@@ -175,6 +186,14 @@ def learn_merges(df, text_col: str = "text", n_merges: int = 8):
                 "freq",
             ).persist()
             cached.append(spaced)
+            # slide the window: the argmax collect above materialized the
+            # new frame's PARENT, and the new frame derives only from it,
+            # so every frame two or more generations back has no future
+            # lineage reference — unpersist immediately (>= 2 frames would
+            # otherwise accumulate to the merge count, 32k for a real
+            # tokenizer vocabulary)
+            while len(cached) > 2:
+                cached.pop(0).unpersist()
     finally:
         for c in cached:
             c.unpersist()

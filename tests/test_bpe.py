@@ -116,6 +116,43 @@ def test_learn_merges_matches_reference(spark):
     assert got_c == exp_c
 
 
+def test_learn_merges_bounded_cache_window(spark, monkeypatch):
+    """learn_merges must hold at most 2 iteration frames persisted at any
+    moment (sliding window) — at a production 32k-merge vocabulary the
+    round-5 pin-until-the-end layout would accumulate 32k cached frames.
+    Tracked by instrumenting persist/unpersist balance mid-run."""
+    from pyspark.sql import DataFrame
+
+    from big_data_engineering_financial_analysis_spark.operators.bpe import learn_merges
+
+    live, peak = set(), [0]
+    real_persist, real_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def persist(self, *a, **kw):
+        live.add(id(self))
+        peak[0] = max(peak[0], len(live))
+        return real_persist(self, *a, **kw)
+
+    def unpersist(self, *a, **kw):
+        live.discard(id(self))
+        return real_unpersist(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "persist", persist)
+    monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_m, got_c = learn_merges(df, n_merges=6)
+    exp_m, exp_c = _ref_learn(texts, 6)
+    assert (got_m, got_c) == (exp_m, exp_c)  # window does not change results
+    assert peak[0] <= 2, f"{peak[0]} frames persisted concurrently"
+    assert not live, "all frames unpersisted on return"
+
+
 def test_learned_table_round_trips_through_apply(spark):
     """learn -> apply: tokenizing with the learned table reproduces the
     reference tokenization (the verdict's end-to-end tokenizer story)."""

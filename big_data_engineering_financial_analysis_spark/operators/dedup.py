@@ -200,6 +200,78 @@ def span_removal(
     )
 
 
+def span_removal_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 10,
+) -> DataFrame:
+    """MAXIMAL excised spans for ExactSubstr removal — the boundary
+    report :func:`span_removal` implies but never materializes.
+
+    Lee et al. 2022 (the public ExactSubstr design, suffix-array based)
+    remove each sufficiently-long duplicated substring as ONE maximal
+    match.  :func:`span_removal` reaches the same removal SET through
+    per-word coverage, but reports only per-document word counts — a
+    200-token duplicated passage is invisible as a unit.  This operator
+    merges duplicated ``span_n``-gram start positions into maximal runs
+    (gaps-and-islands: a new island starts when the gap between
+    consecutive duplicated starts exceeds ``span_n``, i.e. exactly when
+    their covered word ranges become disjoint) and emits one row per
+    excised region with its word boundaries.
+
+    The union of ``[span_start, span_end]`` over a document's rows
+    EQUALS the set of words :func:`span_removal` cuts — proven by
+    ``tests/test_dedup.py::test_span_removal_spans_cover_equals_removal``
+    — so this is a lossless re-aggregation, not a different semantics.
+
+    Output: one row per maximal excised region —
+    ``(id, span_start, span_end, n_words_cut, n_dup_starts)`` with
+    ``span_end = last duplicated start in the run + span_n - 1`` (never
+    past the document: the last possible start is ``len - span_n``).
+
+    Plan shape at 100 TB: identical to :func:`span_removal`'s first half
+    (explode span hashes -> ONE shuffle on the hash for the
+    first-occurrence window), then ONE doc-keyed shuffle where a lag
+    window splits islands and a grouped aggregate emits the regions —
+    both keyed by doc id, linear, no all-pairs.
+    """
+    toks = tokens(F.col(text_col))
+    spans = spread(df).select(
+        F.col(id_col),
+        F.posexplode(shingles(toks, span_n)).alias("pos", "g"),
+    ).select(F.col(id_col), F.col("pos"), hash64(F.col("g"), "span").alias("gh"))
+    first = Window.partitionBy("gh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup_starts = (
+        spans.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") > 1)
+        .select(id_col, F.col("pos").alias("p"))
+    )
+    seq = Window.partitionBy(id_col).orderBy("p")
+    islands = dup_starts.withColumn(
+        "new_island",
+        (
+            F.coalesce(F.col("p") - F.lag("p").over(seq), F.lit(span_n + 1))
+            > span_n
+        ).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = islands.groupBy(id_col, "island").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + span_n - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_starts"),
+    )
+    return out.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_words_cut"),
+        "n_dup_starts",
+    )
+
+
 def repeated_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

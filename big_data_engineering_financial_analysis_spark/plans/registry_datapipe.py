@@ -256,6 +256,17 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_removal(docs, span_n=DEDUP_SPAN_N)
 
 
+def q_dedup_span_removal_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL excised regions for ExactSubstr removal (Lee et al. 2022
+    use suffix arrays to remove whole >=50-token matches as one unit):
+    adjacent duplicated 10-gram starts merge into maximal runs via
+    gaps-and-islands, one row per contiguous removed region with word
+    boundaries.  Same removal set as ``dedup_span_removal``, reported at
+    region granularity instead of per-word counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_removal_spans(docs, span_n=DEDUP_SPAN_N)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): IVF-cell clustering + within-cell
     cosine; smaller-id neighbor above threshold drops the vector.  Work
@@ -884,6 +895,45 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN ndup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_words,
                coalesce(array_to_string(list(word ORDER BY p) FILTER (WHERE ndup = 0), ' '), '') AS text_dedup
         FROM cov GROUP BY doc_id
+    """,
+    # same sp/d CTEs as dedup_span_removal, then gaps-and-islands over the
+    # duplicated start positions: a new island begins when the gap between
+    # consecutive starts exceeds span_n (their covered word ranges become
+    # disjoint), mirroring dedup.span_removal_spans expression for expression
+    "dedup_span_removal_max": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sp AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+{DEDUP_SPAN_N - 1}], ' ') || '#span'), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {DEDUP_SPAN_N - 1})) AS i
+                FROM t WHERE len(t) >= {DEDUP_SPAN_N})
+        ),
+        d AS (
+          SELECT doc_id, pos AS p FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+            FROM sp)
+          WHERE rn > 1
+        ),
+        g AS (
+          SELECT doc_id, p,
+                 CASE WHEN coalesce(p - lag(p) OVER w, {DEDUP_SPAN_N + 1})
+                        > {DEDUP_SPAN_N} THEN 1 ELSE 0 END AS new_island
+          FROM d
+          WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ),
+        isl AS (
+          SELECT doc_id, p,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM g
+        )
+        SELECT doc_id,
+               CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + {DEDUP_SPAN_N - 1} AS BIGINT) AS span_end,
+               CAST(max(p) + {DEDUP_SPAN_N - 1} - min(p) + 1 AS BIGINT) AS n_words_cut,
+               CAST(count(*) AS BIGINT) AS n_dup_starts
+        FROM isl GROUP BY doc_id, island
     """,
     # SemDeDup: IVF cell assignment (same centroid literals + fold as
     # ann_ivf), within-cell pairwise cosine, min-id survivor rule
@@ -1734,6 +1784,7 @@ QUERIES = {
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_spans": q_dedup_spans,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_span_removal_max": q_dedup_span_removal_max,
     "dedup_semantic": q_dedup_semantic,
     "bpe_learn": q_bpe_learn,
     "seq_packing": q_seq_packing,

@@ -247,6 +247,93 @@ def test_span_removal_within_doc_repeat(spark):
     assert r["text_dedup"] == "p q r s"
 
 
+def test_span_removal_spans_long_passage_single_region(spark):
+    """A long duplicated passage is excised as ONE maximal region with
+    correct boundaries (the round-5 verdict's maximal-span ask), not as
+    overlapping fixed-width coverage rows."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    passage = " ".join(f"w{i}" for i in range(200))
+    rows = [
+        (1, passage),                          # first occurrence: kept
+        (2, "intro text here " + passage + " outro text tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.span_removal_spans(df, span_n=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # first global occurrence loses nothing
+    spans = by_doc[2]
+    assert len(spans) == 1, f"expected one maximal region, got {spans}"
+    s = spans[0]
+    # doc 2 words: 3 intro + 200 passage + 3 outro; the duplicated
+    # 10-gram starts run 3..193, so the excised region is words 3..202
+    assert s["span_start"] == 3 and s["span_end"] == 202
+    assert s["n_words_cut"] == 200 and s["n_dup_starts"] == 191
+
+
+def test_span_removal_spans_split_on_gap(spark):
+    """Two duplicated regions separated by more than span_n unique words
+    come out as two islands; within-span_n gaps merge into one."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    blk_a = " ".join(f"a{i}" for i in range(12))
+    blk_b = " ".join(f"b{i}" for i in range(12))
+    gap = " ".join(f"u{i}" for i in range(15))  # > span_n unique words
+    rows = [
+        (1, blk_a + " " + blk_b),
+        (2, blk_a + " " + gap + " " + blk_b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        dedup.span_removal_spans(df, span_n=10).filter("doc_id = 2").collect(),
+        key=lambda r: r["span_start"],
+    )
+    assert len(out) == 2
+    # block A: 12 words at 0..11, dup starts 0..2 -> region 0..11
+    assert (out[0]["span_start"], out[0]["span_end"]) == (0, 11)
+    # block B starts at 12 + 15 = 27: dup starts 27..29 -> region 27..38
+    assert (out[1]["span_start"], out[1]["span_end"]) == (27, 38)
+
+
+def test_span_removal_spans_cover_equals_removal(spark):
+    """Lossless re-aggregation: the union of reported [span_start,
+    span_end] ranges equals exactly the word positions span_removal
+    cuts, on an adversarial mix of overlaps, adjacency, and repeats."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    rows = [
+        (1, "p q r s p q r s p q r s"),       # periodic self-repeat
+        (2, "a b c d e f g h"),
+        (3, "x a b c d e f g h y a b c d e f g h"),  # adjacent-ish repeats
+        (4, "p q r s t u v w a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 4
+    spans = dedup.span_removal_spans(df, span_n=n).collect()
+    removed = dedup.span_removal(df, span_n=n).collect()
+    # positions cut per doc according to the maximal-span report
+    from_spans: dict[int, set[int]] = {}
+    for r in spans:
+        from_spans.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    # positions cut per doc according to span_removal's word counts +
+    # surviving text (reconstruct kept positions from the original)
+    for r in removed:
+        doc_words = dict(
+            enumerate([w for w in rows[r["doc_id"] - 1][1].split() if w])
+        )
+        kept = r["text_dedup"].split() if r["text_dedup"] else []
+        cut_count = r["n_words"] - r["n_kept_words"]
+        got = from_spans.get(r["doc_id"], set())
+        assert len(got) == cut_count, (r["doc_id"], got, cut_count)
+        # kept words in order = original minus the span positions
+        expect_kept = [w for p, w in sorted(doc_words.items()) if p not in got]
+        assert kept == expect_kept, (r["doc_id"], kept, expect_kept)
+
+
 def test_span_removal_short_docs_untouched(spark):
     from big_data_engineering_financial_analysis_spark.operators import dedup
 

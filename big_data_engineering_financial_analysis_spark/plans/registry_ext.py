@@ -33,6 +33,87 @@ def _panel_fn(panel: str):
 
 
 # ---------------------------------------------------------------------------
+# skip-and-serve: the dashboard served through the sharded + zone-mapped
+# at-rest layout (sources/dataset.py + sources/zonemap.py) instead of a
+# flat parquet scan — the engine-native analogue of the reference serving
+# its panels from QuestDB's daily-partitioned stock_data table
+# (db/init_questdb.sql:20-21).
+# ---------------------------------------------------------------------------
+
+#: symbols written into the serving dataset (multi-partition on purpose:
+#: partition pruning on stock_symbol composes with zone-map file skipping
+#: on local_time)
+SHARD_SYMBOLS = ["1", "2", "3", "4", "42"]
+#: small per-file row cap so each symbol partition holds several
+#: time-sorted files — the zone map needs >1 file per partition to have
+#: anything to skip at test scale; at 100 TB the same knob bounds file
+#: size instead
+SHARD_MAX_RECORDS = 20
+
+
+def sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Write (overwrite) the enriched-candle serving dataset for
+    ``sf_dir`` and return its path: Hive-partitioned by stock_symbol,
+    within-file-sorted on local_time, zone-map manifest on local_time.
+
+    Enrichment runs BEFORE the write on each symbol's full history —
+    exactly like the reference's consumer, which lands already-enriched
+    rows in QuestDB — so serving-time range reads need no window
+    recomputation.  Deterministic and idempotent per (sf_dir) call.
+    """
+    import os
+    import tempfile
+
+    from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import build_zonemap
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "bdefa_sharded",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "stock_data",
+    )
+    enriched = _enriched(spark, sf_dir, SHARD_SYMBOLS)
+    write_sharded(
+        enriched,
+        path,
+        partition_cols=["stock_symbol"],
+        sort_cols=["local_time"],
+        max_records_per_file=SHARD_MAX_RECORDS,
+    )
+    build_zonemap(path, ["local_time"])
+    return path
+
+
+def q_panel_price_series_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana price/indicator series served skip-and-serve: the query
+    plans only the files whose local_time zone intersects the panel's
+    range (zone-map manifest) inside only the sym=42 partition directory
+    (Hive partition pruning) — file skipping proven by
+    ``tests/test_sharded_panel.py``.  Result contract: identical to the
+    flat-scan ``panel_indicator_series``-style twin (pruning is an
+    optimization, never a semantics change)."""
+    import datetime as dt
+
+    from big_data_engineering_financial_analysis_spark.plans.registry import T_END, T_START
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import read_pruned_multi
+
+    path = sharded_panel_dataset(spark, sf_dir)
+    lo = dt.datetime.fromisoformat(T_START)
+    hi = dt.datetime.fromisoformat(T_END)
+    df = read_pruned_multi(spark, path, [("local_time", lo, hi)])
+    return (
+        df.filter(F.col("stock_symbol") == "42")
+        .select(
+            "local_time",
+            "close",
+            F.round("sma_5", 6).alias("sma_5"),
+            F.round("ema_10", 6).alias("ema_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # extended analytics
 # ---------------------------------------------------------------------------
 
@@ -915,6 +996,26 @@ QUERIES = {
 }
 for _panel in dashboard.PANEL_SQL:
     QUERIES[_panel] = _panel_fn(_panel)
+QUERIES["panel_price_series_sharded"] = q_panel_price_series_sharded
+
+
+def _sharded_panel_oracle() -> str:
+    """Flat-scan twin of the skip-and-serve panel: pruning must never
+    change results, so the oracle is the plain enriched CTE + filters."""
+    from big_data_engineering_financial_analysis_spark.plans.registry import (
+        ENRICHED_CTE,
+        T_END,
+        T_START,
+    )
+
+    return ENRICHED_CTE + f"""
+        SELECT local_time, close, round(sma_5, 6) AS sma_5,
+               round(ema_10, 6) AS ema_10
+        FROM enriched
+        WHERE stock_symbol = '42'
+          AND local_time >= TIMESTAMP '{T_START}'
+          AND local_time <= TIMESTAMP '{T_END}'
+    """
 
 
 def build_oracles() -> dict[str, str]:
@@ -922,6 +1023,7 @@ def build_oracles() -> dict[str, str]:
     out["ilp_lines"] = _ilp_oracle()
     for panel in dashboard.PANEL_SQL:
         out[panel] = _panel_oracle(panel)
+    out["panel_price_series_sharded"] = _sharded_panel_oracle()
     return out
 
 

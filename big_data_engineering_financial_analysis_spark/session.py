@@ -59,6 +59,11 @@ def get_spark(
         # the synthetic events table stores TIMESTAMP(NANOS) which Spark has
         # no native type for; read as long and convert (sources/parquet.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as TIMESTAMP_MICROS: the legacy INT96 default
+        # stores NO parquet min/max statistics, which would disable
+        # row-group pruning and zone-map skipping on every time column —
+        # the dominant at-rest access pattern for this engine
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -36,7 +36,16 @@ def write_sharded(
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as a Hive-partitioned, within-file-sorted parquet
-    dataset.  One shuffle (on the partition columns) + a per-task sort."""
+    dataset.  One shuffle (on the partition columns) + a per-task sort.
+
+    Timestamps are written as TIMESTAMP_MICROS, not Spark's default
+    legacy INT96: INT96 columns carry NO parquet min/max statistics, so
+    a time-sorted layout would be unprunable — no row-group skipping
+    inside files and nothing for the zone-map manifest to read.  (Found
+    when the round-6 skip-and-serve test saw empty footer zones.)"""
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     out = df.repartition(*partition_cols).sortWithinPartitions(
         *partition_cols, *sort_cols
     )

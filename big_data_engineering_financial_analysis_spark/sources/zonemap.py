@@ -167,6 +167,22 @@ def load_zonemap(path: str) -> dict | None:
         return None
 
 
+def _utc_align(bound, stat):
+    """Make a datetime bound comparable with a datetime stat when exactly
+    one of them is naive.  The engine pins the session timezone to UTC
+    (session.py) and Spark writes TIMESTAMP_MICROS with isAdjustedToUTC,
+    so parquet stats come back UTC-aware while callers naturally pass
+    naive literals (e.g. the panel's pinned '2024-01-05 00:00:00') —
+    without alignment every such comparison TypeErrors into keep-the-file
+    and pruning silently vanishes."""
+    if isinstance(bound, dt.datetime) and isinstance(stat, dt.datetime):
+        if bound.tzinfo is None and stat.tzinfo is not None:
+            return bound.replace(tzinfo=dt.timezone.utc)
+        if bound.tzinfo is not None and stat.tzinfo is None:
+            return bound.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return bound
+
+
 def _zone_allows(zones: dict | None, col: str, lo, hi) -> bool:
     """True unless the file's zone PROVES no row can satisfy the range."""
     if zones is None or col not in zones:
@@ -177,6 +193,7 @@ def _zone_allows(zones: dict | None, col: str, lo, hi) -> bool:
         # read has no range — dropping the file would lose its rows
         return lo is None and hi is None
     zmin, zmax = _decode(zone[0]), _decode(zone[1])
+    lo, hi = _utc_align(lo, zmin), _utc_align(hi, zmax)
     try:
         if lo is not None and zmax < lo:
             return False

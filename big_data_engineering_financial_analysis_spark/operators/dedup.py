@@ -419,6 +419,34 @@ def _cap_buckets(
     )
 
 
+def band_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Explode signatures into ``(id, band, band_key)`` bucket rows —
+    the shared banding step of batch LSH (:func:`lsh_candidate_pairs`)
+    and the incremental signature store (:func:`incremental_minhash_dedup`).
+    Row-local (one explode, no shuffle); NULL signatures (too-short
+    documents) produce no bucket rows."""
+    rows = num_perm // bands
+    return sigs.filter(F.col("minhash_sig").isNotNull()).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.concat_ws(
+                        "-", F.transform(F.slice("minhash_sig", j * rows + 1, rows), lambda v: v.cast("string"))
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -438,21 +466,7 @@ def lsh_candidate_pairs(
     capped bucket still links its survivors into one component.  ``None``
     disables the cap.
     """
-    rows = num_perm // bands
-    banded = sigs.filter(F.col("minhash_sig").isNotNull()).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.concat_ws(
-                        "-", F.transform(F.slice("minhash_sig", j * rows + 1, rows), lambda v: v.cast("string"))
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
+    banded = band_signatures(sigs, id_col, num_perm, bands)
     banded = _cap_buckets(banded, ["band", "band_key"], id_col, bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -493,7 +507,21 @@ def minhash_lsh_dedup(
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b"))
-    est = (
+    est = _est_jaccard(num_perm)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _est_jaccard(num_perm: int):
+    """Fraction of agreeing signature components between ``sig_a`` and
+    ``sig_b`` columns — the minhash Jaccard estimate, integer-exact
+    across engines."""
+    return (
         F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -502,13 +530,104 @@ def minhash_lsh_dedup(
         ).cast("double")
         / F.lit(float(num_perm))
     )
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dedup an ARRIVING batch against a persisted signature store —
+    the incremental operation every production crawl pipeline runs
+    (previously documented as the engine's one deferred gap,
+    streaming/corpus.py).
+
+    ``store_sigs`` holds ``(id, minhash_sig)`` for every PREVIOUSLY
+    ARRIVED document — kept and dropped alike.  Appending every
+    arrival's signature (not just survivors') makes the drop decision a
+    pure function of the corpus prefix: a document whose earlier
+    near-duplicate was itself dropped still gets dropped, so the
+    surviving set is invariant to WHERE micro-batch boundaries fall in
+    the arrival stream (proven in tests/test_streaming_corpus.py).  A
+    survivors-only store is the other public variant; it trades that
+    invariance for a smaller store.  Signatures are ``num_perm`` longs
+    per document regardless of document size, so the store stays
+    model-of-the-corpus sized either way.
+
+    Drop rule: batch document ``b`` is a duplicate iff some partner
+    ``p`` — any store document, or a batch document with smaller id
+    (first-arrival-wins within the batch, same winner rule as the batch
+    operators) — shares at least one LSH band bucket with ``b`` AND
+    their signature agreement ``est_jaccard >= threshold``.
+
+    Returns ``(decisions, new_sigs)``: decisions = one row per batch
+    document ``(id, is_dup)`` (NULL-signature documents are never
+    duplicates — nothing to compare); new_sigs = the batch's
+    ``(id, minhash_sig)`` rows to append to the store after the batch
+    commits.  new_sigs is the PERSISTED signature frame (it feeds three
+    plan branches); a long-running caller should ``unpersist()`` it once
+    both outputs are materialized, as :func:`..streaming.corpus.
+    incremental_dedup_sink` does per micro-batch.
+
+    Plan shape at 100 TB: the batch side is micro-batch sized; the
+    store side is read through ONE equi-join keyed (band, band_key) —
+    with the store persisted bucketed on that key (sources/bucketed.py)
+    the join co-locates store buckets with no store-side shuffle, and a
+    Bloom/zone pruning layer can drop store files whose band range
+    cannot match.  No bucket cap here: the store join is batch×bucket
+    bounded, and capping would break the boundary-invariance contract.
+    """
+    sigs_new = minhash_signatures(
+        new_docs, id_col, text_col, shingle_n, num_perm
+    ).persist()
+    banded_new = band_signatures(sigs_new, id_col, num_perm, bands)
+    banded_store = band_signatures(store_sigs, id_col, num_perm, bands)
+    # partner candidates: every store doc is "earlier"; within the batch
+    # only smaller ids are
+    b = banded_new.alias("b")
+    p_store = banded_store.select(
+        F.col(id_col).alias("pid"), "band", "band_key"
+    ).alias("p")
+    p_batch = banded_new.select(
+        F.col(id_col).alias("pid"), "band", "band_key"
+    ).alias("p")
+    cand_store = b.join(p_store, ["band", "band_key"]).select(
+        F.col(f"b.{id_col}").alias("bid"), "pid"
     )
+    cand_batch = (
+        b.join(
+            p_batch,
+            (F.col("b.band") == F.col("p.band"))
+            & (F.col("b.band_key") == F.col("p.band_key"))
+            & (F.col("p.pid") < F.col(f"b.{id_col}")),
+        ).select(F.col(f"b.{id_col}").alias("bid"), "pid")
+    )
+    cands = cand_store.unionByName(cand_batch).distinct()
+    all_sigs = store_sigs.select(id_col, "minhash_sig").unionByName(
+        sigs_new.select(id_col, "minhash_sig")
+    )
+    sb = sigs_new.select(F.col(id_col).alias("bid"), F.col("minhash_sig").alias("sig_b"))
+    sp = all_sigs.select(F.col(id_col).alias("pid"), F.col("minhash_sig").alias("sig_a"))
+    dropped = (
+        cands.join(sb, "bid")
+        .join(sp, "pid")
+        .filter(F.round(_est_jaccard(num_perm), 6) >= threshold)
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+    )
+    decisions = (
+        sigs_new.select(id_col)
+        .join(dropped.withColumn("_dup", F.lit(1)), id_col, "left")
+        .select(id_col, F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup"))
+    )
+    # minhash_signatures already yields exactly (id, minhash_sig): hand the
+    # persisted frame itself back so callers can unpersist it
+    return decisions, sigs_new
 
 
 # ---------------------------------------------------------------------------

@@ -267,6 +267,24 @@ def q_dedup_span_removal_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_removal_spans(docs, span_n=DEDUP_SPAN_N)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a persisted signature store
+    (operators/dedup.incremental_minhash_dedup): even doc_ids play the
+    already-ingested corpus (their signatures ARE the store), odd
+    doc_ids arrive as the new batch.  Output: one decision row per
+    arriving document.  The streaming foreachBatch twin + its
+    batch-boundary-invariance proof live in streaming/corpus.py and
+    tests/test_streaming_corpus.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    store_sigs = dedup.minhash_signatures(store_docs)
+    decisions, _sigs = dedup.incremental_minhash_dedup(
+        batch_docs, store_sigs, threshold=JACCARD_THRESHOLD
+    )
+    return decisions
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): IVF-cell clustering + within-cell
     cosine; smaller-id neighbor above threshold drops the vector.  Work
@@ -934,6 +952,52 @@ ORACLES: dict[str, str] = {
                CAST(max(p) + {DEDUP_SPAN_N - 1} - min(p) + 1 AS BIGINT) AS n_words_cut,
                CAST(count(*) AS BIGINT) AS n_dup_starts
         FROM isl GROUP BY doc_id, island
+    """,
+    # incremental near-dedup: same sh/mh/sigs/banded CTEs as
+    # dedup_minhash_lsh (no bucket cap — mirrors band_signatures); a batch
+    # doc (odd id) is dropped iff an LSH-verified partner is in the store
+    # (even id) or arrived earlier in the batch (smaller odd id)
+    "dedup_incremental": f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct({_SHINGLES3}) AS shingles
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        mh AS (
+          SELECT doc_id, len(shingles) AS nsh,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CASE WHEN nsh > 0 THEN
+                   list_transform(range(0, {dedup.DEFAULT_NUM_PERM}), i ->
+                     list_min(list_transform(hs,
+                       h -> ({_MH_A}[i + 1] * h + {_MH_B}[i + 1]) % {_MH_P})))
+                 END AS sig
+          FROM mh
+        ),
+        banded AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)), '-') AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.DEFAULT_BANDS})) AS j) u
+          WHERE sig IS NOT NULL
+        ),
+        dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM banded b
+          JOIN banded p ON b.band = p.band AND b.band_key = p.band_key
+           AND (p.doc_id % 2 = 0 OR p.doc_id < b.doc_id)
+          JOIN sigs sb ON sb.doc_id = b.doc_id
+          JOIN sigs sp ON sp.doc_id = p.doc_id
+          WHERE b.doc_id % 2 = 1
+            AND round(CAST(list_sum(list_transform(list_zip(sp.sig, sb.sig),
+                    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                  / {float(dedup.DEFAULT_NUM_PERM)}, 6) >= {JACCARD_THRESHOLD}
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id IN (SELECT doc_id FROM dropped)
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM documents WHERE doc_id % 2 = 1
     """,
     # SemDeDup: IVF cell assignment (same centroid literals + fold as
     # ann_ivf), within-cell pairwise cosine, min-id survivor rule
@@ -1785,6 +1849,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_span_removal_max": q_dedup_span_removal_max,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_semantic": q_dedup_semantic,
     "bpe_learn": q_bpe_learn,
     "seq_packing": q_seq_packing,

@@ -16,10 +16,13 @@ With an event-time column, pass ``watermark_ts`` to get
 ``dropDuplicatesWithinWatermark`` eviction; without one (the synthetic
 ``documents`` table has none) state is unbounded — at 100 TB ingest you
 either carry an ingest timestamp (recommended; any real feed has one) or
-periodically compact via the batch pipeline.  Near-dup (minhash) streaming
-dedup is deliberately NOT incremental here: LSH bucket joins need the
-full signature store; run the batch ``corpus_prep`` over compacted
-windows instead (the standard lambda split for this workload).
+periodically compact via the batch pipeline.  Near-dup (minhash) dedup is
+incremental too since round 6: :func:`incremental_dedup_sink` keeps a
+persisted signature store (``num_perm`` longs per ever-arrived document)
+and joins each micro-batch's band buckets against it —
+``operators/dedup.incremental_minhash_dedup`` holds the algorithm and
+the batch-boundary-invariance contract; the batch-expressible form is
+the ``dedup_incremental`` registry query.
 """
 
 from __future__ import annotations
@@ -80,6 +83,76 @@ def corpus_dedup_stream(
             ["content_hash"]
         )
     return hashed.dropDuplicates(["content_hash"])
+
+
+def incremental_dedup_sink(
+    store_path: str,
+    decisions_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """Build a ``foreachBatch`` function running incremental near-dedup
+    against a persisted minhash signature store.
+
+    Per micro-batch: (1) signatures of the arriving documents are
+    computed and LSH-joined against the store
+    (``operators/dedup.incremental_minhash_dedup``); (2) one decision
+    row per arriving document ``(id, is_dup)`` is appended to
+    ``decisions_path``; (3) ALL arriving signatures — kept and dropped —
+    are appended to the store, which keeps the surviving set invariant
+    to where micro-batch boundaries fall in the arrival stream (see the
+    operator docstring; proven in tests/test_streaming_corpus.py).
+
+    Replay safety: the standard ``_batches/<id>`` marker protocol
+    (streaming/dataset_sink.py) — a replayed batch id is skipped, so the
+    store never double-appends a batch's signatures.
+
+    Store layout at 100 TB: signatures are ``num_perm`` longs per
+    document; persist the store bucketed on the band key
+    (sources/bucketed.py) to make the per-batch join co-located and
+    store-shuffle-free.  First batch with no store bootstraps an empty
+    signature frame.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from big_data_engineering_financial_analysis_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    sig_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("minhash_sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(store_path, "_batches", str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already committed
+        spark = batch_df.sparkSession
+        sig_dir = os.path.join(store_path, "sigs")
+        if os.path.isdir(sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sig_dir)
+        ):
+            store_sigs = spark.read.schema(sig_schema).parquet(sig_dir)
+        else:
+            store_sigs = spark.createDataFrame([], sig_schema)
+        decisions, new_sigs = incremental_minhash_dedup(
+            batch_df, store_sigs, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        try:
+            decisions.write.mode("append").parquet(decisions_path)
+            new_sigs.write.mode("append").parquet(sig_dir)
+        finally:
+            new_sigs.unpersist()  # per-batch cache must not accumulate
+        os.makedirs(marker, exist_ok=True)
+
+    return write_batch
 
 
 def corpus_ingest_stream(

@@ -188,3 +188,116 @@ def test_repetition_gate_filter_not_inlined(spark):
     filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
     assert filter_lines, plan
     assert not any("array_sort" in ln for ln in filter_lines), filter_lines
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+def _run_incremental(spark, tmp_path, tag, batches):
+    """Feed document batches through incremental_dedup_sink; return the
+    decision rows {doc_id: is_dup}."""
+    store = str(tmp_path / f"store_{tag}")
+    out = str(tmp_path / f"dec_{tag}")
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    # bootstrap: the store starts as the even-id corpus signatures
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    store_sigs = ded.minhash_signatures(docs.filter("doc_id % 2 = 0"))
+    import os
+
+    os.makedirs(f"{store}/sigs", exist_ok=True)
+    store_sigs.write.mode("overwrite").parquet(f"{store}/sigs")
+
+    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    for i, batch in enumerate(batches):
+        sink(batch, i)
+    return {
+        r["doc_id"]: r["is_dup"]
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_incremental_dedup_batch_boundary_invariant(spark, tmp_path):
+    """Survivors depend only on arrival order, never on where micro-batch
+    boundaries fall: one batch vs two id-ordered batches vs the batch
+    registry operator all agree."""
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    odds = docs.filter("doc_id % 2 = 1")
+    median = odds.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    one = _run_incremental(spark, tmp_path, "one", [odds])
+    two = _run_incremental(
+        spark,
+        tmp_path,
+        "two",
+        [
+            odds.filter(f"doc_id <= {median}"),
+            odds.filter(f"doc_id > {median}"),
+        ],
+    )
+    assert one == two and len(one) == odds.count()
+
+    # and both equal the pure-batch operator (the dedup_incremental
+    # registry query's engine path)
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    store_sigs = ded.minhash_signatures(docs.filter("doc_id % 2 = 0"))
+    decisions, sigs = ded.incremental_minhash_dedup(odds, store_sigs, threshold=0.5)
+    batch = {r["doc_id"]: r["is_dup"] for r in decisions.collect()}
+    sigs.unpersist()
+    assert one == batch
+    assert any(v == 1 for v in one.values()), "fixture has near-dups"
+
+
+def test_incremental_dedup_replayed_batch_skipped(spark, tmp_path):
+    """A replayed batch id must not double-append decisions or store
+    signatures (the _batches marker protocol)."""
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    odds = docs.filter("doc_id % 2 = 1").limit(20)
+    store = str(tmp_path / "store_rp")
+    out = str(tmp_path / "dec_rp")
+    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    sink(odds, 0)
+    n_dec = spark.read.parquet(out).count()
+    n_sig = spark.read.parquet(f"{store}/sigs").count()
+    sink(odds, 0)  # replay
+    assert spark.read.parquet(out).count() == n_dec
+    assert spark.read.parquet(f"{store}/sigs").count() == n_sig
+
+
+def test_incremental_dedup_dropped_doc_still_blocks(spark, tmp_path):
+    """The all-arrivals store contract: a document whose near-duplicate
+    was itself DROPPED in an earlier batch is still dropped — with a
+    survivors-only store it would slip through depending on batching."""
+    rows = [
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # store doc
+    ]
+    store_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    store = str(tmp_path / "store_chain")
+    out = str(tmp_path / "dec_chain")
+    import os
+
+    os.makedirs(f"{store}/sigs", exist_ok=True)
+    ded.minhash_signatures(store_docs).write.mode("overwrite").parquet(
+        f"{store}/sigs"
+    )
+    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    dup_of_store = "alpha beta gamma delta epsilon zeta eta theta extra"
+    sink(
+        spark.createDataFrame([(3, dup_of_store)], "doc_id long, text string"),
+        0,
+    )  # doc 3 drops vs store doc 2
+    sink(
+        spark.createDataFrame([(5, dup_of_store)], "doc_id long, text string"),
+        1,
+    )  # doc 5's only close match by text is the DROPPED doc 3 / store 2
+    got = {
+        r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {3: 1, 5: 1}

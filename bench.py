@@ -89,6 +89,10 @@ EXTRA_FAMILIES = [
     ("r5ta", ["adx_dmi", "ichimoku", "heikin_ashi", "xsec_momentum",
               "sharpe_rolling", "volume_profile"]),
     ("r5join", ["nation_volume_flow", "large_orders"]),
+    # round-6 additions: skip-and-serve panel (includes its dataset
+    # write), incremental signature-store dedup, maximal-span excision
+    ("r6", ["panel_price_series_sharded", "dedup_incremental",
+            "dedup_span_removal_max"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

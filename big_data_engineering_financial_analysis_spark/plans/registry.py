@@ -202,23 +202,15 @@ def q_enrich_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, INDICATOR_COLS)
 
 
-def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: rolling mean with pandas min_periods NaN-gating."""
-    out = _enriched(spark, sf_dir).select("event_id", "stock_symbol", "local_time", "sma_5")
-    return _round6(out, ["sma_5"])
-
-
-def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: the recursive EMA — HOF fold over collect_list (no UDF)."""
-    out = _enriched(spark, sf_dir).select("event_id", "stock_symbol", "local_time", "ema_10")
-    return _round6(out, ["ema_10"])
-
-
-def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3-W6: diff / clip / gated rolling means / guarded ratio / RSI."""
-    cols = ["delta", "gain", "loss", "avg_gain_10", "avg_loss_10", "rs", "rsi_10"]
-    out = _enriched(spark, sf_dir).select("event_id", "stock_symbol", "local_time", *cols)
-    return _round6(out, cols)
+# RETIRED round 6 (registry capacity, per the round-5 verdict's
+# replacement-not-addition policy): the sma_5 / ema_10 / rsi_10 registry
+# rows were strict column-subsets of enrich_indicators — every indicator
+# column they proved (W1 sma min_periods gate, W2 recursive EMA fold,
+# W3-W6 delta/clip/gated means/guarded ratio/RSI) remains oracle-proven
+# by enrich_indicators' full-width row plus the per-column unit tests in
+# tests/test_indicators.py.  Likewise api_lowest was the min() mirror of
+# api_highest over the identical plan; the "lowest" API aggregation stays
+# covered by plans/api.py + tests/test_api.py / test_http_api.py.
 
 
 def q_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,14 +284,6 @@ def q_api_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _enriched(spark, sf_dir, [SYMBOL]), "highest", "close", SYMBOL, T_START, T_END
     )
     return out.select(F.round(F.col("highest_close"), 6).alias("highest_close"))
-
-
-def q_api_lowest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: REST aggregate endpoint, min (views.py:49-59)."""
-    out = serving.aggregate_field(
-        _enriched(spark, sf_dir, [SYMBOL]), "lowest", "close", SYMBOL, T_START, T_END
-    )
-    return out.select(F.round(F.col("lowest_close"), 6).alias("lowest_close"))
 
 
 _SUMMARY_OUT = [
@@ -421,17 +405,6 @@ ORACLES: dict[str, str] = {
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
     "enrich_pandas": ENRICHED_CTE
     + f"SELECT event_id, stock_symbol, local_time, close, {_IND_ROUND}, signal FROM enriched",
-    "sma_5": ENRICHED_CTE
-    + "SELECT event_id, stock_symbol, local_time, round(sma_5, 6) AS sma_5 FROM enriched",
-    "ema_10": ENRICHED_CTE
-    + "SELECT event_id, stock_symbol, local_time, round(ema_10, 6) AS ema_10 FROM enriched",
-    "rsi_10": ENRICHED_CTE
-    + "SELECT event_id, stock_symbol, local_time, "
-    + ", ".join(
-        f"round({c}, 6) AS {c}"
-        for c in ["delta", "gain", "loss", "avg_gain_10", "avg_loss_10", "rs", "rsi_10"]
-    )
-    + " FROM enriched",
     "signal_rule": ENRICHED_CTE
     + "SELECT event_id, stock_symbol, local_time, signal FROM enriched",
     "last_per_minute": """
@@ -475,10 +448,6 @@ ORACLES: dict[str, str] = {
            AND local_time >= TIMESTAMP '{T_START}' AND local_time <= TIMESTAMP '{T_END}'""",
     "api_highest": ENRICHED_CTE
     + f"""SELECT round(max(close), 6) AS highest_close FROM enriched
-         WHERE stock_symbol = '{SYMBOL}'
-           AND local_time >= TIMESTAMP '{T_START}' AND local_time <= TIMESTAMP '{T_END}'""",
-    "api_lowest": ENRICHED_CTE
-    + f"""SELECT round(min(close), 6) AS lowest_close FROM enriched
          WHERE stock_symbol = '{SYMBOL}'
            AND local_time >= TIMESTAMP '{T_START}' AND local_time <= TIMESTAMP '{T_END}'""",
     "summarize": ENRICHED_CTE
@@ -576,9 +545,6 @@ QUERIES: dict[str, QueryFn] = {
     "enrich_indicators": q_enrich_indicators,
     "enrich_incremental": q_enrich_incremental,
     "enrich_pandas": q_enrich_pandas,
-    "sma_5": q_sma,
-    "ema_10": q_ema,
-    "rsi_10": q_rsi,
     "signal_rule": q_signal,
     "last_per_minute": q_last_per_minute,
     "latest_per_key": q_latest_per_key,
@@ -586,7 +552,6 @@ QUERIES: dict[str, QueryFn] = {
     "minmax_scale": q_minmax_scale,
     "api_avg": q_api_avg,
     "api_highest": q_api_highest,
-    "api_lowest": q_api_lowest,
     "summarize": q_summarize,
     "summarize_multiple": q_summarize_multiple,
     "global_stats": q_global_stats,
@@ -653,57 +618,50 @@ ORACLES.update(_ta.ORACLES)
 #: on a 3-round rotation (capacity 150) with near-zero headroom —
 #: registry growth from here should be replacement, not addition.
 #:
-#: Round-5 window: (a) data_quality_report (validation.py coalesce fix)
-#: and vwap_obv (oracle empty-fold guard); (b) the 15 round-5 additions
-#: (ExactSubstr removal, SemDeDup, BPE learn, pair-keyed rolling corr,
-#: ATR/Keltner, CAPM beta, pairs spread z, winsorize, historical VaR,
-#: KMV sketch, Bloom-pruned semijoin, Z-order audit, nation PageRank,
-#: Count-Min heavy hitters, trade-graph triangles, bigram-LM
-#: perplexity filter, k-fold split, calendar ffill, signal backtest,
-#: PSI drift, MMR diversified retrieval, histogram-sketch quantiles,
-#: Black-Scholes pricing, Markov event transitions, Welch A/B
-#: readout) — 25 in all;
-#: (c) all 18 registered queries whose latest driver row is r2 (the 8
-#: panel_*, SCD2/upsert, cube, percentiles/quartiles, range join,
-#: salted events, lstm_dataset, nation_customer_orders, top_orders —
-#: approx_distinct's r2 row belongs to a de-registered sketch query
-#: whose hash-checked twin exact_distinct rides in tier (d));
-#: (b-late) 5 of the 8 late-session registry_ta additions (ADX,
-#: Ichimoku, Heikin-Ashi, momentum deciles, volume profile — the
-#: fold/rank-subtle ones); the other 3 plus all 47 r3-latest rows
-#: (ann_pq trio, asof_join, text/fingerprint family, TPC-H-style
-#: joins, feed/pivot/ilp/signal/time/session tails) are FIRST in line
-#: for the r6 window (47 + 3 = 50: exactly fits).
+#: Round-6 window — exactly the set the round-5 verdict planned, plus
+#: this round's policy-mandated entries, made to fit by RETIREMENT
+#: (replacement-not-addition, verdict ask #5): sma_5 / ema_10 / rsi_10
+#: (strict column-subsets of enrich_indicators, which rides in this
+#: window) and api_lowest (min() mirror of api_highest; the API surface
+#: keeps its pytest coverage) are de-registered, shrinking the registry
+#: 148 -> 147 with 3 new queries added: 144 + 3 = 147 <= 150 capacity,
+#: restoring rotation headroom.
+#:
+#: Window composition (a) volume_profile — engine+oracle changed this
+#: round (NULL-close ticks now dropped before binning);
+#: (b) the 3 round-6 registrations (panel_price_series_sharded,
+#: dedup_incremental, dedup_span_removal_max) — never driver-checked;
+#: (b-carryover) sharpe_rolling, nation_volume_flow, large_orders —
+#: registered late in r5 with no driver row yet (the verdict's gap #1);
+#: (c) all 43 still-registered queries whose latest driver row is r3
+#: (would age past the 2-round staleness bound otherwise).
+#: 1 + 3 + 3 + 43 = 50: exactly fits.  Next round's obligation is the
+#: 48 r4-latest rows — within capacity.
 _DRIVER_PRIORITY = [
-    # (a) code or oracle changed since their last (r4) driver row
-    "data_quality_report", "vwap_obv",
-    # (b) registered this round — no driver row yet
-    "dedup_span_removal", "dedup_semantic", "bpe_learn",
-    "rolling_corr_pairs",
-    "atr_keltner", "beta_capm", "pairs_spread_z",
-    "winsorize", "historical_var",
-    "kmv_distinct", "bloom_prune_join", "zorder_index",
-    "nation_pagerank", "countmin_topk", "nation_triangles",
-    "perplexity_filter", "kfold_split",
-    "calendar_ffill", "backtest_equity", "drift_psi",
-    "mmr_diverse", "hist_quantiles", "black_scholes", "event_transitions",
-    "ab_test_welch",
-    # (c) latest driver row is r2 — refresh now or violate the policy
-    "lstm_dataset", "nation_customer_orders",
-    "orders_upsert", "supplier_scd2", "pricing_cube",
-    "range_join_pairs", "salted_event_stats", "top_orders",
-    "value_percentiles", "value_quartiles",
-    "panel_price_series", "panel_indicator_series", "panel_gain_loss",
-    "panel_latest_signal", "panel_close_stats", "panel_candlestick",
-    "panel_avg_gain_pivot", "panel_avg_loss_pivot",
-    # (b, late round-5 session) — the fold/rank-subtle five of the 8
-    # registry_ta additions take the last window slots; the remaining
-    # three (sharpe_rolling, nation_volume_flow, large_orders — all
-    # riding machinery other window rows already prove: the bollinger
-    # stddev frames and the Q3/Q5 join family) defer to the r6 window
-    # alongside the 47 r3-latest rows (47 + 3 = 50: exactly fits).
-    "adx_dmi", "ichimoku", "heikin_ashi", "xsec_momentum",
+    # (a) engine + oracle changed this round
     "volume_profile",
+    # (b) registered this round — no driver row yet
+    "panel_price_series_sharded", "dedup_incremental",
+    "dedup_span_removal_max",
+    # (b-carryover) late-r5 registrations, never driver-checked
+    "sharpe_rolling", "nation_volume_flow", "large_orders",
+    # (c) latest driver row is r3 — refresh now or violate the policy
+    "enrich_indicators", "enrich_incremental", "enrich_pandas",
+    "signal_rule", "last_per_minute", "latest_per_key",
+    "feature_windows", "minmax_scale",
+    "api_avg", "api_highest", "summarize", "global_stats",
+    "pivot_avg", "candlestick_feed", "latest_signal",
+    "pricing_rollup", "top_orders_per_customer",
+    "order_priority_check", "customers_without_orders",
+    "parts_above_avg_price", "promo_revenue", "returned_items",
+    "sessionize", "trailing_time_avg", "tumbling_window_stats",
+    "time_functions", "ilp_lines", "events_union",
+    "event_type_stats", "exact_distinct",
+    "ann_pq", "ann_ivf_pq", "ann_pq_rerank", "asof_join",
+    "emb_norms", "emb_project",
+    "lang_id", "text_token_stats", "text_repetition",
+    "doc_fingerprints", "winnow_fingerprints",
+    "decontaminate", "downsample_lang",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

@@ -278,7 +278,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     store_docs = docs.filter(F.col("doc_id") % 2 == 0)
     batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
-    store_sigs = dedup.minhash_signatures(store_docs)
+    # the operator references the store twice (banding + verify side); in
+    # production the store is parquet-backed so the double read is cheap,
+    # but HERE it derives from raw text — persist so the md5/minhash pass
+    # over the store half runs once (frame is num_perm longs per doc)
+    store_sigs = dedup.minhash_signatures(store_docs).persist()
     decisions, _sigs = dedup.incremental_minhash_dedup(
         batch_docs, store_sigs, threshold=JACCARD_THRESHOLD
     )

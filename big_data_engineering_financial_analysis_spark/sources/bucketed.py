@@ -26,11 +26,18 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sort: bool = True,
+    extra_cols: list[str] | None = None,
 ) -> None:
-    """Write a catalog table bucketed (and optionally sorted) by the key."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    """Write a catalog table bucketed (and optionally sorted) by the key.
+
+    ``extra_cols`` extends the bucket spec to a composite key — a join on
+    ``(a, b)`` only elides the bucketed side's Exchange when the table is
+    bucketed on EXACTLY that column set (bucketing on a prefix is not
+    enough: the planner disables the bucketed scan)."""
+    cols = [bucket_col, *(extra_cols or [])]
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
     if sort:
-        w = w.sortBy(bucket_col)
+        w = w.sortBy(*cols)
     w.saveAsTable(table)
 
 

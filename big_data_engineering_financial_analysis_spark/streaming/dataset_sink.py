@@ -58,6 +58,13 @@ def dataset_sink(
         marker = os.path.join(path, "_batches", str(batch_id))
         if os.path.exists(marker):
             return  # replayed batch: already committed, idempotent skip
+        # TIMESTAMP_MICROS, not legacy INT96: INT96 carries no parquet
+        # min/max statistics, which would leave every time column in the
+        # appended files invisible to the zone map AND to row-group
+        # pruning (same fix as sources/dataset.write_sharded)
+        batch_df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         out = batch_df.repartition(*partition_cols).sortWithinPartitions(
             *partition_cols, *sort_cols
         )

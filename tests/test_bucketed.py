@@ -119,3 +119,54 @@ def test_symbol_store_one_file_per_bucket(spark, symbol_store):
     # with no symbols hashing to it writes no file at all)
     bucket_ids = [f.rsplit("_", 1)[1].split(".")[0] for f in files]
     assert len(bucket_ids) == len(set(bucket_ids)) and len(files) <= 8
+
+
+def test_incremental_dedup_store_join_no_store_side_shuffle(spark):
+    """The incremental_minhash_dedup docstring's scale claim, proven on a
+    plan: with the signature store persisted BANDED and bucketed on
+    (band, band_key), the per-batch candidate join reads store buckets
+    with NO store-side Exchange — only the (micro-batch-sized) probe
+    side shuffles."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store_banded = dedup.band_signatures(
+        dedup.minhash_signatures(docs.filter("doc_id % 2 = 0"))
+    )
+    bucketed.write_bucketed(
+        # composite bucket spec: BOTH join keys — a band-only prefix would
+        # make the planner disable the bucketed scan and re-shuffle the store
+        store_banded.repartition(8, "band", "band_key"),
+        "sig_store_banded",
+        "band",
+        n_buckets=8,
+        sort=True,
+        extra_cols=["band_key"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch_banded = dedup.band_signatures(
+            dedup.minhash_signatures(docs.filter("doc_id % 2 = 1"))
+        ).withColumnRenamed("doc_id", "new_id")
+        store = spark.table("sig_store_banded").withColumnRenamed(
+            "doc_id", "store_id"
+        )
+        joined = batch_banded.join(store, ["band", "band_key"])
+        plan = _physical_plan(joined)
+        # exactly the probe side shuffles; the store-side FileScan is a
+        # bucketed scan with no Exchange between it and the join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        scan_side = [
+            ln for ln in plan.splitlines() if "sig_store_banded" in ln
+        ]
+        assert scan_side, plan
+        # count Exchanges: the probe side needs one; a second would mean
+        # the store is being re-shuffled per batch
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"store side shuffled:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS sig_store_banded")

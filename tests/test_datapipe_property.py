@@ -83,3 +83,62 @@ def test_packing_invariants(spark, nts, chunk):
             assert fill == chunk or cid == last
         assert sum(by_chunk.values()) == total
         assert set(by_chunk) == set(range(last + 1))  # no chunk gaps
+
+
+# ---------------------------------------------------------------------------
+# maximal-span excision: pure-Python model of the island semantics
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = st.sampled_from(["x", "y", "z", "w"])
+SPAN_DOC = st.lists(SPAN_WORDS, min_size=0, max_size=24).map(" ".join)
+
+
+def _span_model(docs, span_n):
+    """Pure-Python twin of span_removal_spans: dup 10-gram starts by
+    first-global-occurrence, gaps-and-islands with gap > span_n."""
+    occ = {}
+    starts = {}  # doc_id -> [dup start positions]
+    for doc_id, text in docs:
+        toks = [t for t in text.split()] if text.strip() else []
+        for p in range(len(toks) - span_n + 1):
+            g = " ".join(toks[p : p + span_n])
+            if g in occ:
+                starts.setdefault(doc_id, []).append(p)
+            else:
+                occ[g] = (doc_id, p)
+    out = []
+    for doc_id, ps in starts.items():
+        ps.sort()
+        isl = [[ps[0], ps[0]]]
+        for p in ps[1:]:
+            if p - isl[-1][1] > span_n:
+                isl.append([p, p])
+            else:
+                isl[-1][1] = p
+        for s, e in isl:
+            out.append(
+                (doc_id, s, e + span_n - 1, e + span_n - s,
+                 sum(1 for p in ps if s <= p <= e))
+            )
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(SPAN_DOC, min_size=1, max_size=6))
+def test_span_islands_match_python_model(spark, texts):
+    """Random small-alphabet corpora (high collision rate — the
+    adversarial case for island splitting) agree with an independent
+    pure-Python model, including boundaries and start counts."""
+    from big_data_engineering_financial_analysis_spark.operators.dedup import span_removal_spans
+
+    n = 3
+    docs = list(enumerate(texts, start=1))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_words_cut"],
+         r["n_dup_starts"])
+        for r in span_removal_spans(df, span_n=n).collect()
+    )
+    assert got == _span_model(docs, n)

@@ -114,3 +114,82 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     sink(_chunk(spark, 50, 80), 1)  # a NEW batch still lands
     assert spark.read.parquet(out).count() == 80
     assert zm.read_pruned(spark, out, "doc_id", lo=60).count() == 20
+
+
+def test_ingest_to_serve_end_to_end(spark, tmp_path):
+    """The reference's full architecture in engine terms: a candle stream
+    appends into the partitioned at-rest store (consumer -> QuestDB), and
+    the dashboard's time-range read is served with file skipping
+    (Grafana -> daily partitions).  Proves (1) TIME zones exist on
+    streamed appends — the INT96 regression guard for the streaming
+    writer path — (2) the pruned serve equals a batch filter, (3) files
+    outside the range are skipped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+        prune_files_multi,
+        read_pruned_multi,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    cschema = "stock_symbol string, local_time timestamp, close double"
+
+    def chunk(day_lo, day_hi):
+        return spark.createDataFrame(
+            [
+                (sym, t0 + dt.timedelta(days=d, hours=h), float(100 + d + h))
+                for sym in ("A", "B")
+                for d in range(day_lo, day_hi)
+                for h in range(0, 24, 6)
+            ],
+            cschema,
+        )
+
+    src = str(tmp_path / "candles_src")
+    out = str(tmp_path / "stock_data")
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        chunk(lo, hi).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(cschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dataset_sink(
+                out,
+                partition_cols=["stock_symbol"],
+                sort_cols=["local_time"],
+                zonemap_cols=["local_time"],
+                max_records_per_file=20,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    lo = dt.datetime(2024, 1, 5)
+    hi = dt.datetime(2024, 1, 12)
+    keep, total = prune_files_multi(out, [("local_time", lo, hi)])
+    assert 0 < len(keep) < total, f"no skipping: {len(keep)}/{total}"
+    served = (
+        read_pruned_multi(spark, out, [("local_time", lo, hi)])
+        .filter(F.col("stock_symbol") == "A")
+        .select("local_time", "close")
+    )
+    batch = (
+        spark.read.parquet(src)
+        .filter(
+            (F.col("stock_symbol") == "A")
+            & (F.col("local_time") >= F.lit(lo))
+            & (F.col("local_time") <= F.lit(hi))
+        )
+        .select("local_time", "close")
+    )
+    assert sorted(served.collect()) == sorted(batch.collect())
+    assert served.count() > 0

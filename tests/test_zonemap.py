@@ -248,3 +248,51 @@ def test_incomparable_bound_type_keeps_file(spark, tmp_path):
     zm.build_zonemap(path, ["lang"])  # string stats
     keep, total = zm.prune_files(path, "lang", lo=0)  # int bound
     assert len(keep) == total  # nothing pruned, nothing raised
+
+
+def test_manifest_write_is_atomic_swap(spark, tmp_path):
+    """_write_manifest goes through a temp file + os.replace: no .tmp
+    leftovers, and the manifest on disk is always complete valid JSON
+    (an in-place truncating write could be observed half-written)."""
+    import json
+    import os
+
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+
+    path = str(tmp_path / "ds")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    m1 = zm.build_zonemap(path, ["id"])
+    m2 = zm.update_zonemap(path, ["v"])
+    files = os.listdir(path)
+    assert not [f for f in files if ".tmp." in f], files
+    on_disk = json.load(open(os.path.join(path, zm.MANIFEST_NAME)))
+    assert on_disk == m2 and set(m1) == set(m2)
+
+
+def test_naive_bound_prunes_aware_stats(spark, tmp_path):
+    """A naive datetime bound against UTC-aware parquet stats must still
+    PRUNE (UTC alignment), not silently degrade to keep-everything via
+    the TypeError guard — the round-6 skip-and-serve regression."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+    from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+    path = str(tmp_path / "tsds")
+    t0 = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(hours=i), float(i)) for i in range(100)],
+        "part string, ts timestamp, v double",
+    )
+    write_sharded(df, path, ["part"], ["ts"], max_records_per_file=25)
+    zm.build_zonemap(path, ["ts"])
+    keep, total = zm.prune_files_multi(
+        path, [("ts", t0, t0 + dt.timedelta(hours=10))]  # naive bounds
+    )
+    assert total >= 4 and 0 < len(keep) < total, (len(keep), total)
+    got = zm.read_pruned_multi(
+        spark, path, [("ts", t0, t0 + dt.timedelta(hours=10))]
+    ).count()
+    assert got == 11

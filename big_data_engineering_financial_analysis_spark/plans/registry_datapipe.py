@@ -283,9 +283,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but HERE it derives from raw text — persist so the md5/minhash pass
     # over the store half runs once (frame is num_perm longs per doc)
     store_sigs = dedup.minhash_signatures(store_docs).persist()
-    decisions, _sigs = dedup.incremental_minhash_dedup(
+    decisions, new_sigs = dedup.incremental_minhash_dedup(
         batch_docs, store_sigs, threshold=JACCARD_THRESHOLD
     )
+    # materialize-then-unpersist (round-6 advice): the two persisted
+    # frames would otherwise outlive this call and accumulate across a
+    # 147-query bench/correctness session.  The eager localCheckpoint
+    # computes decisions while both caches are live, then drops them; the
+    # returned frame reads checkpoint blocks only.
+    decisions = decisions.localCheckpoint(eager=True)
+    new_sigs.unpersist()
+    store_sigs.unpersist()
     return decisions
 
 

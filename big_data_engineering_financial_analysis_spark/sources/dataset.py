@@ -42,17 +42,27 @@ def write_sharded(
     legacy INT96: INT96 columns carry NO parquet min/max statistics, so
     a time-sorted layout would be unprunable — no row-group skipping
     inside files and nothing for the zone-map manifest to read.  (Found
-    when the round-6 skip-and-serve test saw empty footer zones.)"""
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    out = df.repartition(*partition_cols).sortWithinPartitions(
-        *partition_cols, *sort_cols
-    )
-    writer = out.write.mode(mode)
-    if max_records_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.partitionBy(*partition_cols).parquet(path)
+    when the round-6 skip-and-serve test saw empty footer zones.)  The
+    conf override is scoped to this write — any caller-chosen session
+    value (e.g. deliberate INT96 for legacy-reader compat) is restored
+    afterwards."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        out = df.repartition(*partition_cols).sortWithinPartitions(
+            *partition_cols, *sort_cols
+        )
+        writer = out.write.mode(mode)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
 
 
 def compact_dataset(

@@ -113,8 +113,25 @@ def incremental_dedup_sink(
     (sources/bucketed.py) to make the per-batch join co-located and
     store-shuffle-free.  First batch with no store bootstraps an empty
     signature frame.
+
+    ``store_path`` must be a DRIVER-LOCAL filesystem path (same contract
+    as dataset_sink's ``_batches`` markers): store discovery and replay
+    markers use ``os.listdir``/``os.path.exists``, so an HDFS/S3 URI
+    would silently look empty every batch — bootstrapping a fresh store
+    and quietly disabling all history dedup.  Validated up front; for an
+    object-store-backed store, swap the discovery + marker IO for the
+    matching filesystem client.
     """
     import os
+
+    if "://" in store_path and not store_path.startswith("file://"):
+        raise ValueError(
+            "incremental_dedup_sink requires a driver-local store_path; "
+            f"got {store_path!r} (store discovery and replay markers use "
+            "local-filesystem IO — a remote URI would silently bootstrap "
+            "an empty store every batch)"
+        )
+    store_path = store_path.removeprefix("file://")
 
     from pyspark.sql import types as T
 

@@ -61,17 +61,25 @@ def dataset_sink(
         # TIMESTAMP_MICROS, not legacy INT96: INT96 carries no parquet
         # min/max statistics, which would leave every time column in the
         # appended files invisible to the zone map AND to row-group
-        # pruning (same fix as sources/dataset.write_sharded)
-        batch_df.sparkSession.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        out = batch_df.repartition(*partition_cols).sortWithinPartitions(
-            *partition_cols, *sort_cols
-        )
-        writer = out.write.mode("append")
-        if max_records_per_file is not None:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.partitionBy(*partition_cols).parquet(path)
+        # pruning (same fix as sources/dataset.write_sharded).  Scoped to
+        # this append — a caller-chosen session value is restored after.
+        conf = batch_df.sparkSession.conf
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = conf.get(key, None)
+        conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            out = batch_df.repartition(*partition_cols).sortWithinPartitions(
+                *partition_cols, *sort_cols
+            )
+            writer = out.write.mode("append")
+            if max_records_per_file is not None:
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            writer.partitionBy(*partition_cols).parquet(path)
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
         if zonemap_cols is not None:
             zm.update_zonemap(path, zonemap_cols)
         os.makedirs(marker, exist_ok=True)

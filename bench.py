@@ -93,6 +93,12 @@ EXTRA_FAMILIES = [
     # write), incremental signature-store dedup, maximal-span excision
     ("r6", ["panel_price_series_sharded", "dedup_incremental",
             "dedup_span_removal_max"]),
+    # round-7 additions: serve-only skip-and-serve rows.  The r6 family's
+    # panel_price_series_sharded has already (re)written the sf-dir store,
+    # so every timing below is the pruned-read latency alone (the write is
+    # staged, exactly like dedup_incremental stages its signature store).
+    ("r7serve", ["panel_price_series_serve", "panel_indicator_series_sharded",
+                 "panel_candlestick_sharded"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

@@ -833,6 +833,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (node, component) with
     component = the minimum node id reachable — the cluster step that
@@ -850,11 +851,27 @@ def connected_components(
     driver-side loop carries only a converged? flag (standard for
     iterative graph algorithms — at extreme scale swap in the
     large-star/small-star formulation, same join shape).
+
+    ``truncate_lineage`` (on by default, round 7): the per-round
+    ``persist`` bounds EXECUTED work, but every round's *logical* plan
+    still nests BOTH uses of the previous labels frame — the plan tree
+    DOUBLES per round (the round-6 plan audit read 306 logical shuffles
+    for ``dedup_clusters``), and past ~8 rounds the explain strings AQE
+    posts per stage turn planning itself into the dominant cost.  With
+    truncation, the edge set and each round's labels are materialized via
+    eager ``localCheckpoint`` (the convergence check forces each round
+    anyway, so this is free), keeping every round's plan — and the
+    returned one — constant-sized at any depth.  Values are identical
+    either way; pass ``False`` to keep the pure lazy lineage.
     """
+
+    def _pin(df):
+        return df.localCheckpoint(eager=True) if truncate_lineage else df.persist()
+
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-    edges = fwd.unionByName(rev).distinct().persist()
-    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    edges = _pin(fwd.unionByName(rev).distinct())
+    labels = _pin(edges.select("u").distinct().withColumn("label", F.col("u")))
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -862,10 +879,9 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = _pin(
             labels.join(nbr, "u", "left")
             .select("u", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"))
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -874,14 +890,17 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        if not truncate_lineage:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    if not truncate_lineage:
+        edges.unpersist()
     if not converged:
-        labels.unpersist()
+        if not truncate_lineage:
+            labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "the dup graph has a longer chain than expected; raise max_iter "

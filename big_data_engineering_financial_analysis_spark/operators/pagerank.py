@@ -38,12 +38,33 @@ def weighted_pagerank(
     n_nodes: int,
     iters: int = 5,
     damping: float = 0.85,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """``edges``: (src, dst, w) with integer weights; ``nodes``: (node);
     returns (node, pr) after ``iters`` synchronous iterations from the
-    uniform start 1/``n_nodes``."""
+    uniform start 1/``n_nodes``.
+
+    Lineage hygiene (``truncate_lineage``, on by default): without
+    truncation the returned frame's plan nests the whole edge-aggregation
+    subtree plus two joins PER iteration — O(iters) logical shuffles that
+    bloat planning, break AQE reuse, and pressure the driver at high
+    iteration counts (round-6 plan audit read 30 logical shuffles for 5
+    iterations).  With it, the aggregated graph and each iteration's rank
+    frame are materialized via eager ``localCheckpoint`` — per-iteration
+    EXECUTED work is unchanged (one join + one grouped fold over a
+    |nodes|-sized frame), but the final plan stays iteration-sized at any
+    ``iters``.  Values are bit-identical either way (checkpointing never
+    reorders the in-src-order fold).  Pass ``False`` to keep the pure
+    lazy form (e.g. to compose into a larger unexecuted plan).
+    """
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     e = edges.join(outw, "src")
+    if truncate_lineage:
+        # the graph feeds every iteration: materialize the (≤ |nodes|²
+        # row) aggregate once instead of replaying the fact-scale edge
+        # aggregation in every iteration's lineage
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     teleport = F.lit((1.0 - damping) / n_nodes)
     for _ in range(iters):
@@ -63,6 +84,10 @@ def weighted_pagerank(
                 "pr"
             ),
         )
+        if truncate_lineage:
+            # rank frames are |nodes| rows; checkpointing each keeps the
+            # NEXT iteration's plan constant-sized regardless of depth
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 

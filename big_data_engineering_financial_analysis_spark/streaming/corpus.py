@@ -172,6 +172,79 @@ def incremental_dedup_sink(
     return write_batch
 
 
+def compact_signature_store(
+    spark,
+    store_path: str,
+    retain_min_id: int | None = None,
+    dedupe_signatures: bool = True,
+    id_col: str = "doc_id",
+) -> dict:
+    """Bound the incremental-dedup signature store (round-7; the
+    all-arrivals store otherwise grows forever — production crawls prune
+    it).  Two independent policies, both rewriting ``<store>/sigs``
+    atomically (stage → rename aside → rename in, the
+    ``sources/dataset.compact_dataset`` protocol):
+
+    * ``dedupe_signatures`` — keep ONE row (min id) per distinct
+      ``minhash_sig``.  Fully DECISION-INVARIANT: a store partner enters
+      a decision only through its signature (band keys + est_jaccard are
+      functions of the signature alone; partner ids are never compared
+      for store rows), so dropping exact-signature duplicates can never
+      change any future arrival's verdict.  Store size becomes
+      O(distinct signatures) — on a crawl where near-dup clusters are
+      re-fetched constantly, that is the bound that matters.
+    * ``retain_min_id`` — evict signatures with ``id < retain_min_id``
+      (the id-ordered arrival stream's watermark; with an ingest
+      timestamp column, filter on that instead).  This IS a semantics
+      horizon, stated plainly: future arrivals are deduped only against
+      in-horizon history, and an arrival whose only near-duplicate was
+      evicted will now be kept.  Decisions whose partners are in-horizon
+      are untouched (per-partner independence: evicting p changes no
+      (b, p') comparison for p' ≠ p).  Both properties are proven in
+      tests/test_streaming_corpus.py.
+
+    Returns ``{"rows_before": n, "rows_after": m}``.  Driver-local
+    ``store_path`` only (same contract as :func:`incremental_dedup_sink`).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    if "://" in store_path and not store_path.startswith("file://"):
+        raise ValueError(
+            f"compact_signature_store requires a driver-local store_path; got {store_path!r}"
+        )
+    store_path = store_path.removeprefix("file://")
+    sig_dir = os.path.join(store_path, "sigs")
+    if not os.path.isdir(sig_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(sig_dir)
+    ):
+        return {"rows_before": 0, "rows_after": 0}
+
+    sigs = spark.read.parquet(sig_dir)
+    rows_before = sigs.count()
+    kept = sigs
+    if retain_min_id is not None:
+        kept = kept.filter(SF.col(id_col) >= retain_min_id)
+    if dedupe_signatures:
+        # min-id representative per distinct signature: deterministic, and
+        # keeps the earliest arrival as the cluster's witness
+        kept = kept.groupBy("minhash_sig").agg(SF.min(id_col).alias(id_col))
+    kept = kept.select(id_col, "minhash_sig")
+
+    staged = sig_dir + "._compact_stage"
+    shutil.rmtree(staged, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(staged)
+    rows_after = spark.read.parquet(staged).count()
+    aside = sig_dir + "._pre_compact"
+    shutil.rmtree(aside, ignore_errors=True)
+    os.rename(sig_dir, aside)
+    os.rename(staged, sig_dir)
+    shutil.rmtree(aside)
+    return {"rows_before": rows_before, "rows_after": rows_after}
+
+
 def corpus_ingest_stream(
     docs: DataFrame,
     lang: str = "en",

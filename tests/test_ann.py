@@ -194,6 +194,28 @@ def test_semantic_dedup_is_cell_local(spark):
     assert out[1]["keep"] == 1 and out[2]["keep"] == 1
 
 
+def test_semantic_dedup_hot_cell_split_is_value_identical(spark, sf_medium_embeddings):
+    """De-skew plumbing (round-7): forcing EVERY cell through the
+    hash-addressed block split must reproduce the unsplit verdicts
+    bit-for-bit — the split changes which task generates a pair, never
+    whether it is generated."""
+    from big_data_engineering_financial_analysis_spark.operators.similarity import semantic_dedup
+
+    emb = sf_medium_embeddings
+    key = ["vec_id", "cell", "keep"]
+    plain = (
+        semantic_dedup(emb, threshold=0.45, dim=64)
+        .toPandas().sort_values("vec_id")[key].values.tolist()
+    )
+    # hot_cell=1 forces the split path for every cell; block=7 makes
+    # multiple blocks per cell at sf0.01 (ragged sizes on purpose)
+    split = (
+        semantic_dedup(emb, threshold=0.45, dim=64, hot_cell=1, block=7)
+        .toPandas().sort_values("vec_id")[key].values.tolist()
+    )
+    assert plain == split
+
+
 def test_semantic_dedup_composes_with_refit_centroids(spark, sf_medium_embeddings):
     """The production shape: refit the IVF coarse quantizer with Lloyd
     iterations, then semantic-dedup on the trained cells.  Deterministic

@@ -133,6 +133,34 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(out.values()) == {1}
 
 
+def test_connected_components_truncation_value_identical_and_plan_flat(spark):
+    """Round-7 lineage hygiene (same contract as weighted_pagerank's):
+    the final eager localCheckpoint is pure plumbing — labels match the
+    lazy form bit-for-bit — and the returned plan must stay CONSTANT-
+    sized as the round count grows (a longer chain needs more min-label
+    rounds; without truncation each round nests another join in the
+    returned lineage)."""
+
+    def chain(n):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+        )
+
+    pairs = chain(6)
+    a = sorted(dedup.connected_components(pairs, truncate_lineage=True).collect())
+    b = sorted(dedup.connected_components(pairs, truncate_lineage=False).collect())
+    assert a == b
+
+    def plan_size(n):
+        out = dedup.connected_components(chain(n))
+        return len(out._jdf.queryExecution().optimizedPlan().toString())
+
+    # diameter 2 vs diameter 9: ~2 vs ~9 propagation rounds
+    small, large = plan_size(3), plan_size(10)
+    assert large <= small * 1.2
+    spark.catalog.clearCache()
+
+
 def test_lsh_bucket_cap_bounds_hot_bucket(spark):
     """One degenerate bucket (identical docs = 30% of corpus) must emit a
     bounded candidate set under bucket_cap, and survivors still pair."""

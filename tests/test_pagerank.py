@@ -91,6 +91,36 @@ def test_partitioning_does_not_change_ranks(spark):
     assert a == b
 
 
+def test_truncation_is_value_identical(spark):
+    """Lineage truncation is pure plumbing: ranks with and without the
+    per-iteration localCheckpoint match bit-for-bit (the fold order is a
+    property of the data, not the plan)."""
+    nodes = list(range(10))
+    edges = [(i, j, (i + j) % 4 + 1) for i in nodes for j in nodes if i != j]
+    e, n = _graph(spark, edges, nodes)
+    a = sorted(weighted_pagerank(e, n, 10, iters=4, truncate_lineage=True).collect())
+    b = sorted(weighted_pagerank(e, n, 10, iters=4, truncate_lineage=False).collect())
+    assert a == b
+
+
+def test_truncation_keeps_plan_iteration_sized(spark):
+    """The round-6 plan audit read O(iters) logical shuffles in the
+    returned frame's lineage; with truncation the final plan must stay
+    CONSTANT-sized as iterations grow (each iteration starts from a
+    checkpointed scan, so the plan never nests its predecessors)."""
+    nodes = list(range(6))
+    edges = [(i, (i + 1) % 6, 1) for i in nodes]
+    e, n = _graph(spark, edges, nodes)
+
+    def plan_size(iters):
+        pr = weighted_pagerank(e, n, 6, iters=iters)
+        return len(pr._jdf.queryExecution().optimizedPlan().toString())
+
+    small, large = plan_size(2), plan_size(8)
+    # identical modulo checkpoint ids: allow tiny drift, forbid growth
+    assert large <= small * 1.2
+
+
 # ---------------------------------------------------------------------------
 # triangle counting (operators/graph.py)
 # ---------------------------------------------------------------------------

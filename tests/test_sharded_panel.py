@@ -78,3 +78,70 @@ def test_sharded_panel_equals_flat_twin(spark):
         .collect()
     )
     assert got == flat and len(got) > 0
+
+
+def test_ensure_dataset_is_idempotent_and_write_once(spark, tmp_path, monkeypatch):
+    """ensure_sharded_panel_dataset writes on first call, then serves the
+    existing store untouched (the serve-only twins' bench contract); a
+    config change invalidates the marker and rewrites."""
+    import os
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)  # re-read TMPDIR
+    path = ext.ensure_sharded_panel_dataset(spark, SF)
+    assert os.path.exists(os.path.join(path, "_ready.json"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    assert ext.ensure_sharded_panel_dataset(spark, SF) == path
+    assert {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    } == mtimes, "second call must not rewrite anything"
+    # config change -> rewrite
+    monkeypatch.setattr(ext, "SHARD_MAX_RECORDS", ext.SHARD_MAX_RECORDS + 1)
+    assert ext.ensure_sharded_panel_dataset(spark, SF) == path
+    assert os.path.exists(os.path.join(path, "_ready.json"))
+
+
+def test_time_bounded_panel_twins_skip_files_and_match_flat(spark):
+    """Each registered *_sharded panel twin must (a) skip files on its
+    time bounds and (b) reproduce the flat panel's rows exactly."""
+    path = ext.ensure_sharded_panel_dataset(spark, SF)
+    for panel, (lo_s, hi_s) in ext.PANEL_TIME_BOUNDS.items():
+        lo, hi = dt.datetime.fromisoformat(lo_s), dt.datetime.fromisoformat(hi_s)
+        keep, total = prune_files_multi(path, [("local_time", lo, hi)])
+        assert 0 < len(keep) < total, f"{panel}: kept {len(keep)}/{total}"
+        got = ext.run_panel_sharded(spark, SF, panel).toPandas()
+        want = ext.QUERIES[panel](spark, SF).toPandas()
+        cols = sorted(want.columns)
+        assert sorted(got.columns) == cols
+        a = got[cols].astype(str).sort_values(cols).values.tolist()
+        b = want[cols].astype(str).sort_values(cols).values.tolist()
+        assert a == b and len(a) > 0, panel
+
+
+def test_symbol_only_panels_serve_through_store(spark):
+    """The non-time-bounded panels run through the same store (Hive
+    pruning only — the zone map has no range to cut, the documented
+    reason they keep the flat registry rows): results equal the flat
+    panels cell-for-cell."""
+    for panel in ext.dashboard.PANEL_SQL:
+        if panel in ext.PANEL_TIME_BOUNDS:
+            continue
+        got = ext.run_panel_sharded(spark, SF, panel).toPandas()
+        want = ext.QUERIES[panel](spark, SF).toPandas()
+        cols = sorted(want.columns)
+        assert sorted(got.columns) == cols, panel
+        a = got[cols].astype(str).sort_values(cols).values.tolist()
+        b = want[cols].astype(str).sort_values(cols).values.tolist()
+        assert a == b, panel
+
+
+def test_serve_only_twin_matches_write_and_serve(spark):
+    """panel_price_series_serve (staged write) == panel_price_series_sharded
+    (write + serve) row-for-row."""
+    a = sorted(map(tuple, ext.q_panel_price_series_serve(spark, SF).collect()))
+    b = sorted(map(tuple, ext.q_panel_price_series_sharded(spark, SF).collect()))
+    assert a == b and len(a) > 0

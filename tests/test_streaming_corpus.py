@@ -301,3 +301,100 @@ def test_incremental_dedup_dropped_doc_still_blocks(spark, tmp_path):
         r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()
     }
     assert got == {3: 1, 5: 1}
+
+
+def test_signature_compaction_dedupe_is_decision_invariant(spark, tmp_path):
+    """Keeping one min-id row per distinct minhash signature can never
+    change a future arrival's verdict: band keys and est_jaccard are
+    functions of the signature alone, and store-partner ids are never
+    compared.  Decisions against the compacted store must equal the
+    uncompacted run exactly; the store itself must shrink."""
+    import os
+
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    evens = docs.filter("doc_id % 2 = 0")
+    # exact-duplicate signatures guaranteed: the same texts under shifted ids
+    shifted = evens.selectExpr("doc_id + 10000000 AS doc_id", "text")
+    store_docs = evens.select("doc_id", "text").unionByName(shifted)
+
+    def build_store(tag):
+        store = str(tmp_path / f"store_{tag}")
+        os.makedirs(f"{store}/sigs", exist_ok=True)
+        ded.minhash_signatures(store_docs).write.mode("overwrite").parquet(
+            f"{store}/sigs"
+        )
+        return store
+
+    odds = docs.filter("doc_id % 2 = 1")
+    plain_store, compact_store = build_store("plain"), build_store("compact")
+    stats = corpus.compact_signature_store(spark, compact_store)
+    assert stats["rows_after"] <= stats["rows_before"] // 2  # dups collapsed
+
+    def decide(store):
+        out = str(tmp_path / f"dec_{os.path.basename(store)}")
+        sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+        sink(odds, 0)
+        return {r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
+
+    assert decide(plain_store) == decide(compact_store)
+
+
+def test_signature_compaction_watermark_horizon(spark, tmp_path):
+    """retain_min_id eviction: decisions whose partners are in-horizon
+    are untouched; an arrival whose ONLY near-duplicate was evicted is
+    now kept — the documented horizon semantics, not an accident."""
+    import os
+
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    t_old = "alpha beta gamma delta epsilon zeta eta theta"
+    t_new = "one two three four five six seven eight nine"
+    store_docs = spark.createDataFrame(
+        [(10, t_old), (100, t_new)], "doc_id long, text string"
+    )
+
+    def build_store(tag):
+        store = str(tmp_path / f"wm_store_{tag}")
+        os.makedirs(f"{store}/sigs", exist_ok=True)
+        ded.minhash_signatures(store_docs).write.mode("overwrite").parquet(
+            f"{store}/sigs"
+        )
+        return store
+
+    arrivals = spark.createDataFrame(
+        [(201, t_old), (202, t_new)], "doc_id long, text string"
+    )
+
+    def decide(store):
+        out = str(tmp_path / f"wm_dec_{os.path.basename(store)}")
+        sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+        sink(arrivals, 0)
+        return {r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
+
+    full = decide(build_store("full"))
+    assert full == {201: 1, 202: 1}
+
+    pruned_store = build_store("pruned")
+    stats = corpus.compact_signature_store(
+        spark, pruned_store, retain_min_id=50, dedupe_signatures=False
+    )
+    assert (stats["rows_before"], stats["rows_after"]) == (2, 1)
+    pruned = decide(pruned_store)
+    assert pruned == {201: 0, 202: 1}  # evicted partner -> kept; in-horizon unchanged
+
+
+def test_signature_compaction_empty_store_noop(spark, tmp_path):
+    store = str(tmp_path / "empty_store")
+    assert corpus.compact_signature_store(spark, store) == {
+        "rows_before": 0,
+        "rows_after": 0,
+    }
+
+
+def test_incremental_sink_rejects_remote_store_path(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-local"):
+        corpus.incremental_dedup_sink("s3://bucket/store", "/tmp/dec")

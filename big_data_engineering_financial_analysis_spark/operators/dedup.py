@@ -849,8 +849,9 @@ def connected_components(
     + groupBy on the (tiny, pairs-only) node set — the full corpus never
     enters the loop.  The per-round ``persist`` truncates lineage; the
     driver-side loop carries only a converged? flag (standard for
-    iterative graph algorithms — at extreme scale swap in the
-    large-star/small-star formulation, same join shape).
+    iterative graph algorithms — for high-diameter graphs use
+    :func:`connected_components_star`, same per-round join shape but
+    O(log² n) rounds).
 
     ``truncate_lineage`` (on by default, round 7): the per-round
     ``persist`` bounds EXECUTED work, but every round's *logical* plan
@@ -904,6 +905,116 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "the dup graph has a longer chain than expected; raise max_iter "
-            "or switch to the large-star/small-star formulation"
+            "or use connected_components_star (O(log² n) rounds at any "
+            "diameter)"
         )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the extreme-scale
+    twin of :func:`connected_components`, identical output contract:
+    (node, component) with component = the minimum reachable id.
+
+    Min-label propagation needs O(diameter) rounds — right for near-dup
+    graphs (clusters are near-cliques, diameter 2-3), wrong for
+    chain-shaped graphs (session stitching, entity resolution over
+    transitive links) where diameter grows with data.  The star
+    algorithm alternates two neighborhood rewrites and converges in
+    O(log² n) rounds REGARDLESS of diameter:
+
+    * **large-star**: every node u connects each STRICTLY LARGER
+      neighbor to ``m = min(Γ(u) ∪ {u})`` — long tails fold toward
+      small ids without ever increasing any node's smallest link;
+    * **small-star**: every node u connects its smaller-or-equal
+      neighbors (and itself) to that minimum — flattening local stars.
+
+    Each round is the same shuffle shape as one min-label round (a
+    groupBy min + a repartition-sized join), so the per-round cost is
+    identical; only the ROUND COUNT changes (log² vs diameter).  Every
+    round's edge frame is eagerly ``localCheckpoint``-ed — mandatory
+    here, not hygiene: the edge frame is referenced by both rewrites
+    and the convergence check, so a lazy formulation's plan tree grows
+    exponentially in rounds (see :func:`connected_components` and
+    PERF.md round 7).
+
+    Termination: a full large+small cycle that leaves the canonical
+    (hi, lo) edge set unchanged means the graph is a forest of stars
+    rooted at each component's minimum; labels read directly off the
+    final edges.  ``max_iter`` guards pathology the same way min-label
+    does — raise rather than return a partial labeling.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    nodes = fwd.select("u").union(rev.select("u")).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    # canonical undirected form: (hi, lo) pairs, self-loops dropped
+    edges = (
+        fwd.unionByName(rev)
+        .filter(F.col("u") > F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        smaller = _sym(e).filter(F.col("v") < F.col("u"))
+        mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        linked = smaller.join(mins, "u")
+        return (
+            linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(linked.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — the O(log² n) bound makes this a data-corruption "
+            "signal, not a tuning knob; inspect the edge input"
+        )
+    # star state: every edge is (child, root); roots and isolated nodes
+    # (no isolated nodes exist — every pairs row yields an edge) label
+    # themselves
+    return (
+        nodes.join(edges, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("v", "u").alias("component"),
+        )
+    )

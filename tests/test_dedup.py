@@ -133,6 +133,54 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(out.values()) == {1}
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """Large-star/small-star CC is semantics-identical to min-label CC:
+    same (node, component=min reachable id) labeling on a chain, a
+    clique, disjoint islands, and a seeded random graph."""
+    import random
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 40) + 100, rng.randrange(0, 40) + 100) for _ in range(60)
+    ]
+    rows = (
+        [(1, 2), (2, 3), (3, 4), (4, 5)]          # chain
+        + [(10, 11), (11, 12), (12, 10)]           # triangle
+        + [(20, 21)]                               # island pair
+        + [(a, b) for a, b in rand_edges if a != b]
+    )
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    star = {
+        r.node: r.component
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    minl = {
+        r.node: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    assert star == minl
+    spark.catalog.clearCache()
+
+
+def test_connected_components_star_beats_diameter_bound(spark):
+    """The point of the star formulation: a 60-node chain (diameter 59,
+    where min-label's default max_iter=20 raises) converges in O(log² n)
+    large+small cycles — well under 10."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs)  # diameter 59 > max_iter 20
+    out = {
+        r.node: r.component
+        for r in dedup.connected_components_star(pairs, max_iter=10).collect()
+    }
+    assert set(out) == set(range(1, 61))
+    assert set(out.values()) == {1}
+    spark.catalog.clearCache()
+
+
 def test_connected_components_truncation_value_identical_and_plan_flat(spark):
     """Round-7 lineage hygiene (same contract as weighted_pagerank's):
     the final eager localCheckpoint is pure plumbing — labels match the

@@ -916,6 +916,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") — the extreme-scale
@@ -935,9 +936,10 @@ def connected_components_star(
     * **small-star**: every node u connects its smaller-or-equal
       neighbors (and itself) to that minimum — flattening local stars.
 
-    Each round is the same shuffle shape as one min-label round (a
-    groupBy min + a repartition-sized join), so the per-round cost is
-    identical; only the ROUND COUNT changes (log² vs diameter).  Every
+    Each rewrite is ONE shuffle — the neighborhood minimum rides a
+    window over the symmetrized edges, no aggregate-join round-trip —
+    so a full large+small cycle costs about one min-label round; only
+    the ROUND COUNT changes (log² vs diameter).  Every
     round's edge frame is eagerly ``localCheckpoint``-ed — mandatory
     here, not hygiene: the edge frame is referenced by both rewrites
     and the convergence check, so a lazy formulation's plan tree grows
@@ -949,6 +951,21 @@ def connected_components_star(
     rooted at each component's minimum; labels read directly off the
     final edges.  ``max_iter`` guards pathology the same way min-label
     does — raise rather than return a partial labeling.
+
+    ``stats``, if given, receives ``{"rounds": <converged cycle
+    count>}`` — observability for the O(log² n) claim (SCALE.md probe),
+    zero cost otherwise.
+
+    Constraint propagation is scope-disabled (saved/restored) for the
+    loop: ``localCheckpoint`` preserves the pre-checkpoint constraints
+    on its ``LogicalRDD``, and unioning that frame with its own column
+    swap makes ``UnionBase.rewriteConstraints`` look up a stale
+    attribute (``NoSuchElementException: key not found: u#N`` on Spark
+    4.1.2 — reproduced whenever the input ``pairs`` plan carries filter
+    constraints, e.g. a union of filtered branches).  The loop's plans
+    are explicit-filter-only, so constraint inference buys nothing
+    here; the returned (lazy) label join contains only LogicalRDD
+    scans, no Union, so it is safe outside the scope.
     """
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
@@ -962,28 +979,35 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
+    # Both rewrites compute "min over u's neighborhood" as a WINDOW over
+    # the symmetrized edge frame, not a groupBy+self-join: one shuffle
+    # per rewrite instead of an aggregate-join round-trip.  Skew note: a
+    # high-degree node's neighborhood lands in one window partition,
+    # same profile as a groupBy — large-star is itself the step that
+    # shrinks those neighborhoods, so the hot partition halves every
+    # cycle.
+    _w = Window.partitionBy("u")
+
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     def _large_star(e: DataFrame) -> DataFrame:
-        sym = _sym(e)
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
+        sym = _sym(e).withColumn(
+            "m", F.least(F.min("v").over(_w), F.col("u"))
         )
         return (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
+            sym.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
-        smaller = _sym(e).filter(F.col("v") < F.col("u"))
-        mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
-        linked = smaller.join(mins, "u")
+        linked = (
+            _sym(e)
+            .filter(F.col("v") < F.col("u"))
+            .withColumn("m", F.min("v").over(_w))
+        )
         return (
             linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(linked.select("u", F.col("m").alias("v")))
@@ -991,17 +1015,33 @@ def connected_components_star(
             .distinct()
         )
 
+    # Scope-disable constraint propagation for the loop (see docstring:
+    # checkpoint-preserved constraints + union-of-own-swap trips
+    # UnionBase.rewriteConstraints on Spark 4.1.2).  Saved/restored so a
+    # caller-chosen value survives this call.
+    sess = pairs.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    _prev_cp = sess.conf.get(_CP, None)
+    sess.conf.set(_CP, "false")
     converged = False
-    for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
-        edges = new_edges
-        if changed == 0:
-            converged = True
-            break
+    try:
+        for rounds in range(1, max_iter + 1):
+            new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            changed = (
+                new_edges.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(new_edges).limit(1).count()
+            )
+            edges = new_edges
+            if changed == 0:
+                converged = True
+                if stats is not None:
+                    stats["rounds"] = rounds
+                break
+    finally:
+        if _prev_cp is None:
+            sess.conf.unset(_CP)
+        else:
+            sess.conf.set(_CP, _prev_cp)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

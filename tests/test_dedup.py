@@ -181,6 +181,57 @@ def test_connected_components_star_beats_diameter_bound(spark):
     spark.catalog.clearCache()
 
 
+def test_connected_components_star_union_of_filtered_branches(spark):
+    """Regression: an input built as a union of FILTERED branches carries
+    filter constraints into the loop's checkpointed frames, and Spark
+    4.1.2's UnionBase.rewriteConstraints then dies with
+    'key not found: u#N' when such a frame is unioned with its own
+    column swap.  connected_components_star scope-disables constraint
+    propagation for the loop (and restores the session value after).
+
+    Shape: 10 cliques of 10 (ids 0..99, edges to each decade floor) plus
+    a chain 100..110 — 10 + 1 components."""
+    prev = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    cliques = (
+        spark.range(100)
+        .selectExpr("id AS id_a", "(CAST(id / 10 AS BIGINT) * 10) AS id_b")
+        .filter("id_a != id_b")
+    )
+    chain = spark.range(100, 110).selectExpr("id AS id_a", "id + 1 AS id_b")
+    stats = {}
+    out = dedup.connected_components_star(
+        cliques.unionByName(chain), stats=stats
+    )
+    comps = {r.component for r in out.collect()}
+    assert comps == {0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100}
+    assert stats["rounds"] <= 10
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") == prev
+    spark.catalog.clearCache()
+
+
+def test_connected_components_star_on_real_dedup_graph(spark):
+    """Drop-in proof on the driver-checked query's own graph: the
+    minhash-LSH pair set behind `dedup_clusters` (sf0.001 documents)
+    labeled by star-CC equals min-label CC node-for-node — so swapping
+    the formulation in for a high-diameter corpus changes nothing on
+    the near-clique graphs the registry row is proven on."""
+    from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.8)
+    star = {
+        r.node: r.component
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    minl = {
+        r.node: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    assert star == minl and len(star) > 0
+    spark.catalog.clearCache()
+
+
 def test_connected_components_truncation_value_identical_and_plan_flat(spark):
     """Round-7 lineage hygiene (same contract as weighted_pagerank's):
     the final eager localCheckpoint is pure plumbing — labels match the

@@ -532,6 +532,91 @@ def _est_jaccard(num_perm: int):
     )
 
 
+def _incremental_matched_pairs(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared kernel of the incremental near-dedup family: LSH-match an
+    arriving batch against the signature store (plus smaller-id partners
+    within the batch) and return ``(matched, sigs_new)`` where matched =
+    one ``(bid, pid)`` row per batch document / partner pair passing the
+    ``est_jaccard >= threshold`` gate, and sigs_new = the batch's
+    PERSISTED ``(id, minhash_sig)`` frame (callers unpersist it once
+    their outputs are materialized).  Plan-shape and scale notes:
+    :func:`incremental_minhash_dedup`."""
+    sigs_new = minhash_signatures(
+        new_docs, id_col, text_col, shingle_n, num_perm
+    ).persist()
+    banded_new = band_signatures(sigs_new, id_col, num_perm, bands)
+    banded_store = band_signatures(store_sigs, id_col, num_perm, bands)
+    # partner candidates: every store doc is "earlier"; within the batch
+    # only smaller ids are
+    b = banded_new.alias("b")
+    p_store = banded_store.select(
+        F.col(id_col).alias("pid"), "band", "band_key"
+    ).alias("p")
+    p_batch = banded_new.select(
+        F.col(id_col).alias("pid"), "band", "band_key"
+    ).alias("p")
+    cand_store = b.join(p_store, ["band", "band_key"]).select(
+        F.col(f"b.{id_col}").alias("bid"), "pid"
+    )
+    cand_batch = (
+        b.join(
+            p_batch,
+            (F.col("b.band") == F.col("p.band"))
+            & (F.col("b.band_key") == F.col("p.band_key"))
+            & (F.col("p.pid") < F.col(f"b.{id_col}")),
+        ).select(F.col(f"b.{id_col}").alias("bid"), "pid")
+    )
+    cands = cand_store.unionByName(cand_batch).distinct()
+    all_sigs = store_sigs.select(id_col, "minhash_sig").unionByName(
+        sigs_new.select(id_col, "minhash_sig")
+    )
+    sb = sigs_new.select(F.col(id_col).alias("bid"), F.col("minhash_sig").alias("sig_b"))
+    sp = all_sigs.select(F.col(id_col).alias("pid"), F.col("minhash_sig").alias("sig_a"))
+    matched = (
+        cands.join(sb, "bid")
+        .join(sp, "pid")
+        .filter(F.round(_est_jaccard(num_perm), 6) >= threshold)
+        .select("bid", "pid")
+    )
+    return matched, sigs_new
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Pair-emitting face of the incremental near-dedup kernel: returns
+    ``(pairs, new_sigs)`` where pairs = distinct ``(id_a, id_b)`` edges
+    (partner, batch document) passing the LSH + ``est_jaccard``
+    threshold — the duplicate-graph increment that
+    :func:`merge_component_labels` folds into standing cluster labels.
+    ``new_sigs`` is the batch's persisted signature frame to append to
+    the store (unpersist after materializing), exactly as in
+    :func:`incremental_minhash_dedup`."""
+    matched, sigs_new = _incremental_matched_pairs(
+        new_docs, store_sigs, id_col, text_col, shingle_n, num_perm, bands, threshold
+    )
+    pairs = matched.select(
+        F.col("pid").alias("id_a"), F.col("bid").alias("id_b")
+    ).distinct()
+    return pairs, sigs_new
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     store_sigs: DataFrame,
@@ -582,44 +667,10 @@ def incremental_minhash_dedup(
     cannot match.  No bucket cap here: the store join is batch×bucket
     bounded, and capping would break the boundary-invariance contract.
     """
-    sigs_new = minhash_signatures(
-        new_docs, id_col, text_col, shingle_n, num_perm
-    ).persist()
-    banded_new = band_signatures(sigs_new, id_col, num_perm, bands)
-    banded_store = band_signatures(store_sigs, id_col, num_perm, bands)
-    # partner candidates: every store doc is "earlier"; within the batch
-    # only smaller ids are
-    b = banded_new.alias("b")
-    p_store = banded_store.select(
-        F.col(id_col).alias("pid"), "band", "band_key"
-    ).alias("p")
-    p_batch = banded_new.select(
-        F.col(id_col).alias("pid"), "band", "band_key"
-    ).alias("p")
-    cand_store = b.join(p_store, ["band", "band_key"]).select(
-        F.col(f"b.{id_col}").alias("bid"), "pid"
+    matched, sigs_new = _incremental_matched_pairs(
+        new_docs, store_sigs, id_col, text_col, shingle_n, num_perm, bands, threshold
     )
-    cand_batch = (
-        b.join(
-            p_batch,
-            (F.col("b.band") == F.col("p.band"))
-            & (F.col("b.band_key") == F.col("p.band_key"))
-            & (F.col("p.pid") < F.col(f"b.{id_col}")),
-        ).select(F.col(f"b.{id_col}").alias("bid"), "pid")
-    )
-    cands = cand_store.unionByName(cand_batch).distinct()
-    all_sigs = store_sigs.select(id_col, "minhash_sig").unionByName(
-        sigs_new.select(id_col, "minhash_sig")
-    )
-    sb = sigs_new.select(F.col(id_col).alias("bid"), F.col("minhash_sig").alias("sig_b"))
-    sp = all_sigs.select(F.col(id_col).alias("pid"), F.col("minhash_sig").alias("sig_a"))
-    dropped = (
-        cands.join(sb, "bid")
-        .join(sp, "pid")
-        .filter(F.round(_est_jaccard(num_perm), 6) >= threshold)
-        .select(F.col("bid").alias(id_col))
-        .distinct()
-    )
+    dropped = matched.select(F.col("bid").alias(id_col)).distinct()
     decisions = (
         sigs_new.select(id_col)
         .join(dropped.withColumn("_dup", F.lit(1)), id_col, "left")
@@ -1058,3 +1109,70 @@ def connected_components_star(
             F.coalesce("v", "u").alias("component"),
         )
     )
+
+
+def merge_component_labels(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    changed_col: str | None = None,
+) -> DataFrame:
+    """Incrementally maintain a ``(node, component)`` labeling under a
+    new batch of duplicate pairs — the cluster-side twin of
+    :func:`incremental_minhash_dedup`: signatures stream in, pair
+    discovery joins the store, and THIS step folds the discovered pairs
+    into the standing component labels without recomputing connected
+    components over the whole corpus.
+
+    Correctness: ``labels`` is assumed to be a valid CC labeling of some
+    historical pair set (component = min member id, as both CC
+    operators here produce).  Replacing a component by its STAR EDGES
+    (member → root) preserves exactly its connectivity, so
+    CC(star(labels) ∪ new_pairs) = CC(old_pairs ∪ new_pairs).  Only
+    components TOUCHED by the batch can change, so the subgraph handed
+    to CC is star edges of touched components plus the batch — work is
+    O(batch + touched members), never O(corpus).  Untouched labels pass
+    through unchanged.  Batch-boundary invariance follows: merging
+    pair batches in any split order equals one full recompute
+    (pytest-proven, same contract as the signature store's).
+
+    Plan shape at 100 TB: the touched-component set is batch-sized, so
+    both the member pull (semi join) and the untouched pass-through
+    (anti join) broadcast it; the CC loop runs on the batch-sized
+    subgraph only.  New nodes (absent from ``labels``) appear in the
+    subgraph via their batch pairs and label themselves.
+
+    ``changed_col``, if set, adds an int column: 1 on rows from the
+    relabel branch (the only rows whose component MAY differ from
+    ``labels``), 0 on pass-through rows — a store-maintenance sink uses
+    it to rewrite only the storage buckets holding potentially-changed
+    rows (:func:`..streaming.corpus.incremental_cluster_sink`).
+    """
+    new_nodes = (
+        new_pairs.select(F.col(id_a).alias("node"))
+        .union(new_pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    # batch-sized: components having at least one member in the batch
+    touched = (
+        labels.join(F.broadcast(new_nodes), "node", "leftsemi")
+        .select("component")
+        .distinct()
+    )
+    affected = labels.join(
+        F.broadcast(touched), "component", "leftsemi"
+    )
+    star_edges = affected.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_a), F.col("component").alias(id_b)
+    )
+    sub = star_edges.unionByName(new_pairs.select(id_a, id_b))
+    relabeled = connected_components_star(sub, id_a, id_b, max_iter=max_iter)
+    untouched = labels.join(F.broadcast(touched), "component", "leftanti").select(
+        "node", "component"
+    )
+    if changed_col is not None:
+        relabeled = relabeled.withColumn(changed_col, F.lit(1))
+        untouched = untouched.withColumn(changed_col, F.lit(0))
+    return untouched.unionByName(relabeled)

@@ -261,3 +261,163 @@ def corpus_ingest_stream(
         corpus_gate_stream(docs, lang, quality_floor, rep_cap),
         watermark_ts=watermark_ts,
     )
+
+
+def incremental_cluster_sink(
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+):
+    """Build a ``foreachBatch`` function maintaining LIVE duplicate
+    CLUSTER labels across micro-batches — the cluster-side completion of
+    :func:`incremental_dedup_sink`: that sink answers "is this arrival a
+    duplicate?", this one keeps the full ``(node, component)`` labeling
+    current so downstream consumers (keeper election, cluster-capped
+    sampling, dedup reports) never rerun connected components over the
+    corpus.
+
+    Per micro-batch: (1) LSH-match the arrivals against the signature
+    store and each other (``operators/dedup.incremental_minhash_pairs``);
+    (2) fold the discovered pairs into the standing labels
+    (``operators/dedup.merge_component_labels`` — arrivals with no
+    partner label themselves); (3) upsert the labels store; (4) append
+    the arrivals' signatures to the signature store.
+
+    Label-store layout and the 100 TB write path: labels live under
+    ``<store>/labels`` hash-partitioned by ``bucket = pmod(hash(node),
+    n_buckets)``.  A batch rewrites ONLY the buckets holding
+    potentially-changed rows (``merge_component_labels``'s
+    ``changed_col`` marks them; Spark's dynamic partition overwrite —
+    scoped, saved/restored — replaces just those directories), so the
+    per-batch write is O(affected buckets), not O(corpus).  Node rows
+    never move buckets (a merge changes a row's component VALUE, never
+    its node), so overwriting an affected bucket with that bucket's
+    slice of the merged labeling is a complete, consistent upsert.
+
+    Batch-boundary invariance: the final labeling equals one
+    connected-components run over the union of every emitted pair set
+    regardless of how arrivals are split into batches (signature store
+    appends all arrivals, and ``merge_component_labels`` is
+    split-invariant — both proven in tests/test_streaming_corpus.py).
+
+    Replay safety: the ``_batches/<id>`` marker protocol shared with
+    :func:`incremental_dedup_sink`; a replayed batch is skipped, so
+    neither store double-applies.  ``store_path`` must be driver-local
+    (same contract and validation as the signature sink).
+    """
+    import os
+
+    if "://" in store_path and not store_path.startswith("file://"):
+        raise ValueError(
+            "incremental_cluster_sink requires a driver-local store_path; "
+            f"got {store_path!r} (store discovery and replay markers use "
+            "local-filesystem IO — a remote URI would silently bootstrap "
+            "an empty store every batch)"
+        )
+    store_path = store_path.removeprefix("file://")
+
+    from pyspark.sql import types as T
+
+    from big_data_engineering_financial_analysis_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        merge_component_labels,
+    )
+
+    sig_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("minhash_sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    label_schema = T.StructType(
+        [
+            T.StructField("node", T.LongType()),
+            T.StructField("component", T.LongType()),
+        ]
+    )
+    _OVR = "spark.sql.sources.partitionOverwriteMode"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(store_path, "_batches", str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already committed
+        spark = batch_df.sparkSession
+        sig_dir = os.path.join(store_path, "sigs")
+        labels_dir = os.path.join(store_path, "labels")
+        if os.path.isdir(sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sig_dir)
+        ):
+            store_sigs = spark.read.schema(sig_schema).parquet(sig_dir)
+        else:
+            store_sigs = spark.createDataFrame([], sig_schema)
+        if os.path.isdir(labels_dir) and any(
+            not f.startswith("_") for f in os.listdir(labels_dir)
+        ):
+            old_labels = (
+                spark.read.parquet(labels_dir).select("node", "component")
+            )
+        else:
+            old_labels = spark.createDataFrame([], label_schema)
+
+        pairs, new_sigs = incremental_minhash_pairs(
+            batch_df, store_sigs, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        # arrivals enter the labeling as self-labeled singletons (valid:
+        # they have no committed pairs yet); anti-join keeps a replayed
+        # id from shadowing its existing row
+        arrivals = (
+            batch_df.select(F.col(id_col).alias("node"))
+            .withColumn("component", F.col("node"))
+            .join(old_labels.select("node"), "node", "leftanti")
+        )
+        # eager localCheckpoint, not persist: the merged frame descends
+        # from a READ of labels_dir and is about to OVERWRITE it —
+        # checkpointing severs the file lineage so the write never
+        # re-scans the directory it is replacing
+        merged = (
+            merge_component_labels(
+                old_labels.unionByName(arrivals), pairs, changed_col="_changed"
+            )
+            .withColumn("bucket", F.pmod(F.hash("node"), F.lit(n_buckets)))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            # affected = buckets with relabeled rows PLUS buckets of the
+            # arrivals themselves — a pair-less arrival is a pass-through
+            # row in the merge but a brand-new row in the store
+            affected = [
+                r.bucket
+                for r in merged.filter("_changed = 1")
+                .select("bucket")
+                .unionByName(
+                    arrivals.select(
+                        F.pmod(F.hash("node"), F.lit(n_buckets)).alias("bucket")
+                    )
+                )
+                .distinct()
+                .collect()
+            ]
+            prev_ovr = spark.conf.get(_OVR, None)
+            spark.conf.set(_OVR, "dynamic")
+            try:
+                (
+                    merged.filter(F.col("bucket").isin(affected))
+                    .select("node", "component", "bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(labels_dir)
+                )
+            finally:
+                if prev_ovr is None:
+                    spark.conf.unset(_OVR)
+                else:
+                    spark.conf.set(_OVR, prev_ovr)
+            new_sigs.write.mode("append").parquet(sig_dir)
+        finally:
+            new_sigs.unpersist()  # per-batch cache must not accumulate
+        os.makedirs(marker, exist_ok=True)
+
+    return write_batch

@@ -470,3 +470,57 @@ def test_span_removal_short_docs_untouched(spark):
     out = {r["doc_id"]: r for r in dedup.span_removal(df, span_n=3).collect()}
     # no doc has a span -> nothing to cut, even for exact duplicates
     assert out[1]["text_dedup"] == "p q" and out[2]["text_dedup"] == "p q"
+
+
+def test_merge_component_labels_equals_full_recompute(spark):
+    """Incremental cluster maintenance invariance: folding pair batches
+    into standing labels (in any batch split) equals one CC recompute
+    over all pairs.  Exercises: merging two existing components, growing
+    a component, a batch of entirely new nodes, and a no-op batch of
+    already-linked pairs."""
+    import random
+
+    rng = random.Random(11)
+    all_pairs = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)]
+    all_pairs = [(a, b) for a, b in all_pairs if a != b]
+    # deterministic structural cases appended as the LAST batch: merge
+    # comps of 0 and 1 (likely distinct), brand-new nodes 200-202, and a
+    # re-link of the first random pair (no-op)
+    all_pairs += [(0, 1), (200, 201), (201, 202), all_pairs[0]]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    expected = {
+        r.node: r.component
+        for r in dedup.connected_components_star(df(all_pairs)).collect()
+    }
+
+    for n_batches in (2, 4):
+        k = len(all_pairs) // n_batches
+        batches = [all_pairs[i * k:(i + 1) * k] for i in range(n_batches - 1)]
+        batches.append(all_pairs[(n_batches - 1) * k:])
+        labels = dedup.connected_components_star(df(batches[0]))
+        for batch in batches[1:]:
+            labels = dedup.merge_component_labels(labels, df(batch))
+            labels = labels.localCheckpoint(eager=True)  # the store-write boundary
+        got = {r.node: r.component for r in labels.collect()}
+        assert got == expected, f"split into {n_batches} batches diverged"
+    spark.catalog.clearCache()
+
+
+def test_merge_component_labels_touches_only_affected(spark):
+    """The scale contract: a batch touching one component leaves every
+    other label row bit-identical (pass-through, not recompute)."""
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components_star(base).localCheckpoint(eager=True)
+    out = {
+        r.node: r.component
+        for r in dedup.merge_component_labels(
+            labels, spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    spark.catalog.clearCache()

@@ -398,3 +398,173 @@ def test_incremental_sink_rejects_remote_store_path(spark):
 
     with _pytest.raises(ValueError, match="driver-local"):
         corpus.incremental_dedup_sink("s3://bucket/store", "/tmp/dec")
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster-label maintenance (labels store)
+# ---------------------------------------------------------------------------
+
+
+def _run_cluster_sink(spark, tmp_path, tag, batches, n_buckets=8):
+    """Feed document batches through incremental_cluster_sink; return
+    ({node: component}, store_path)."""
+    store = str(tmp_path / f"cstore_{tag}")
+    sink = corpus.incremental_cluster_sink(store, threshold=0.5, n_buckets=n_buckets)
+    for i, batch in enumerate(batches):
+        sink(batch, i)
+    labels = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(f"{store}/labels").collect()
+    }
+    return labels, store
+
+
+def test_cluster_sink_batch_boundary_invariant(spark, tmp_path):
+    """The live labeling is invariant to micro-batch split, covers every
+    arrival exactly once, and equals connected components over the
+    operator-level pair stream."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    odds = docs.filter("doc_id % 2 = 1")
+    median = odds.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    one, _ = _run_cluster_sink(spark, tmp_path, "one", [odds])
+    two, _ = _run_cluster_sink(
+        spark,
+        tmp_path,
+        "two",
+        [odds.filter(f"doc_id <= {median}"), odds.filter(f"doc_id > {median}")],
+    )
+    assert one == two
+    assert len(one) == odds.count()
+
+    # ground truth: star-CC over the single-shot pair emission, plus
+    # self-labels for pair-less docs
+    empty = ded.minhash_signatures(odds.limit(0))
+    pairs, sigs = ded.incremental_minhash_pairs(odds, empty, threshold=0.5)
+    cc = {
+        r.node: r.component
+        for r in ded.connected_components_star(pairs).collect()
+    }
+    sigs.unpersist()
+    expected = {
+        r.doc_id: cc.get(r.doc_id, r.doc_id) for r in odds.select("doc_id").collect()
+    }
+    assert one == expected
+    assert any(k != v for k, v in one.items()), "fixture has near-dup clusters"
+    spark.catalog.clearCache()
+
+
+def test_cluster_sink_merges_components_across_batches(spark, tmp_path):
+    """A later arrival near-duplicating docs from two earlier batches
+    merges their components into one (min-id label), and a replayed
+    batch changes nothing."""
+    import os
+
+    base = (
+        "spark window merge batch table a big join batch table window big "
+        "the join line agg small slow filter value small value table the "
+        "part data"
+    )
+    v1 = base
+    v2 = base.replace("filter value", "filter changed")   # near-dup of v1
+    v3 = base.replace("part data", "part rows")           # near-dup of v1
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "cstore_merge")
+    sink = corpus.incremental_cluster_sink(store, threshold=0.5, n_buckets=4)
+    sink(df([(1, v1), (50, "totally different words about fish " * 4)]), 0)
+    sink(df([(2, v2)]), 1)     # joins component 1
+    sink(df([(3, v3)]), 2)     # also joins component 1
+    labels = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(f"{store}/labels").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 50: 50}
+
+    # replay batch 2: marker short-circuits, stores byte-identical
+    before = sorted(os.listdir(f"{store}/labels"))
+    sink(df([(3, v3)]), 2)
+    assert sorted(os.listdir(f"{store}/labels")) == before
+    labels2 = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(f"{store}/labels").collect()
+    }
+    assert labels2 == labels
+    spark.catalog.clearCache()
+
+
+def test_cluster_sink_rewrites_only_affected_buckets(spark, tmp_path):
+    """The store-write contract: a batch touching one small cluster
+    leaves every unaffected bucket directory untouched on disk."""
+    import os
+
+    filler = [
+        (i, f"unique filler document number {i} with its own words {i*7} "
+            f"{i*13} nothing shared across rows {i}")
+        for i in range(100, 140)
+    ]
+    base = (
+        "spark window merge batch table a big join batch table window big "
+        "the join line agg small slow filter value small value table the "
+        "part data"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "cstore_buckets")
+    n_buckets = 16
+    sink = corpus.incremental_cluster_sink(store, threshold=0.5, n_buckets=n_buckets)
+    sink(df(filler + [(1, base)]), 0)
+
+    labels_dir = f"{store}/labels"
+    mtimes = {
+        d: os.path.getmtime(os.path.join(labels_dir, d))
+        for d in os.listdir(labels_dir)
+        if d.startswith("bucket=")
+    }
+    import time as _t
+
+    _t.sleep(1.1)  # mtime resolution guard
+    # batch 1: one near-dup of doc 1 — affects bucket(1) and bucket(2) only
+    sink(df([(2, base.replace("filter value", "filter changed"))]), 1)
+    from pyspark.sql import functions as F
+
+    want = {
+        f"bucket={r.b}"
+        for r in spark.range(1)
+        .select(F.pmod(F.hash(F.lit(1).cast("long")), F.lit(n_buckets)).alias("b"))
+        .union(
+            spark.range(1).select(
+                F.pmod(F.hash(F.lit(2).cast("long")), F.lit(n_buckets)).alias("b")
+            )
+        )
+        .collect()
+    }
+    after = {
+        d: os.path.getmtime(os.path.join(labels_dir, d))
+        for d in os.listdir(labels_dir)
+        if d.startswith("bucket=")
+    }
+    changed = {d for d in mtimes if after.get(d, 0) != mtimes[d]} | (
+        set(after) - set(mtimes)
+    )
+    assert changed <= want and changed, (changed, want)
+    # and the labeling is still right
+    labels = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(labels_dir).collect()
+    }
+    assert labels[2] == 1 and labels[1] == 1 and len(labels) == 42
+    spark.catalog.clearCache()
+
+
+def test_cluster_sink_rejects_remote_store_path(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-local"):
+        corpus.incremental_cluster_sink("hdfs://nn/store")

@@ -99,6 +99,9 @@ EXTRA_FAMILIES = [
     # staged, exactly like dedup_incremental stages its signature store).
     ("r7serve", ["panel_price_series_serve", "panel_indicator_series_sharded",
                  "panel_candlestick_sharded"]),
+    # round-7 addition: incremental cluster maintenance (star-CC on half
+    # the pair set, merge_component_labels folds in the rest)
+    ("r7inc", ["dedup_clusters_incremental"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

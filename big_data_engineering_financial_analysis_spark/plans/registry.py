@@ -637,7 +637,12 @@ ORACLES.update(_ta.ORACLES)
 #:                         their removal-set-equivalence test) stay green.
 #:
 #: The query functions and oracle SQL remain importable; only the
-#: registry rows are dropped.  Registry: 147 − 5 + 3 new = 145 ≤ 150.
+#: registry rows are dropped.  Registry: 147 − 5 + 3 new = 145, + 1
+#: late-round registration (dedup_clusters_incremental — the
+#: merge_component_labels / star-CC driver proof; oracle identical to
+#: dedup_clusters by the incremental == full-recompute contract)
+#: = 146 ≤ 150.  It has no driver row yet → r8 window tier (b):
+#: 49 r5-stale + 1 new = 50, exactly fits.
 RETIRED_R7 = [
     "rolling_corr", "lsh_bucket_histogram", "bpe_packing",
     "corpus_funnel", "dedup_spans",

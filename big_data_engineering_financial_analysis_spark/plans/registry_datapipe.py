@@ -458,6 +458,37 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, "text", VOCAB_K)
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical output contract to ``dedup_clusters`` — same pair set,
+    same (doc_id, component, is_keeper) labeling — computed down the
+    INCREMENTAL path: the minhash-LSH pairs are split deterministically
+    (even vs odd ``id_b``), the first half labeled by
+    ``connected_components_star`` (O(log² n) rounds at any diameter) and
+    the second half FOLDED into those standing labels by
+    ``merge_component_labels`` (only touched components enter the CC
+    loop).  The oracle is literally ``dedup_clusters``'s SQL: incremental
+    == full recompute is the operator's contract, and this row makes the
+    driver prove it every rotation."""
+    docs = load_table(spark, sf_dir, "documents")
+    # eager checkpoint: the pair frame feeds both halves and the split
+    # must see ONE materialization of the (capped-bucket) LSH output
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=JACCARD_THRESHOLD).localCheckpoint(
+        eager=True
+    )
+    first = pairs.filter(F.col("id_b") % 2 == 0)
+    second = pairs.filter(F.col("id_b") % 2 == 1)
+    labels = dedup.connected_components_star(first)
+    labels = dedup.merge_component_labels(labels, second)
+    comp = labels.withColumnRenamed("node", "doc_id")
+    out = docs.select("doc_id").join(comp, "doc_id", "left")
+    label = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        label.alias("component"),
+        (label == F.col("doc_id")).cast("int").alias("is_keeper"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: minhash-LSH pairs -> connected
     components (min-label propagation) -> every document labeled with its
@@ -1765,6 +1796,9 @@ ORACLES["dedup_clusters"] = ORACLES["dedup_clusters"].format(
     MH_P=_MH_P,
     JT=JACCARD_THRESHOLD,
 )
+# incremental == full recompute: the incremental row's oracle IS the
+# batch row's SQL (same pair set, same labeling)
+ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters"]
 ORACLES["corpus_prep"] = ORACLES["corpus_prep"].format(
     LANG_SCORES=_LANG_SCORES,
     LANG_CASE=_LANG_CASE,
@@ -1850,6 +1884,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "train_val_split": q_train_val_split,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "cap_per_lang": q_cap_per_lang,
     "vocab_topk": q_vocab_topk,
     "text_quality": q_text_quality,

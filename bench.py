@@ -102,6 +102,9 @@ EXTRA_FAMILIES = [
     # round-7 addition: incremental cluster maintenance (star-CC on half
     # the pair set, merge_component_labels folds in the rest)
     ("r7inc", ["dedup_clusters_incremental"]),
+    # round-7 addition: per-document sliding-window chunking (narrow,
+    # shuffle-free — benches the tokenize+explode throughput)
+    ("r7chunk", ["doc_chunks"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

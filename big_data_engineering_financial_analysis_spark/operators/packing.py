@@ -105,3 +105,57 @@ def pack_chunks(
         seg_start.alias("seg_start"),
         (seg_end - seg_start).alias("seg_len"),
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Per-document sliding token windows with overlap — RAG / long-context
+    chunk prep (the per-document twin of :func:`pack_chunks`, which cuts a
+    cross-document stream with no overlap).
+
+    Chunk ``i`` of a document with ``n`` tokens covers tokens
+    ``[i*stride, i*stride + min(window_tokens, n - i*stride))``; the chunk
+    count is ``1 + ceil(max(n - window_tokens, 0) / stride)``, so every
+    token is covered, consecutive chunks overlap by
+    ``window_tokens - stride`` tokens, and a short document yields exactly
+    one un-padded chunk.  Zero-token documents are dropped.  Requires
+    ``stride <= window_tokens`` (coverage breaks otherwise) — enforced.
+
+    Plan shape: narrow — tokenize, row-local arithmetic, one explode.  No
+    shuffle, no window, no UDF: at 100 TB this is embarrassingly parallel
+    over input splits, emitting ~``n/stride`` rows per document; output
+    size is bounded by ``window_tokens/stride`` × the corpus (1.33× at the
+    64/48 default).  The reference has no chunking notion (OHLCV engine);
+    this is the training-data extension surface.
+    """
+    w, s = int(window_tokens), int(stride)
+    if not 0 < s <= w:
+        raise ValueError(f"sliding_chunks: need 0 < stride <= window_tokens, got {s}, {w}")
+    d = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+        .withColumn("n", F.size("t").cast("long"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(greatest(n - {w}, 0L) + {s - 1}) div {s}"),
+                )
+            ),
+        )
+    )
+    start = F.col("chunk_idx") * s
+    length = F.least(F.lit(w).cast("long"), F.col("n") - start)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        start.alias("chunk_start"),
+        length.alias("chunk_len"),
+        F.array_join(F.slice("t", start + 1, length), " ").alias("chunk_text"),
+    )

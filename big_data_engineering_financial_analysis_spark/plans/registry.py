@@ -637,12 +637,15 @@ ORACLES.update(_ta.ORACLES)
 #:                         their removal-set-equivalence test) stay green.
 #:
 #: The query functions and oracle SQL remain importable; only the
-#: registry rows are dropped.  Registry: 147 − 5 + 3 new = 145, + 1
-#: late-round registration (dedup_clusters_incremental — the
-#: merge_component_labels / star-CC driver proof; oracle identical to
-#: dedup_clusters by the incremental == full-recompute contract)
-#: = 146 ≤ 150.  It has no driver row yet → r8 window tier (b):
-#: 49 r5-stale + 1 new = 50, exactly fits.
+#: registry rows are dropped.  Registry: 147 − 5 + 3 new = 145, + 2
+#: late-round registrations (dedup_clusters_incremental — the
+#: merge_component_labels / star-CC driver proof, oracle identical to
+#: dedup_clusters by the incremental == full-recompute contract —
+#: and doc_chunks, the per-document sliding-window chunker)
+#: = 147 ≤ 150.  Neither has a driver row yet → r8 window tier (b).
+#: Measured r8 obligation (CORRECTNESS_r05 ∖ r6-window ∖ r7-window):
+#: 47 r5-stale rows + 2 never-checked = 49 ≤ 50, one slot of headroom
+#: for tier (a) changed-code rows.
 RETIRED_R7 = [
     "rolling_corr", "lsh_bucket_histogram", "bpe_packing",
     "corpus_funnel", "dedup_spans",

@@ -371,6 +371,16 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding token windows (64-token window, 48 stride =
+    16-token overlap): RAG / long-context chunk prep.  Narrow plan — no
+    shuffle, no UDF; one explode bounded at window/stride x corpus size."""
+    from big_data_engineering_financial_analysis_spark.operators.packing import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, window_tokens=64, stride=48)
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary APPLY (Sennrich et al. 2016): every document split
     into learned subword pieces via the broadcast merge table — pure JVM
@@ -1754,6 +1764,30 @@ ORACLES["bpe_packing"] = f"""
     FROM exploded
 """
 
+# sliding_chunks twin: same tokenization, per-document (no cross-doc
+# stream), overlapping starts every `stride` tokens
+ORACLES["doc_chunks"] = """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, len(t)::BIGINT AS n FROM base WHERE len(t) > 0
+    ),
+    exploded AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           (chunk_idx * 48)::BIGINT AS chunk_start,
+           least(64, n - chunk_idx * 48)::BIGINT AS chunk_len,
+           array_to_string(
+             t[chunk_idx * 48 + 1 : chunk_idx * 48 + least(64, n - chunk_idx * 48)],
+             ' ') AS chunk_text
+    FROM exploded
+"""
+
 ORACLES["seq_packing"] = """
     WITH base AS (
       SELECT source AS shard, doc_id,
@@ -1900,6 +1934,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "bpe_learn": q_bpe_learn,
     "seq_packing": q_seq_packing,
+    "doc_chunks": q_doc_chunks,
     "bpe_tokenize": q_bpe_tokenize,
     "bpe_packing": q_bpe_packing,
     "downsample_lang": q_downsample_lang,

@@ -72,3 +72,82 @@ def test_duplicate_ids_fail_loudly(spark):
     df = spark.createDataFrame(rows, "source string, doc_id long, text string")
     with pytest.raises(SparkRuntimeException, match="duplicate"):
         pack_chunks(df, chunk_tokens=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# sliding_chunks (per-document overlapping windows)
+# ---------------------------------------------------------------------------
+
+
+def _py_sliding(tokens_, w, s):
+    """Driver-side reference: standard sliding-window chunking."""
+    n = len(tokens_)
+    if n == 0:
+        return []
+    n_extra = (max(n - w, 0) + s - 1) // s
+    out = []
+    for i in range(n_extra + 1):
+        start = i * s
+        length = min(w, n - start)
+        out.append((i, start, length, " ".join(tokens_[start : start + length])))
+    return out
+
+
+def test_sliding_chunks_matches_reference(spark):
+    from big_data_engineering_financial_analysis_spark.operators.packing import sliding_chunks
+
+    docs = {
+        1: "a b c d e f g h i j",   # 10 tokens: chunks at 0, 4 (W=8,S=4)
+        2: "x y z",                 # short: single chunk of 3
+        3: " ".join(f"t{i}" for i in range(17)),  # 17: starts 0,4,8,12 (last len 5)
+        4: "p q r s t u v w",       # exactly W: single chunk
+        5: "k " * 12,               # 12 tokens, (12-8+3)//4=1 -> starts 0,4
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_len"], r["chunk_text"])
+        for r in sliding_chunks(df, window_tokens=8, stride=4).collect()
+    }
+    want = {}
+    for i, t in docs.items():
+        for idx, start, length, text in _py_sliding(t.split(), 8, 4):
+            want[(i, idx)] = (start, length, text)
+    assert got == want
+
+
+def test_sliding_chunks_coverage_and_overlap(spark):
+    """Every token is covered; consecutive chunks overlap by exactly W-S
+    except possibly the last (which may overlap more, never less)."""
+    from big_data_engineering_financial_analysis_spark.operators.packing import sliding_chunks
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate([1, 5, 6, 7, 11, 29, 48])],
+        "doc_id long, text string",
+    )
+    rows = sliding_chunks(df, window_tokens=6, stride=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        covered = set()
+        for r in chunks:
+            assert 1 <= r["chunk_len"] <= 6
+            covered.update(range(r["chunk_start"], r["chunk_start"] + r["chunk_len"]))
+        n_tokens = max(covered) + 1
+        assert covered == set(range(n_tokens))
+        # last chunk reaches the document end
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] == n_tokens
+
+
+def test_sliding_chunks_rejects_bad_stride(spark):
+    from big_data_engineering_financial_analysis_spark.operators.packing import sliding_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sliding_chunks(df, window_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        sliding_chunks(df, window_tokens=4, stride=0)

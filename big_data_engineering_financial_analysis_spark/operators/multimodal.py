@@ -160,6 +160,61 @@ def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:
     )
 
 
+def _resized_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving clamp of the longer edge to ``max_dim`` (never
+    upscales) — the standard thumbnail rule of CLIP/ViT-style preprocessing."""
+    longest = max(width, height, 1)
+    if longest <= max_dim:
+        return width, height
+    scale = max_dim / longest
+    return max(1, int(width * scale)), max(1, int(height * scale))
+
+
+def resize_assets(assets: DataFrame, max_dim: int = 224) -> DataFrame:
+    """Resize image/video payloads so the longer edge is ≤ ``max_dim``.
+
+    Payload-in → payload-out with the SAME ASSET_SCHEMA columns, so the
+    operator composes with :func:`extract_metadata` / :func:`sample_frames`
+    downstream exactly like a real preprocessing stage.  A real build
+    decodes → resamples → re-encodes inside this Arrow batch loop; this
+    container has no codecs, so resampled pixels are stood in by the fake
+    format with the new header dims and filler derived from (source
+    payload, target dims) — the output is a pure deterministic function of
+    the input, which is what the plumbing tests assert.  Audio rows and
+    already-small images pass through byte-identical; frame counts are
+    preserved.  Row-local, no shuffle: parallelism is input splits.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                b = bytes(payload)
+                if modality == "audio":
+                    out_payload.append(b)
+                    continue
+                width, height, n_frames = _decode_payload(b)
+                new_w, new_h = _resized_dims(width, height, max_dim)
+                if (new_w, new_h) == (width, height):
+                    out_payload.append(b)
+                    continue
+                filler = hashlib.md5(b + struct.pack(">HH", new_w, new_h)).digest() * 4
+                out_payload.append(
+                    MAGIC + b[4:5] + struct.pack(">HHH", new_w, new_h, n_frames) + filler
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "meta": pdf["meta"],
+                }
+            )
+
+    return assets.mapInPandas(op, schema=ASSET_SCHEMA)
+
+
 def payload_stats(assets: DataFrame) -> DataFrame:
     """Pure-relational stats over binary columns (no Python): byte length
     and hex-prefix groupings — proves binary columns behave as first-class

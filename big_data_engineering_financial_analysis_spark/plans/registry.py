@@ -642,10 +642,14 @@ ORACLES.update(_ta.ORACLES)
 #: merge_component_labels / star-CC driver proof, oracle identical to
 #: dedup_clusters by the incremental == full-recompute contract —
 #: and doc_chunks, the per-document sliding-window chunker)
-#: = 147 ≤ 150.  Neither has a driver row yet → r8 window tier (b).
+#: + asset_resize (the multimodal build→resize→parse binary round-trip,
+#: arithmetic oracle) = 148 ≤ 150.  None of the three has a driver row
+#: yet → r8 window tier (b).
 #: Measured r8 obligation (CORRECTNESS_r05 ∖ r6-window ∖ r7-window):
-#: 47 r5-stale rows + 2 never-checked = 49 ≤ 50, one slot of headroom
-#: for tier (a) changed-code rows.
+#: 47 r5-stale rows + 3 never-checked = 50 — exactly full.  Any r8
+#: changed-code row must overlap the stale tier or be bought with a
+#: retirement; r8 should budget accordingly (precedent: this round's
+#: window was also exactly 50 via the RETIRED_R7 trade).
 RETIRED_R7 = [
     "rolling_corr", "lsh_bucket_histogram", "bpe_packing",
     "corpus_funnel", "dedup_spans",

@@ -103,6 +103,56 @@ def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_MAX_DIM = 100
+
+
+def q_asset_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize driven end-to-end through the driver gate: fake
+    assets are derived deterministically from ``documents`` (doc_id → header
+    dims via the ``make_fake_assets`` formulas), payloads are BUILT, RESIZED
+    (aspect-preserving long-edge clamp, ``operators/multimodal.resize_assets``)
+    and RE-PARSED by the Arrow ``mapInPandas`` operators, and the metadata is
+    extracted from the resized bytes.  The oracle recomputes the expected
+    header fields by pure arithmetic — a hash match proves the binary
+    round-trip (build → resize → parse) byte-level correct, not just the
+    dims formula.  All three stages are row-local: zero shuffles, input-split
+    parallelism at any corpus size."""
+    from big_data_engineering_financial_analysis_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        mods = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "media_type": [], "payload": [], "meta": []}
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                modality = mods[i % 3]
+                w, h = 64 + (i % 8) * 16, 48 + (i % 5) * 16
+                frames = 1 if modality == "image" else 8 + i % 24
+                rows["asset_id"].append(i)
+                rows["modality"].append(modality)
+                rows["media_type"].append(f"application/x-fake-{modality}")
+                rows["payload"].append(mm.make_fake_payload(i, modality, w, h, frames))
+                rows["meta"].append({"origin": f"doc-{i}"})
+            yield pd.DataFrame(rows)
+
+    from big_data_engineering_financial_analysis_spark.schemas import ASSET_SCHEMA
+
+    assets = docs.mapInPandas(build, schema=ASSET_SCHEMA)
+    meta = mm.extract_metadata(mm.resize_assets(assets, max_dim=RESIZE_MAX_DIM))
+    return meta.select(
+        F.col("asset_id").alias("doc_id"),
+        "modality",
+        "width",
+        "height",
+        "n_frames",
+        "n_bytes",
+    )
+
+
 def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.with_norm(
@@ -1323,6 +1373,34 @@ ORACLES: dict[str, str] = {
                substr(lower(hex(encode(text))), 1, 16) AS prefix_hex
         FROM documents
     """,
+    # Mirrors make_fake_assets/_resized_dims arithmetic exactly: scale is
+    # computed as width * (max_dim / longest) in that operand order so the
+    # IEEE double result (and its floor) matches Python's int(w * scale).
+    "asset_resize": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image'
+                                 WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS modality,
+                 CAST(64 + (doc_id % 8) * 16 AS INT) AS w0,
+                 CAST(48 + (doc_id % 5) * 16 AS INT) AS h0
+          FROM documents
+        ),
+        dims AS (
+          SELECT *, greatest(w0, h0) AS longest FROM base
+        )
+        SELECT doc_id, modality,
+               CASE WHEN modality = 'audio' OR longest <= {RESIZE_MAX_DIM} THEN w0
+                    ELSE greatest(1, CAST(floor(w0 * ({RESIZE_MAX_DIM}.0 / longest)) AS INT))
+               END AS width,
+               CASE WHEN modality = 'audio' OR longest <= {RESIZE_MAX_DIM} THEN h0
+                    ELSE greatest(1, CAST(floor(h0 * ({RESIZE_MAX_DIM}.0 / longest)) AS INT))
+               END AS height,
+               CAST(CASE WHEN modality = 'image' THEN 1 ELSE 8 + doc_id % 24 END AS INT)
+                 AS n_frames,
+               CAST(75 AS BIGINT) AS n_bytes
+        FROM dims
+    """,
     "emb_norms": f"""
         SELECT vec_id, label,
                round(sqrt({_DOT.format(a="vec", b="vec")}), 6) AS norm
@@ -1949,6 +2027,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "binary_payload": q_binary_payload,
+    "asset_resize": q_asset_resize,
     "emb_norms": q_emb_norms,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,

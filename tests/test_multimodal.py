@@ -65,3 +65,50 @@ def test_arrow_metadata_matches_pandas_path(spark):
     assert len(a) == len(b) == 32
     for c in ("asset_id", "modality", "width", "height", "n_frames", "n_bytes"):
         assert (a[c] == b[c]).all(), c
+
+
+def test_resize_clamps_long_edge_and_composes(assets):
+    resized = mm.resize_assets(assets, max_dim=100)
+    meta = mm.extract_metadata(resized).toPandas().set_index("asset_id").sort_index()
+    orig = mm.extract_metadata(assets).toPandas().set_index("asset_id").sort_index()
+    # schema round-trips: output composes with extract_metadata unchanged
+    assert len(meta) == len(orig) == 48
+    non_audio = orig["modality"] != "audio"
+    assert (meta.loc[non_audio, ["width", "height"]].max(axis=1) <= 100).all()
+    # aspect ratio preserved within integer truncation; never upscaled
+    for i in meta.index[non_audio]:
+        w0, h0 = int(orig.loc[i, "width"]), int(orig.loc[i, "height"])
+        w1, h1 = int(meta.loc[i, "width"]), int(meta.loc[i, "height"])
+        ew, eh = mm._resized_dims(w0, h0, 100)
+        assert (w1, h1) == (ew, eh)
+        assert w1 <= w0 and h1 <= h0
+    # frame counts and audio rows untouched
+    assert (meta["n_frames"] == orig["n_frames"]).all()
+    audio_ids = orig.index[orig["modality"] == "audio"]
+    raw = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in assets.collect()
+    }
+    out = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in resized.collect()
+    }
+    for i in audio_ids:
+        assert out[i] == raw[i]
+
+
+def test_resize_is_deterministic_and_noop_below_threshold(assets):
+    a = {r["asset_id"]: bytes(r["payload"]) for r in mm.resize_assets(assets, max_dim=100).collect()}
+    b = {r["asset_id"]: bytes(r["payload"]) for r in mm.resize_assets(assets, max_dim=100).collect()}
+    assert a == b
+    # max fake dim is 64+7*16=176 wide, 48+4*16=112 high -> max_dim=200 is a global no-op
+    untouched = {r["asset_id"]: bytes(r["payload"]) for r in mm.resize_assets(assets, max_dim=200).collect()}
+    orig = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    assert untouched == orig
+
+
+def test_resized_dims_rule():
+    assert mm._resized_dims(176, 112, 100) == (100, 63)
+    assert mm._resized_dims(112, 176, 100) == (63, 100)
+    assert mm._resized_dims(50, 40, 100) == (50, 40)  # never upscale
+    assert mm._resized_dims(4000, 1, 100) == (100, 1)  # floor clamps to 1

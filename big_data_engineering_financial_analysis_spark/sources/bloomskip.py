@@ -1,0 +1,306 @@
+"""File-level Bloom sidecars — data skipping for EQUALITY predicates.
+
+Zone maps (`sources/zonemap.py`) skip files by [min, max] range, which is
+only selective when the layout clusters the column (sorted shards, time
+partitions).  Point lookups on an UNclustered key — "fetch document
+4711's rows", "which files hold these 50 doc_ids?" — get nothing from
+min/max over a hashed or unsorted layout: every file's range covers the
+key.  The lakehouse answer is a per-file Bloom filter in the manifest
+(Iceberg puts them in puffin files, Delta in the checkpoint stats); this
+module is that pattern over plain parquet directories, composing with
+the same dataset layer:
+
+* :func:`build_bloom_index` reads ONLY the indexed columns of each data
+  file (pyarrow column IO, no full-row materialization) and writes
+  ``_bloomskip.json``: file -> column -> a fixed-size Bloom filter.
+* :func:`read_point` / :func:`prune_files_eq` drop every file whose
+  filter PROVES none of the requested values occur, then scan the
+  survivors with the residual ``IN`` filter — so the result ALWAYS
+  equals full-scan + filter (skipping is an optimization, never a
+  semantics change; Bloom filters have no false negatives).
+
+Sizing: ``n_bits`` is CAPPED per (file, column) — at 100 TB an exact
+9.6-bits/key filter over a billion-key file would dwarf the manifest, so
+the cap trades false-positive rate (extra files scanned, never wrong
+results) for a bounded index: with double hashing the FPR is
+``(1 - exp(-k*n/m))^k``; the default 2^16 bits / 7 hashes holds ~6.5k
+keys at 1% and degrades gracefully (~50% at 65k keys — still skipping
+half the files a naive scan schedules).  Production knobs: raise
+``n_bits`` for hot point-lookup columns, or bucket the layout on the key
+(`sources/bucketed.py`) so Hive pruning does the coarse cut and blooms
+the fine one.
+
+Parquet-native bloom filters (``parquet.bloom.filter.enabled#col``) are
+complementary, not competing: parquet-mr evaluates them per ROW GROUP
+after the file is already opened and scheduled; this sidecar decides
+BEFORE scheduling, which is the cost that matters when 1000 executors
+would otherwise each open thousands of files.
+
+Safety rules (all tested, mirroring zonemap's):
+* a file not in the manifest (appended after the build) is kept;
+* a manifest entry without a filter for the column keeps the file;
+* manifest entries for deleted files are ignored;
+* NULLs are not inserted into filters — an equality predicate cannot
+  match NULL, so a file of all-NULLs is provably skippable;
+* hashing is canonical over the value's string form, so int32/int64
+  and Python int/numpy int probe identically.
+
+The reference has no point-lookup index at all (QuestDB scans the day
+partition, db/init_questdb.sql:20-21); this is the engine-native path a
+100 TB corpus store needs for per-document serving.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.sources.zonemap import _data_files
+
+MANIFEST_NAME = "_bloomskip.json"
+DEFAULT_N_BITS = 1 << 16
+DEFAULT_N_HASHES = 7
+
+
+def _key_bytes(v: Any) -> bytes:
+    """Canonical probe bytes: ints (any width, numpy or Python) and their
+    string forms hash identically; floats use repr for round-trip fidelity;
+    aware datetimes normalize to UTC-naive so a naive probe against
+    UTC-stamped parquet values (the engine's at-rest convention) cannot
+    produce a false negative."""
+    import datetime as dt
+
+    if isinstance(v, bool):  # bool is an int subclass — keep it distinct
+        return b"b:" + (b"1" if v else b"0")
+    if isinstance(v, bytes):
+        return b"x:" + v
+    if isinstance(v, float):
+        return b"f:" + repr(v).encode()
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return b"t:" + v.isoformat().encode()
+    try:
+        return b"i:" + str(int(v)).encode()  # int and numpy integer
+    except (TypeError, ValueError):
+        return b"s:" + str(v).encode()
+
+
+def _positions(v: Any, n_bits: int, n_hashes: int) -> list[int]:
+    """Kirsch–Mitzenmacher double hashing off one md5: h1 + i*h2 mod m."""
+    d = hashlib.md5(_key_bytes(v)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full cycle for power-of-2 m
+    return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+class _Bloom:
+    __slots__ = ("n_bits", "n_hashes", "bits")
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: bytearray | None = None):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = bits if bits is not None else bytearray(n_bits // 8)
+
+    def add(self, v: Any) -> None:
+        for p in _positions(v, self.n_bits, self.n_hashes):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def might_contain(self, v: Any) -> bool:
+        return all(
+            self.bits[p >> 3] & (1 << (p & 7))
+            for p in _positions(v, self.n_bits, self.n_hashes)
+        )
+
+    def encode(self) -> dict:
+        return {
+            "m": self.n_bits,
+            "k": self.n_hashes,
+            "bits": base64.b64encode(bytes(self.bits)).decode(),
+        }
+
+    @classmethod
+    def decode(cls, obj: dict) -> "_Bloom":
+        return cls(obj["m"], obj["k"], bytearray(base64.b64decode(obj["bits"])))
+
+
+def _file_blooms(fpath: str, cols: list[str], n_bits: int, n_hashes: int) -> dict:
+    """One file's column scan: column -> encoded filter / absent (column
+    missing from the file — e.g. a Hive partition column — keeps the file)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fpath)
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    out: dict[str, Any] = {}
+    if not present:
+        return out
+    table = pf.read(columns=present)
+    for col in present:
+        bloom = _Bloom(n_bits, n_hashes)
+        for v in table.column(col).to_pylist():
+            if v is not None:  # equality can never match NULL
+                bloom.add(v)
+        out[col] = bloom.encode()
+    return out
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic swap, same contract as zonemap._write_manifest."""
+    final = os.path.join(path, MANIFEST_NAME)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, final)
+
+
+def build_bloom_index(
+    path: str,
+    cols: list[str],
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> dict:
+    """Scan the indexed columns of every data file and write the sidecar
+    manifest.  Cost: one column-projected read per file — run it after
+    `write_sharded` / `compact_dataset`, like `build_zonemap`."""
+    manifest = {
+        os.path.relpath(fpath, path): _file_blooms(fpath, cols, n_bits, n_hashes)
+        for fpath in _data_files(path)
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def update_bloom_index(
+    path: str,
+    cols: list[str] | None = None,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> dict:
+    """Incremental maintenance: index ONLY files not yet covered, drop
+    entries for deleted files — O(new files), the per-micro-batch call."""
+    manifest = load_bloom_index(path) or {}
+    want = sorted(set(cols or []) | {c for blooms in manifest.values() for c in blooms})
+    current = {os.path.relpath(f, path): f for f in _data_files(path)}
+    manifest = {rel: b for rel, b in manifest.items() if rel in current}
+    for rel, fpath in current.items():
+        if rel not in manifest:
+            manifest[rel] = _file_blooms(fpath, want, n_bits, n_hashes)
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def load_bloom_index(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, MANIFEST_NAME)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _blooms_allow(blooms: dict | None, col: str, values: list) -> bool:
+    """True unless the file's filter PROVES no requested value occurs."""
+    if blooms is None or col not in blooms:
+        return True  # unknown file / unindexed column: must scan
+    bloom = _Bloom.decode(blooms[col])
+    return any(bloom.might_contain(v) for v in values)
+
+
+def prune_files_eq(
+    path: str, col: str, values: Iterable
+) -> tuple[list[str], int]:
+    """Return (files to scan, total files) for ``col IN (values)``.  A
+    file survives if its filter admits ANY of the values (disjunction —
+    an IN-list matches a row on any member)."""
+    values = list(values)
+    files = _data_files(path)
+    manifest = load_bloom_index(path) or {}
+    keep = [
+        fpath
+        for fpath in files
+        if _blooms_allow(manifest.get(os.path.relpath(fpath, path)), col, values)
+    ]
+    return keep, len(files)
+
+
+def prune_files_combined(
+    path: str,
+    ranges: list[tuple] | None = None,
+    eq: list[tuple] | None = None,
+) -> tuple[list[str], int]:
+    """Conjunctive pruning across BOTH skip indexes: a file survives only
+    if every ``(col, lo, hi)`` range predicate's zone allows it AND every
+    ``(col, values)`` equality predicate's Bloom filter admits a value.
+    The two indexes are complementary — zones cut along the clustered
+    axis (time shards), blooms along unclustered point keys — so their
+    intersection is strictly stronger than either alone."""
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+
+    ranges = ranges or []
+    eq = [(col, list(values)) for col, values in (eq or [])]
+    files = _data_files(path)
+    zmanifest = zm.load_zonemap(path) or {}
+    bmanifest = load_bloom_index(path) or {}
+    keep = []
+    for fpath in files:
+        rel = os.path.relpath(fpath, path)
+        if all(
+            zm._zone_allows(zmanifest.get(rel), col, lo, hi) for col, lo, hi in ranges
+        ) and all(_blooms_allow(bmanifest.get(rel), col, vals) for col, vals in eq):
+            keep.append(fpath)
+    return keep, len(files)
+
+
+def read_skipped(
+    spark: SparkSession,
+    path: str,
+    ranges: list[tuple] | None = None,
+    eq: list[tuple] | None = None,
+) -> DataFrame:
+    """Serving read through both skip indexes with the full residual
+    predicate applied — result ALWAYS equals full scan + filters.  This
+    is the engine's general point-in-range lookup: e.g. "these doc_ids,
+    this month" schedules only files the month's zones AND the ids'
+    blooms both allow."""
+    ranges = ranges or []
+    eq = [(col, list(values)) for col, values in (eq or [])]
+    if any(not values for _col, values in eq):
+        return spark.read.parquet(path).limit(0)  # IN () matches nothing
+    keep, _total = prune_files_combined(path, ranges, eq)
+    if not keep:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.option("basePath", path).parquet(*keep)
+    for col, lo, hi in ranges:
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    for col, values in eq:
+        df = df.filter(F.col(col).isin(values))
+    return df
+
+
+def read_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: Iterable,
+) -> DataFrame:
+    """Point/IN-list read with file-level Bloom skipping.  ALWAYS applies
+    the residual ``isin`` filter, so the result equals full scan + filter
+    regardless of manifest staleness or false positives."""
+    values = list(values)
+    if not values:  # IN () matches nothing; avoid Spark's empty-isin error
+        return spark.read.parquet(path).limit(0)
+    keep, _total = prune_files_eq(path, col, values)
+    if not keep:
+        return spark.read.parquet(path).limit(0).filter(F.col(col).isin(values))
+    return (
+        spark.read.option("basePath", path).parquet(*keep).filter(F.col(col).isin(values))
+    )

@@ -1,10 +1,12 @@
-"""Streaming → at-rest dataset sink with zone-map maintenance.
+"""Streaming → at-rest dataset sink with zone-map + Bloom maintenance.
 
 Completes the ingest story: micro-batches append into the Hive-
 partitioned, within-file-sorted layout of ``sources/dataset.py`` and
 each commit incrementally extends the zone-map manifest
-(``sources/zonemap.py`` — O(new files) footer scans), so serving-side
-range reads keep skipping files as the stream grows.
+(``sources/zonemap.py`` — O(new files) footer scans) and, optionally,
+the Bloom sidecar (``sources/bloomskip.py`` — O(new files) column
+scans), so serving-side range reads AND point lookups keep skipping
+files as the stream grows.
 
 Exactly-once notes (the same contract as the engine's other foreachBatch
 sinks): Structured Streaming may REPLAY a batch id after a crash.  A
@@ -37,6 +39,7 @@ def dataset_sink(
     sort_cols: list[str],
     zonemap_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    bloom_cols: list[str] | None = None,
 ):
     """Build a ``foreachBatch`` function appending micro-batches into a
     sharded dataset, maintaining the zone-map manifest per commit.
@@ -52,6 +55,7 @@ def dataset_sink(
     periodically and keep exact dedup downstream, or use a log-backed
     table format when genuine transactional appends are required.
     """
+    from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,6 +86,11 @@ def dataset_sink(
                 conf.set(key, prev)
         if zonemap_cols is not None:
             zm.update_zonemap(path, zonemap_cols)
+        if bloom_cols is not None:
+            # equality-skipping twin of the zone-map update: O(new files)
+            # column-projected scans extend the Bloom sidecar so serving-
+            # side point lookups keep skipping as the stream grows
+            bs.update_bloom_index(path, bloom_cols)
         os.makedirs(marker, exist_ok=True)
 
     return write_batch

@@ -1,0 +1,232 @@
+"""Bloom-sidecar file skipping: result always equals full-scan + filter
+(no false negatives, ever), and the sidecar actually skips files for
+point lookups where zone maps cannot."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+
+def _rows(n=400):
+    # doc_id deliberately NOT clustered: round-robin across shards, so
+    # every file's [min, max] doc_id zone covers every probe -> zone maps
+    # are useless here and blooms are the only skipping signal.
+    return [
+        {
+            "doc_id": (i * 37) % n,
+            "lang": "en" if i % 4 else "de",
+            "title": f"doc-{(i * 37) % n}",
+            "score": float(i % 100),
+        }
+        for i in range(n)
+    ]
+
+
+def _write(spark, path):
+    df = spark.createDataFrame(_rows())
+    write_sharded(
+        df, path, partition_cols=["lang"], sort_cols=["score"],
+        max_records_per_file=50,
+    )
+    return df
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_point_read_equals_filter_and_skips_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id", "title"])
+
+    probe = [3, 77, 151]
+    keep, total = bs.prune_files_eq(path, "doc_id", probe)
+    assert total > 4
+    assert len(keep) < total  # blooms skip files zone maps could not
+
+    got = bs.read_point(spark, path, "doc_id", probe)
+    exp = spark.read.parquet(path).filter(F.col("doc_id").isin(probe))
+    assert _ids(got) == _ids(exp)
+    assert set(got.columns) == set(exp.columns)  # partition col recovered
+
+    # string key path
+    got_t = bs.read_point(spark, path, "title", ["doc-3"])
+    exp_t = spark.read.parquet(path).filter(F.col("title") == "doc-3")
+    assert _ids(got_t) == _ids(exp_t) == [3]
+
+
+def test_absent_value_skips_everything(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    keep, total = bs.prune_files_eq(path, "doc_id", [10_000_001])
+    # overwhelmingly likely all files are proven free of one absent key
+    # at 2^16 bits for <=100 keys/file; equality of results is the real
+    # contract and holds regardless
+    assert len(keep) < total
+    assert bs.read_point(spark, path, "doc_id", [10_000_001]).count() == 0
+
+
+def test_empty_values_and_unknown_column_are_safe(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    assert bs.read_point(spark, path, "doc_id", []).count() == 0
+    # unindexed column: every file kept, result still exact
+    got = bs.read_point(spark, path, "score", [7.0])
+    exp = spark.read.parquet(path).filter(F.col("score") == 7.0)
+    assert got.count() == exp.count() > 0
+
+
+def test_appended_file_without_manifest_entry_is_kept(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # append new rows AFTER the build — manifest doesn't know the file
+    extra = spark.createDataFrame(
+        [{"doc_id": 9999, "lang": "en", "title": "doc-9999", "score": 1.0}]
+    )
+    extra.write.mode("append").partitionBy("lang").parquet(path)
+    got = bs.read_point(spark, path, "doc_id", [9999])
+    assert _ids(got) == [9999]  # safety: unknown file scanned
+
+    # incremental update covers it and keeps results identical
+    bs.update_bloom_index(path)
+    man = bs.load_bloom_index(path)
+    assert all("doc_id" in blooms or blooms == {} for blooms in man.values())
+    assert _ids(bs.read_point(spark, path, "doc_id", [9999])) == [9999]
+
+
+def test_update_drops_deleted_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    man0 = bs.load_bloom_index(path)
+    victim = sorted(man0)[0]
+    os.remove(os.path.join(path, victim))
+    bs.update_bloom_index(path)
+    man1 = bs.load_bloom_index(path)
+    assert victim not in man1
+    assert set(man1) == set(man0) - {victim}
+
+
+def test_nulls_never_match_equality(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "doc_id long, title string"
+    )
+    df.repartition(1).write.parquet(path)
+    bs.build_bloom_index(path, ["title"])
+    got = bs.read_point(spark, path, "title", ["a"])
+    exp = spark.read.parquet(path).filter(F.col("title") == "a")
+    assert got.count() == exp.count() == 1
+
+
+def test_missing_manifest_degrades_to_full_scan(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    # no build at all
+    got = bs.read_point(spark, path, "doc_id", [3])
+    exp = spark.read.parquet(path).filter(F.col("doc_id") == 3)
+    assert _ids(got) == _ids(exp) == [3]
+
+
+def test_capped_bits_stay_correct_just_less_selective(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"], n_bits=64, n_hashes=2)  # absurdly small
+    got = bs.read_point(spark, path, "doc_id", [3, 77])
+    exp = spark.read.parquet(path).filter(F.col("doc_id").isin([3, 77]))
+    assert _ids(got) == _ids(exp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(-(2**40), 2**40), st.text(max_size=12)),
+        min_size=1,
+        max_size=50,
+    ),
+    probe_extra=st.lists(st.integers(), max_size=5),
+)
+def test_bloom_has_no_false_negatives(keys, probe_extra):
+    bloom = bs._Bloom(1 << 10, 5)
+    for k in keys:
+        bloom.add(k)
+    for k in keys:
+        assert bloom.might_contain(k)
+    # decode(encode) round-trips membership
+    again = bs._Bloom.decode(bloom.encode())
+    for k in keys + probe_extra:
+        assert again.might_contain(k) == bloom.might_contain(k)
+
+
+def test_canonical_key_bytes_cross_type():
+    import datetime as dt
+
+    import numpy as np
+
+    assert bs._key_bytes(np.int32(5)) == bs._key_bytes(5)
+    assert bs._key_bytes(np.int64(5)) == bs._key_bytes(5)
+    assert bs._key_bytes(True) != bs._key_bytes(1)
+    aware = dt.datetime(2024, 1, 5, 12, 0, tzinfo=dt.timezone.utc)
+    naive = dt.datetime(2024, 1, 5, 12, 0)
+    assert bs._key_bytes(aware) == bs._key_bytes(naive)
+
+
+def test_combined_pruning_beats_each_index_alone(spark, tmp_path):
+    import datetime as dt
+
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+
+    path = str(tmp_path / "ds")
+    t0 = dt.datetime(2024, 1, 1)
+    # ts clustered (sort key), doc_id round-robin (unclustered)
+    df = spark.createDataFrame(
+        [
+            {
+                "doc_id": (i * 37) % 400,
+                "lang": "en" if i % 4 else "de",
+                "ts": t0 + dt.timedelta(minutes=i),
+                "score": float(i % 100),
+            }
+            for i in range(400)
+        ]
+    )
+    write_sharded(df, path, partition_cols=["lang"], sort_cols=["ts"], max_records_per_file=50)
+    zm.build_zonemap(path, ["ts"])
+    bs.build_bloom_index(path, ["doc_id"])
+
+    lo, hi = t0 + dt.timedelta(minutes=100), t0 + dt.timedelta(minutes=200)
+    probe = [3, 77]
+    zkeep, total = zm.prune_files(path, "ts", lo=lo, hi=hi)
+    bkeep, _ = bs.prune_files_eq(path, "doc_id", probe)
+    ckeep, _ = bs.prune_files_combined(
+        path, ranges=[("ts", lo, hi)], eq=[("doc_id", probe)]
+    )
+    assert set(ckeep) == set(zkeep) & set(bkeep)
+    assert len(ckeep) <= min(len(zkeep), len(bkeep)) < total
+
+    got = bs.read_skipped(spark, path, ranges=[("ts", lo, hi)], eq=[("doc_id", probe)])
+    exp = (
+        spark.read.parquet(path)
+        .filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        .filter(F.col("doc_id").isin(probe))
+    )
+    assert sorted((r.doc_id, r.ts) for r in got.collect()) == sorted(
+        (r.doc_id, r.ts) for r in exp.collect()
+    )
+
+
+def test_read_skipped_empty_in_list(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    assert bs.read_skipped(spark, path, eq=[("doc_id", [])]).count() == 0

@@ -193,3 +193,47 @@ def test_ingest_to_serve_end_to_end(spark, tmp_path):
     )
     assert sorted(served.collect()) == sorted(batch.collect())
     assert served.count() > 0
+
+
+def test_streaming_appends_keep_bloom_sidecar_current(spark, tmp_path):
+    from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        _chunk(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dataset_sink(
+                out,
+                partition_cols=["lang"],
+                sort_cols=["doc_id"],
+                zonemap_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+                max_records_per_file=40,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # every data file is sidecar-covered after 3 commits
+    manifest = bs.load_bloom_index(out)
+    data_files = zm._data_files(out)
+    assert sorted(manifest) == sorted(
+        os.path.relpath(f, out) for f in data_files
+    )
+
+    # point-lookup serving read: equal to filter, and it actually skips
+    keep, total = bs.prune_files_eq(out, "doc_id", [42])
+    assert 0 < len(keep) < total
+    got = bs.read_point(spark, out, "doc_id", [42])
+    assert [r.doc_id for r in got.collect()] == [42]

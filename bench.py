@@ -105,6 +105,9 @@ EXTRA_FAMILIES = [
     # round-7 addition: per-document sliding-window chunking (narrow,
     # shuffle-free — benches the tokenize+explode throughput)
     ("r7chunk", ["doc_chunks"]),
+    # round-7 addition: multimodal build->resize->parse round-trip
+    # (3 Arrow stages, zero shuffles — benches Arrow batch throughput)
+    ("r7media", ["asset_resize"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

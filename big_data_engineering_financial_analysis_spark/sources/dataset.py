@@ -118,6 +118,16 @@ def compact_dataset(
         cols = sorted({c for zones in old_manifest.values() for c in zones})
         if cols:
             _zm.build_zonemap(staged, cols)
+    # same contract for the Bloom sidecar: rebuild on the staged files so
+    # point-lookup pruning survives the swap instead of silently
+    # degrading to full scans until the next manual build
+    from big_data_engineering_financial_analysis_spark.sources import bloomskip as _bs
+
+    old_blooms = _bs.load_bloom_index(path)
+    if old_blooms:
+        bcols = sorted({c for blooms in old_blooms.values() for c in blooms})
+        if bcols:
+            _bs.build_bloom_index(staged, bcols)
     # the streaming sink's replay markers (_batches/<id>) must survive
     # compaction: losing them would make a post-compaction crash replay
     # re-append an already-committed micro-batch

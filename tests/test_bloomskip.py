@@ -230,3 +230,28 @@ def test_read_skipped_empty_in_list(spark, tmp_path):
     path = str(tmp_path / "ds")
     _write(spark, path)
     assert bs.read_skipped(spark, path, eq=[("doc_id", [])]).count() == 0
+
+
+def test_compaction_rebuilds_bloom_sidecar(spark, tmp_path):
+    from big_data_engineering_financial_analysis_spark.sources.dataset import (
+        compact_dataset,
+    )
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    keep0, total0 = bs.prune_files_eq(path, "doc_id", [3])
+    assert 0 < len(keep0) < total0
+
+    compact_dataset(spark, path, ["lang"], ["score"], max_records_per_file=80)
+
+    # manifest went live with the swap: covers exactly the new files
+    man = bs.load_bloom_index(path)
+    assert man is not None
+    assert sorted(man) == sorted(
+        os.path.relpath(f, path) for f in bs._data_files(path)
+    )
+    # and still prunes + serves exactly
+    keep1, total1 = bs.prune_files_eq(path, "doc_id", [3])
+    assert 0 < len(keep1) < total1
+    assert _ids(bs.read_point(spark, path, "doc_id", [3])) == [3]

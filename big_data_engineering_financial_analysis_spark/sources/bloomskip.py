@@ -42,8 +42,11 @@ Safety rules (all tested, mirroring zonemap's):
 * manifest entries for deleted files are ignored;
 * NULLs are not inserted into filters — an equality predicate cannot
   match NULL, so a file of all-NULLs is provably skippable;
-* hashing is canonical over the value's string form, so int32/int64
-  and Python int/numpy int probe identically.
+* hashing is canonical over the NUMERIC value, not the carrier type:
+  int32/int64, Python/numpy int, float, Decimal, and numeric strings of
+  the same magnitude probe identically — Spark's ``isin`` casts across
+  these, so ``isin(42)`` on a double column must not skip a file
+  holding 42.0.
 
 The reference has no point-lookup index at all (QuestDB scans the day
 partition, db/init_questdb.sql:20-21); this is the engine-native path a
@@ -68,26 +71,48 @@ DEFAULT_N_BITS = 1 << 16
 DEFAULT_N_HASHES = 7
 
 
+def _num_bytes(f: float) -> bytes:
+    """Canonical bytes for a numeric value: integral magnitudes collapse
+    to the int form (42 == 42.0 == Decimal("42") == "42" under Spark's
+    cast-and-compare equality), everything else to the float repr.
+    inf/nan fall through to the f-path (is_integer() is False for both)."""
+    if f.is_integer():
+        return b"i:" + str(int(f)).encode()
+    return b"f:" + repr(f).encode()
+
+
 def _key_bytes(v: Any) -> bytes:
-    """Canonical probe bytes: ints (any width, numpy or Python) and their
-    string forms hash identically; floats use repr for round-trip fidelity;
-    aware datetimes normalize to UTC-naive so a naive probe against
+    """Canonical probe bytes: NUMERICALLY EQUAL values hash identically
+    regardless of carrier type — int of any width (numpy or Python),
+    float, Decimal, and their string forms — because Spark's ``isin``
+    casts across numeric/string types, so a probe typed differently from
+    the column (``isin(42)`` on a double column) must not false-negative.
+    Aware datetimes normalize to UTC-naive so a naive probe against
     UTC-stamped parquet values (the engine's at-rest convention) cannot
     produce a false negative."""
     import datetime as dt
+    import decimal
 
     if isinstance(v, bool):  # bool is an int subclass — keep it distinct
         return b"b:" + (b"1" if v else b"0")
     if isinstance(v, bytes):
         return b"x:" + v
     if isinstance(v, float):
-        return b"f:" + repr(v).encode()
+        return _num_bytes(v)
+    if isinstance(v, decimal.Decimal):
+        if v.is_finite() and v == v.to_integral_value():
+            return b"i:" + str(int(v)).encode()
+        return _num_bytes(float(v))
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return b"t:" + v.isoformat().encode()
     try:
         return b"i:" + str(int(v)).encode()  # int and numpy integer
+    except (TypeError, ValueError):
+        pass
+    try:
+        return _num_bytes(float(v))  # "42.5" probes a double column
     except (TypeError, ValueError):
         return b"s:" + str(v).encode()
 
@@ -159,19 +184,46 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, final)
 
 
+def _scan_blooms(
+    pairs: list[tuple[str, str]],
+    cols: list[str],
+    n_bits: int,
+    n_hashes: int,
+    spark: SparkSession | None,
+) -> dict:
+    """Compute ``rel -> column blooms`` for (rel, abspath) pairs.  With a
+    session, the per-file column scans — the expensive half; zone maps
+    only read footers, blooms read data — fan out over executors as one
+    RDD map (per-file imperative pyarrow IO, the legitimate RDD case) and
+    only the encoded filters come back: n_files × n_cols × ~n_bits/8
+    bytes, bounded by the same cap that bounds the manifest itself.
+    Driver-sequential fallback for tiny file counts / no session."""
+    if spark is not None and len(pairs) > 1:
+        sc = spark.sparkContext
+        n_slices = min(len(pairs), sc.defaultParallelism)
+        return dict(
+            sc.parallelize(pairs, n_slices)
+            .map(lambda rf: (rf[0], _file_blooms(rf[1], cols, n_bits, n_hashes)))
+            .collect()
+        )
+    return {rel: _file_blooms(fpath, cols, n_bits, n_hashes) for rel, fpath in pairs}
+
+
 def build_bloom_index(
     path: str,
     cols: list[str],
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Scan the indexed columns of every data file and write the sidecar
     manifest.  Cost: one column-projected read per file — run it after
-    `write_sharded` / `compact_dataset`, like `build_zonemap`."""
-    manifest = {
-        os.path.relpath(fpath, path): _file_blooms(fpath, cols, n_bits, n_hashes)
-        for fpath in _data_files(path)
-    }
+    `write_sharded` / `compact_dataset`, like `build_zonemap`.  Pass
+    ``spark`` to distribute the file scans across executors (the build is
+    linear in files; at lake scale the driver should only merge encoded
+    filters, not read data)."""
+    pairs = [(os.path.relpath(f, path), f) for f in _data_files(path)]
+    manifest = _scan_blooms(pairs, cols, n_bits, n_hashes, spark)
     _write_manifest(path, manifest)
     return manifest
 
@@ -181,16 +233,18 @@ def update_bloom_index(
     cols: list[str] | None = None,
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Incremental maintenance: index ONLY files not yet covered, drop
-    entries for deleted files — O(new files), the per-micro-batch call."""
+    entries for deleted files — O(new files), the per-micro-batch call.
+    ``spark`` distributes the new-file scans as in `build_bloom_index`
+    (useful after a compaction rewrote many files at once)."""
     manifest = load_bloom_index(path) or {}
     want = sorted(set(cols or []) | {c for blooms in manifest.values() for c in blooms})
     current = {os.path.relpath(f, path): f for f in _data_files(path)}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}
-    for rel, fpath in current.items():
-        if rel not in manifest:
-            manifest[rel] = _file_blooms(fpath, want, n_bits, n_hashes)
+    todo = [(rel, fpath) for rel, fpath in current.items() if rel not in manifest]
+    manifest.update(_scan_blooms(todo, want, n_bits, n_hashes, spark))
     _write_manifest(path, manifest)
     return manifest
 

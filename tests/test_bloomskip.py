@@ -182,6 +182,66 @@ def test_canonical_key_bytes_cross_type():
     assert bs._key_bytes(aware) == bs._key_bytes(naive)
 
 
+def test_canonical_key_bytes_cross_numeric_type():
+    """Spark's isin casts across numeric/string types (isin(42) matches a
+    double column's 42.0), so numerically-equal values of any carrier type
+    must hash identically — a type-mismatched probe can't false-negative."""
+    import decimal
+
+    import numpy as np
+
+    # integral magnitudes collapse across every carrier
+    forty_two = [42, 42.0, np.float64(42.0), decimal.Decimal("42"), "42", "42.0"]
+    assert len({bs._key_bytes(v) for v in forty_two}) == 1
+    # fractional magnitudes collapse across float / Decimal / string
+    half = [42.5, np.float64(42.5), decimal.Decimal("42.5"), "42.5"]
+    assert len({bs._key_bytes(v) for v in half}) == 1
+    # distinct magnitudes stay distinct
+    assert bs._key_bytes(42) != bs._key_bytes(42.5)
+    assert bs._key_bytes(42) != bs._key_bytes(43)
+    # non-numeric strings keep the string path
+    assert bs._key_bytes("doc-42") != bs._key_bytes(42)
+    # nan/inf don't crash and are self-consistent
+    for weird in (float("nan"), float("inf"), decimal.Decimal("NaN")):
+        assert bs._key_bytes(weird) == bs._key_bytes(weird)
+
+
+def test_distributed_build_matches_sequential(spark, tmp_path):
+    """`build_bloom_index(spark=...)` fans the per-file column scans out
+    over executors; the resulting manifest must be byte-identical to the
+    driver-sequential build (filters are deterministic functions of file
+    contents), and update_bloom_index(spark=...) must fill gaps the same
+    way."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    seq = bs.build_bloom_index(path, ["doc_id", "title"])
+    dist = bs.build_bloom_index(path, ["doc_id", "title"], spark=spark)
+    assert dist == seq and len(dist) > 4
+
+    # drop half the entries, re-fill distributed: identical again
+    partial = {rel: b for i, (rel, b) in enumerate(sorted(seq.items())) if i % 2}
+    bs._write_manifest(path, partial)
+    refilled = bs.update_bloom_index(path, ["doc_id", "title"], spark=spark)
+    assert refilled == seq
+
+    got = bs.read_point(spark, path, "doc_id", [3, 77])
+    exp = spark.read.parquet(path).filter(F.col("doc_id").isin([3, 77]))
+    assert _ids(got) == _ids(exp)
+
+
+def test_point_read_int_probe_on_double_column(spark, tmp_path):
+    """End-to-end: probing the double `score` column with Python ints must
+    return exactly what full-scan + isin returns (isin casts int->double),
+    i.e. the bloom may skip files but never the matching ones."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["score"])
+    got = bs.read_point(spark, path, "score", [3, 77])
+    exp = spark.read.parquet(path).filter(F.col("score").isin([3, 77]))
+    assert _ids(got) == _ids(exp)
+    assert len(_ids(got)) > 0  # the probe actually matches rows
+
+
 def test_combined_pruning_beats_each_index_alone(spark, tmp_path):
     import datetime as dt
 

@@ -215,6 +215,62 @@ def resize_assets(assets: DataFrame, max_dim: int = 224) -> DataFrame:
     return assets.mapInPandas(op, schema=ASSET_SCHEMA)
 
 
+FEATURE_DIM = 64
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic unit-norm vector from payload bytes: md5 in counter
+    mode expands the payload digest to ``dim`` floats in [-1, 1), then L2
+    normalization.  A pure function of the payload, so byte-identical
+    media embed identically — the property the dedup/ANN tests lean on."""
+    seed = hashlib.md5(payload).digest()
+    raw: list[int] = []
+    counter = 0
+    while len(raw) < dim:
+        block = hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+        raw.extend(
+            int.from_bytes(block[j : j + 4], "big") for j in range(0, 16, 4)
+        )
+        counter += 1
+    vals = [(v / 2**31) - 1.0 for v in raw[:dim]]
+    norm = sum(v * v for v in vals) ** 0.5 or 1.0
+    return [v / norm for v in vals]
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Per-asset feature vectors — the ENCODER stage of a multimodal
+    pipeline (CLIP image tower, wav2vec audio, mean-pooled video frames).
+
+    A real build decodes the payload and runs a model forward pass inside
+    this Arrow batch loop; this container has neither codecs nor model
+    weights, so features are stood in by :func:`_fake_features` — still a
+    pure deterministic function of the payload, which is the contract
+    everything downstream needs: fixed ``dim``, ``array<float>``,
+    unit L2 norm, identical payloads ⇒ identical vectors.  The output
+    column is drop-in for the embedding operators
+    (`operators.similarity.cosine_topk`, `embedding_dedup`, IVF/PQ):
+    multimodal ingest → encode → similarity search with no schema
+    adapter.  Row-local mapInPandas, no shuffle — parallelism is input
+    splits, exactly how a GPU-executor encode stage partitions at scale.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "feature": [
+                        _fake_features(bytes(p), dim) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(
+        op, schema="asset_id long, modality string, feature array<float>"
+    )
+
+
 def payload_stats(assets: DataFrame) -> DataFrame:
     """Pure-relational stats over binary columns (no Python): byte length
     and hex-prefix groupings — proves binary columns behave as first-class

@@ -112,3 +112,43 @@ def test_resized_dims_rule():
     assert mm._resized_dims(112, 176, 100) == (63, 100)
     assert mm._resized_dims(50, 40, 100) == (50, 40)  # never upscale
     assert mm._resized_dims(4000, 1, 100) == (100, 1)  # floor clamps to 1
+
+
+def test_extract_features_contract(assets, spark):
+    """Encoder-stage contract: fixed dim, float32 array, unit L2 norm,
+    pure function of payload (identical payloads embed identically,
+    distinct payloads don't)."""
+    import math
+
+    feats = mm.extract_features(assets, dim=32).toPandas()
+    assert len(feats) == 48
+    assert feats["feature"].map(len).eq(32).all()
+    for vec in feats["feature"].head(8):
+        assert math.isclose(math.fsum(float(v) ** 2 for v in vec), 1.0, rel_tol=1e-5)
+    # determinism across independent runs
+    again = mm.extract_features(assets, dim=32).toPandas()
+    a = feats.sort_values("asset_id")["feature"].map(tuple).tolist()
+    b = again.sort_values("asset_id")["feature"].map(tuple).tolist()
+    assert a == b
+    assert len(set(a)) == len(a)  # distinct payloads -> distinct vectors
+
+
+def test_extract_features_feeds_similarity_search(assets, spark):
+    """Multimodal ingest -> encode -> ANN, no schema adapter: a byte-
+    identical duplicate asset must come back as its source's top-1
+    neighbor at cosine 1.0 through operators.similarity.cosine_topk."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.operators.similarity import cosine_topk
+
+    dup = assets.filter(F.col("asset_id") == 3).withColumn(
+        "asset_id", F.lit(1003).cast("long")
+    )
+    corpus = (
+        mm.extract_features(assets.unionByName(dup))
+        .select(F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    )
+    top = cosine_topk(corpus, query_ids=[1003], k=1).collect()
+    assert len(top) == 1
+    assert top[0].neighbor_id == 3
+    assert top[0].cos_sim == 1.0

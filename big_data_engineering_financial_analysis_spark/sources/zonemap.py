@@ -71,7 +71,12 @@ def _decode(v: Any):
 
 def _data_files(path: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # mirror Spark's file-index convention: a `_`/`.`-prefixed
+        # DIRECTORY is metadata, not data — never descend (else snapshot
+        # trees under _snapshots/ would double-count into zone/bloom
+        # manifests and prune decisions)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(os.path.join(root, f))

@@ -71,6 +71,7 @@ def compact_dataset(
     partition_cols: list[str],
     sort_cols: list[str],
     max_records_per_file: int | None = None,
+    snapshot_before: bool = False,
 ) -> None:
     """Rewrite a dataset into consolidated, re-sorted files.
 
@@ -90,11 +91,21 @@ def compact_dataset(
       restores it before doing anything else.
     * crash after the second rename leaves a stale aside copy; it is
       deleted on the next call.
+
+    ``snapshot_before=True`` pins the pre-compaction file set as a
+    snapshot version first (`sources/snapshots.py` — hardlinks, zero data
+    bytes), making the compaction fully REVERSIBLE and giving in-flight
+    pinned readers a tree the swap cannot disturb; expire it with
+    :func:`snapshots.expire_snapshots` once the new layout is trusted.
     """
     import shutil
     import tempfile
 
     recover_compaction(path)
+    if snapshot_before:
+        from big_data_engineering_financial_analysis_spark.sources import snapshots as _sn
+
+        _sn.commit_snapshot(path, note="pre-compaction")
     parent = os.path.dirname(os.path.abspath(path))
     # prefix carries the dataset name so recover_compaction of one dataset
     # never reaps a sibling dataset's in-flight stage in a shared parent

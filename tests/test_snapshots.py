@@ -142,6 +142,19 @@ def test_snapshot_tree_invisible_to_live_scans_and_indexes(spark, tmp_path):
     assert len(zm._data_files(path)) == n_files_before
 
 
+def test_compaction_snapshot_before_makes_it_reversible(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path, 0, 120)
+    compact_dataset(spark, path, ["lang"], ["score"], snapshot_before=True)
+    versions = sn.snapshot_versions(path)
+    assert len(versions) == 1
+    assert sn.snapshot_meta(path, versions[0])["note"] == "pre-compaction"
+    # the pinned pre-compaction rows equal the post-compaction live rows
+    assert _ids(sn.read_snapshot(spark, path, versions[0])) == _ids(
+        spark.read.parquet(path)
+    )
+
+
 def test_crash_safety_and_remote_path_rejected(spark, tmp_path):
     path = str(tmp_path / "ds")
     _write(spark, path, 0, 50)

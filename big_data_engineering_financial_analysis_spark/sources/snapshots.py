@@ -81,7 +81,9 @@ def _check_local(path: str) -> str:
 
 
 def _snap_root(path: str) -> str:
-    return os.path.abspath(path).rstrip("/") + "." + SNAP_DIR.lstrip("_")
+    # `<path>._snapshots` — same sibling-suffix convention as the
+    # compactor's `<path>._pre_compact` aside
+    return os.path.abspath(path).rstrip("/") + "." + SNAP_DIR
 
 
 def snapshot_versions(path: str) -> list[int]:

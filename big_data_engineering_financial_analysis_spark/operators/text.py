@@ -368,6 +368,72 @@ def page_scrub_ok(text_col: str = "text") -> Column:
     )
 
 
+# --- PII redaction --------------------------------------------------------
+#
+# The standard pre-training privacy stage (BigScience ROOTS-style): replace
+# well-formed PII spans with typed tags rather than dropping documents.
+# Heuristic by nature; patterns err toward OVER-redaction (losing a token
+# of text) because the failure direction that matters is leaking PII into
+# a training corpus, never the reverse.  Unlike the C4 patterns above,
+# these are not substituted into SQL templates, so they use {m,n}
+# quantifiers freely — semantics are identical in Java regex (Spark) and
+# RE2 (DuckDB): plain classes, groups, and bounded repeats only (no
+# backreferences or lookaround, which RE2 lacks).
+
+#: dotted quad; octet ranges deliberately unchecked (over-redaction-safe).
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+#: three shapes, ordered from least to most ambiguous; spaces are only
+#: legal separators in the UNambiguous shapes so dates and timestamps
+#: ("2024-01-05 12:00") survive:
+#: 1. leading "+" (international): digits with any ( ) . - space mix;
+#: 2. "(NNN…)" area code (≤4 digits, closed) then ≥6 more digits;
+#: 3. bare run of 9-15 digits with single ( ) . - separators (no spaces —
+#:    the 9-digit floor keeps 8-digit ISO dates out).
+#: IPs are redacted before phones so dotted quads never double-count.
+PHONE_RE = (
+    "(\\+[0-9][0-9() .\\-]{6,18}[0-9])"
+    "|(\\([0-9]{1,4}\\)[ .\\-]?([0-9][() .\\-]?){5,13}[0-9])"
+    "|(([0-9][().\\-]?){8,14}[0-9])"
+)
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed PII redaction: emails → ``<EMAIL>``, dotted quads → ``<IP>``,
+    phone-like digit runs → ``<PHONE>``, plus per-type counts and a
+    ``pii_ok`` flag for gate composition (`page_scrub_ok` style).
+
+    Counting and redaction run SEQUENTIALLY (emails, then IPs on the
+    email-redacted text, then phones on the IP-redacted text) so each
+    count is exactly the number of spans its stage redacted — an IP's
+    digits can never also be counted as a phone.  All stages are native
+    ``regexp_count`` / ``regexp_replace`` expressions: row-local, no
+    shuffle, no Python, whole-stage-codegen at 100 TB; each reproduces
+    verbatim in DuckDB (RE2 and Java regex agree on this pattern subset,
+    asserted oracle-style in tests/test_text_pii.py).
+
+    The reference has no privacy stage at all; this is part of the
+    training-data extension surface (same family as `with_scrub`).
+    """
+    c = F.col(text_col)
+    t1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    n_emails = F.regexp_count(c, F.lit(EMAIL_RE))
+    n_ips = F.regexp_count(t1, F.lit(IPV4_RE))
+    n_phones = F.regexp_count(t2, F.lit(PHONE_RE))
+    return (
+        df.withColumn("n_emails", n_emails.cast("long"))
+        .withColumn("n_ips", n_ips.cast("long"))
+        .withColumn("n_phones", n_phones.cast("long"))
+        .withColumn("text_redacted", t3)
+        .withColumn(
+            "pii_ok",
+            ((n_emails == 0) & (n_ips == 0) & (n_phones == 0)).cast("int"),
+        )
+    )
+
+
 DECONTAM_SHINGLE = 5
 
 

@@ -61,18 +61,10 @@ def sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
     rows in QuestDB — so serving-time range reads need no window
     recomputation.  Deterministic and idempotent per (sf_dir) call.
     """
-    import os
-    import tempfile
-
     from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
     from big_data_engineering_financial_analysis_spark.sources.zonemap import build_zonemap
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "bdefa_sharded",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "stock_data",
-    )
+    path = _serving_store_path(sf_dir)
     enriched = _enriched(spark, sf_dir, SHARD_SYMBOLS)
     write_sharded(
         enriched,
@@ -96,10 +88,7 @@ def ensure_sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
     import json
     import os
 
-    path = os.path.join(
-        tempfile_dir(), "bdefa_sharded",
-        os.path.basename(os.path.normpath(sf_dir)), "stock_data",
-    )
+    path = _serving_store_path(sf_dir)
     marker = os.path.join(path, "_ready.json")
     want = {"symbols": SHARD_SYMBOLS, "max_records": SHARD_MAX_RECORDS}
     try:
@@ -114,10 +103,21 @@ def ensure_sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def tempfile_dir() -> str:
+def _serving_store_path(sf_dir: str) -> str:
+    """THE serving-store location for ``sf_dir`` — single definition so
+    the writer (`sharded_panel_dataset`) and the ensure-marker guard
+    (`ensure_sharded_panel_dataset`) can never drift apart: the marker's
+    whole contract is that it guards exactly the directory the writer
+    wrote."""
+    import os
     import tempfile
 
-    return tempfile.gettempdir()
+    return os.path.join(
+        tempfile.gettempdir(),
+        "bdefa_sharded",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "stock_data",
+    )
 
 
 #: zone-map time bounds each panel's SQL carries (the pinned dashboard

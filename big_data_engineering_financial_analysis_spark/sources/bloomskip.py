@@ -42,11 +42,13 @@ Safety rules (all tested, mirroring zonemap's):
 * manifest entries for deleted files are ignored;
 * NULLs are not inserted into filters — an equality predicate cannot
   match NULL, so a file of all-NULLs is provably skippable;
-* hashing is canonical over the NUMERIC value, not the carrier type:
-  int32/int64, Python/numpy int, float, Decimal, and numeric strings of
-  the same magnitude probe identically — Spark's ``isin`` casts across
-  these, so ``isin(42)`` on a double column must not skip a file
-  holding 42.0.
+* hashing is canonical over the VALUE, not the carrier type — Spark's
+  ``isin`` casts across types, so a type-mismatched probe must never
+  skip a file a full scan + filter would match: int32/int64, Python/
+  numpy int, float, Decimal, and numeric strings of the same magnitude
+  probe identically (``isin(42)`` on a double column finds 42.0), and
+  date / datetime / ISO-string carriers of the same instant probe
+  identically (a pure date equals its midnight timestamp).
 
 The reference has no point-lookup index at all (QuestDB scans the day
 partition, db/init_questdb.sql:20-21); this is the engine-native path a
@@ -81,15 +83,28 @@ def _num_bytes(f: float) -> bytes:
     return b"f:" + repr(f).encode()
 
 
+def _temporal_bytes(v) -> bytes:
+    """Canonical bytes for date/datetime carriers: aware values normalize
+    to UTC-naive, and a pure date equals its midnight timestamp (Spark's
+    cast-and-compare treats them as equal), so date / datetime / ISO-string
+    probes of the same instant hash identically."""
+    import datetime as dt
+
+    if v.tzinfo is not None:
+        v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return b"t:" + v.isoformat().encode()
+
+
 def _key_bytes(v: Any) -> bytes:
     """Canonical probe bytes: NUMERICALLY EQUAL values hash identically
     regardless of carrier type — int of any width (numpy or Python),
     float, Decimal, and their string forms — because Spark's ``isin``
     casts across numeric/string types, so a probe typed differently from
     the column (``isin(42)`` on a double column) must not false-negative.
-    Aware datetimes normalize to UTC-naive so a naive probe against
-    UTC-stamped parquet values (the engine's at-rest convention) cannot
-    produce a false negative."""
+    Temporal carriers canonicalize the same way (date ≡ midnight
+    timestamp ≡ its ISO string; aware values normalize to UTC-naive), so
+    ``isin(date(2024,1,5))`` on a TIMESTAMP column — which Spark matches
+    by cast — cannot skip the file holding it."""
     import datetime as dt
     import decimal
 
@@ -104,15 +119,22 @@ def _key_bytes(v: Any) -> bytes:
             return b"i:" + str(int(v)).encode()
         return _num_bytes(float(v))
     if isinstance(v, dt.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
-        return b"t:" + v.isoformat().encode()
+        return _temporal_bytes(v)
+    if isinstance(v, dt.date):  # date ≡ midnight timestamp under Spark's cast
+        return _temporal_bytes(dt.datetime(v.year, v.month, v.day))
     try:
         return b"i:" + str(int(v)).encode()  # int and numpy integer
     except (TypeError, ValueError):
         pass
     try:
         return _num_bytes(float(v))  # "42.5" probes a double column
+    except (TypeError, ValueError):
+        pass
+    try:
+        # ISO date/timestamp strings probe DATE/TIMESTAMP columns (Spark
+        # casts string->timestamp in isin); same canonical form as the
+        # typed branches so '2024-01-05' == date(2024,1,5) == midnight ts
+        return _temporal_bytes(dt.datetime.fromisoformat(str(v).replace(" ", "T")))
     except (TypeError, ValueError):
         return b"s:" + str(v).encode()
 
@@ -155,24 +177,40 @@ class _Bloom:
         return cls(obj["m"], obj["k"], bytearray(base64.b64decode(obj["bits"])))
 
 
-def _file_blooms(fpath: str, cols: list[str], n_bits: int, n_hashes: int) -> dict:
+def _file_blooms(fpath: str, sizing: dict[str, tuple[int, int]]) -> dict:
     """One file's column scan: column -> encoded filter / absent (column
-    missing from the file — e.g. a Hive partition column — keeps the file)."""
+    missing from the file — e.g. a Hive partition column — keeps the
+    file).  ``sizing`` maps column -> (n_bits, n_hashes), so a hot
+    point-lookup column deliberately upsized stays upsized on rebuild."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(fpath)
-    present = [c for c in cols if c in pf.schema_arrow.names]
+    present = [c for c in sizing if c in pf.schema_arrow.names]
     out: dict[str, Any] = {}
     if not present:
         return out
     table = pf.read(columns=present)
     for col in present:
+        n_bits, n_hashes = sizing[col]
         bloom = _Bloom(n_bits, n_hashes)
         for v in table.column(col).to_pylist():
             if v is not None:  # equality can never match NULL
                 bloom.add(v)
         out[col] = bloom.encode()
     return out
+
+
+def _sizing_from_manifest(manifest: dict) -> dict[str, tuple[int, int]]:
+    """Per-column (n_bits, n_hashes) observed in an existing manifest —
+    max m per column, with its k — so maintenance rebuilds (compaction,
+    incremental updates) preserve deliberate per-column upsizing instead
+    of silently resetting to the defaults."""
+    sizing: dict[str, tuple[int, int]] = {}
+    for blooms in manifest.values():
+        for col, enc in blooms.items():
+            if col not in sizing or enc["m"] > sizing[col][0]:
+                sizing[col] = (enc["m"], enc["k"])
+    return sizing
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -186,9 +224,7 @@ def _write_manifest(path: str, manifest: dict) -> None:
 
 def _scan_blooms(
     pairs: list[tuple[str, str]],
-    cols: list[str],
-    n_bits: int,
-    n_hashes: int,
+    sizing: dict[str, tuple[int, int]],
     spark: SparkSession | None,
 ) -> dict:
     """Compute ``rel -> column blooms`` for (rel, abspath) pairs.  With a
@@ -203,10 +239,10 @@ def _scan_blooms(
         n_slices = min(len(pairs), sc.defaultParallelism)
         return dict(
             sc.parallelize(pairs, n_slices)
-            .map(lambda rf: (rf[0], _file_blooms(rf[1], cols, n_bits, n_hashes)))
+            .map(lambda rf: (rf[0], _file_blooms(rf[1], sizing)))
             .collect()
         )
-    return {rel: _file_blooms(fpath, cols, n_bits, n_hashes) for rel, fpath in pairs}
+    return {rel: _file_blooms(fpath, sizing) for rel, fpath in pairs}
 
 
 def build_bloom_index(
@@ -215,15 +251,18 @@ def build_bloom_index(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
     spark: SparkSession | None = None,
+    sizing: dict[str, tuple[int, int]] | None = None,
 ) -> dict:
     """Scan the indexed columns of every data file and write the sidecar
     manifest.  Cost: one column-projected read per file — run it after
     `write_sharded` / `compact_dataset`, like `build_zonemap`.  Pass
     ``spark`` to distribute the file scans across executors (the build is
     linear in files; at lake scale the driver should only merge encoded
-    filters, not read data)."""
+    filters, not read data).  ``sizing`` overrides (n_bits, n_hashes)
+    per column — how a rebuild preserves a hot column's upsized filter."""
+    full_sizing = {c: (n_bits, n_hashes) for c in cols} | (sizing or {})
     pairs = [(os.path.relpath(f, path), f) for f in _data_files(path)]
-    manifest = _scan_blooms(pairs, cols, n_bits, n_hashes, spark)
+    manifest = _scan_blooms(pairs, full_sizing, spark)
     _write_manifest(path, manifest)
     return manifest
 
@@ -238,13 +277,19 @@ def update_bloom_index(
     """Incremental maintenance: index ONLY files not yet covered, drop
     entries for deleted files — O(new files), the per-micro-batch call.
     ``spark`` distributes the new-file scans as in `build_bloom_index`
-    (useful after a compaction rewrote many files at once)."""
+    (useful after a compaction rewrote many files at once).  Columns
+    already present in the manifest keep their OBSERVED (m, k) — a
+    deliberately upsized hot column is never silently reset to the
+    defaults; ``n_bits``/``n_hashes`` apply only to newly-requested
+    columns."""
     manifest = load_bloom_index(path) or {}
-    want = sorted(set(cols or []) | {c for blooms in manifest.values() for c in blooms})
+    sizing = {c: (n_bits, n_hashes) for c in (cols or [])} | _sizing_from_manifest(
+        manifest
+    )
     current = {os.path.relpath(f, path): f for f in _data_files(path)}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}
     todo = [(rel, fpath) for rel, fpath in current.items() if rel not in manifest]
-    manifest.update(_scan_blooms(todo, want, n_bits, n_hashes, spark))
+    manifest.update(_scan_blooms(todo, sizing, spark))
     _write_manifest(path, manifest)
     return manifest
 

@@ -136,9 +136,15 @@ def compact_dataset(
 
     old_blooms = _bs.load_bloom_index(path)
     if old_blooms:
-        bcols = sorted({c for blooms in old_blooms.values() for c in blooms})
-        if bcols:
-            _bs.build_bloom_index(staged, bcols)
+        # preserve each column's observed (m, k) — an upsized hot column
+        # must not reset to defaults — and distribute the rebuild: this
+        # is the largest bloom scan the system performs (every staged
+        # file), exactly what the executor-parallel path exists for
+        sizing = _bs._sizing_from_manifest(old_blooms)
+        if sizing:
+            _bs.build_bloom_index(
+                staged, sorted(sizing), spark=spark, sizing=sizing
+            )
     # the streaming sink's replay markers (_batches/<id>) must survive
     # compaction: losing them would make a post-compaction crash replay
     # re-append an already-committed micro-batch

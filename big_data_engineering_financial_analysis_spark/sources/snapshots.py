@@ -71,13 +71,13 @@ _SIDECARS = ("_zonemap.json", "_bloomskip.json")
 
 
 def _check_local(path: str) -> str:
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            "snapshots require a driver-local dataset path (hardlink "
-            f"manifests); got {path!r} — on object stores use a table "
-            "format (Iceberg/Delta) for this role"
-        )
-    return path.removeprefix("file://")
+    from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
+
+    return check_local(
+        path, "snapshots",
+        why="hardlink manifests — on object stores use a table format "
+        "(Iceberg/Delta) for this role",
+    )
 
 
 def _snap_root(path: str) -> str:

@@ -124,14 +124,13 @@ def incremental_dedup_sink(
     """
     import os
 
-    if "://" in store_path and not store_path.startswith("file://"):
-        raise ValueError(
-            "incremental_dedup_sink requires a driver-local store_path; "
-            f"got {store_path!r} (store discovery and replay markers use "
-            "local-filesystem IO — a remote URI would silently bootstrap "
-            "an empty store every batch)"
-        )
-    store_path = store_path.removeprefix("file://")
+    from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
+
+    store_path = check_local(
+        store_path, "incremental_dedup_sink",
+        why="store discovery and replay markers use local-filesystem IO — "
+        "a remote URI would silently bootstrap an empty store every batch",
+    )
 
     from pyspark.sql import types as T
 
@@ -152,6 +151,7 @@ def incremental_dedup_sink(
             return  # replayed batch: already committed
         spark = batch_df.sparkSession
         sig_dir = os.path.join(store_path, "sigs")
+        _recover_store_compaction(sig_dir)  # crashed compaction ≠ empty store
         if os.path.isdir(sig_dir) and any(
             f.endswith(".parquet") for f in os.listdir(sig_dir)
         ):
@@ -170,6 +170,28 @@ def incremental_dedup_sink(
         os.makedirs(marker, exist_ok=True)
 
     return write_batch
+
+
+def _recover_store_compaction(store_dir: str) -> None:
+    """Heal a crashed store compaction (same protocol as
+    ``sources/dataset.recover_compaction``): a crash between the two
+    renames leaves only ``<dir>._pre_compact`` — restore it; a crash
+    after the swap leaves a superseded aside — delete it; a crash before
+    the first rename leaves a dead stage — delete it.  Called by the
+    compactor AND by every sink's store discovery, so a crashed
+    compaction can never make the store "look empty" and silently
+    disable history dedup."""
+    import os
+    import shutil
+
+    aside = store_dir + "._pre_compact"
+    if os.path.exists(aside):
+        if os.path.exists(store_dir):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, store_dir)
+    staged = store_dir + "._compact_stage"
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def compact_signature_store(
@@ -205,18 +227,24 @@ def compact_signature_store(
 
     Returns ``{"rows_before": n, "rows_after": m}``.  Driver-local
     ``store_path`` only (same contract as :func:`incremental_dedup_sink`).
+
+    Crash recovery (the other half of the compact_dataset protocol): a
+    crash between the two renames leaves only ``sigs._pre_compact``;
+    :func:`_recover_store_compaction` restores it — and runs from BOTH
+    this compactor and every sink's store discovery, so a crashed
+    compaction can never present as an empty store and silently disable
+    history dedup.
     """
     import os
     import shutil
 
     from pyspark.sql import functions as SF
 
-    if "://" in store_path and not store_path.startswith("file://"):
-        raise ValueError(
-            f"compact_signature_store requires a driver-local store_path; got {store_path!r}"
-        )
-    store_path = store_path.removeprefix("file://")
+    from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
+
+    store_path = check_local(store_path, "compact_signature_store")
     sig_dir = os.path.join(store_path, "sigs")
+    _recover_store_compaction(sig_dir)
     if not os.path.isdir(sig_dir) or not any(
         f.endswith(".parquet") for f in os.listdir(sig_dir)
     ):
@@ -234,11 +262,9 @@ def compact_signature_store(
     kept = kept.select(id_col, "minhash_sig")
 
     staged = sig_dir + "._compact_stage"
-    shutil.rmtree(staged, ignore_errors=True)
     kept.write.mode("overwrite").parquet(staged)
     rows_after = spark.read.parquet(staged).count()
     aside = sig_dir + "._pre_compact"
-    shutil.rmtree(aside, ignore_errors=True)
     os.rename(sig_dir, aside)
     os.rename(staged, sig_dir)
     shutil.rmtree(aside)
@@ -309,14 +335,13 @@ def incremental_cluster_sink(
     """
     import os
 
-    if "://" in store_path and not store_path.startswith("file://"):
-        raise ValueError(
-            "incremental_cluster_sink requires a driver-local store_path; "
-            f"got {store_path!r} (store discovery and replay markers use "
-            "local-filesystem IO — a remote URI would silently bootstrap "
-            "an empty store every batch)"
-        )
-    store_path = store_path.removeprefix("file://")
+    from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
+
+    store_path = check_local(
+        store_path, "incremental_cluster_sink",
+        why="store discovery and replay markers use local-filesystem IO — "
+        "a remote URI would silently bootstrap an empty store every batch",
+    )
 
     from pyspark.sql import types as T
 
@@ -346,6 +371,7 @@ def incremental_cluster_sink(
         spark = batch_df.sparkSession
         sig_dir = os.path.join(store_path, "sigs")
         labels_dir = os.path.join(store_path, "labels")
+        _recover_store_compaction(sig_dir)  # crashed compaction ≠ empty store
         if os.path.isdir(sig_dir) and any(
             f.endswith(".parquet") for f in os.listdir(sig_dir)
         ):

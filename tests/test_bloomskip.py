@@ -206,6 +206,56 @@ def test_canonical_key_bytes_cross_numeric_type():
         assert bs._key_bytes(weird) == bs._key_bytes(weird)
 
 
+def test_canonical_key_bytes_cross_temporal_type():
+    """Spark's cast-and-compare matches a DATE row against a datetime
+    probe (and vice versa), and casts ISO strings to timestamps — so all
+    carriers of the same instant must hash identically."""
+    import datetime as dt
+
+    midnight = [
+        dt.date(2024, 1, 5),
+        dt.datetime(2024, 1, 5),
+        dt.datetime(2024, 1, 5, tzinfo=dt.timezone.utc),
+        "2024-01-05",
+        "2024-01-05 00:00:00",
+        "2024-01-05T00:00:00",
+    ]
+    assert len({bs._key_bytes(v) for v in midnight}) == 1
+    noon = [
+        dt.datetime(2024, 1, 5, 12, 0),
+        "2024-01-05 12:00:00",
+        dt.datetime(2024, 1, 5, 14, 0, tzinfo=dt.timezone(dt.timedelta(hours=2))),
+    ]
+    assert len({bs._key_bytes(v) for v in noon}) == 1
+    assert bs._key_bytes(noon[0]) != bs._key_bytes(midnight[0])
+    # non-temporal strings keep their own paths
+    assert bs._key_bytes("12:00:00") == b"s:12:00:00"
+
+
+def test_point_read_date_probe_on_timestamp_column(spark, tmp_path):
+    """End-to-end regression for the temporal false negative: probing a
+    TIMESTAMP column with a datetime.date must return exactly what
+    full-scan + isin returns (Spark matches midnight rows by cast)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "ts_ds")
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 20), f"sym{i % 5}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, sym string")
+    write_sharded(df, path, partition_cols=["sym"], sort_cols=["doc_id"],
+                  max_records_per_file=20)
+    bs.build_bloom_index(path, ["ts"])
+    probe = dt.date(2024, 1, 5)
+    got = bs.read_point(spark, path, "ts", [probe])
+    exp = spark.read.parquet(path).filter(F2.col("ts").isin([probe]))
+    got_ids = sorted(r.doc_id for r in got.collect())
+    exp_ids = sorted(r.doc_id for r in exp.collect())
+    assert got_ids == exp_ids and len(exp_ids) > 0
+
+
 def test_distributed_build_matches_sequential(spark, tmp_path):
     """`build_bloom_index(spark=...)` fans the per-file column scans out
     over executors; the resulting manifest must be byte-identical to the
@@ -226,6 +276,34 @@ def test_distributed_build_matches_sequential(spark, tmp_path):
 
     got = bs.read_point(spark, path, "doc_id", [3, 77])
     exp = spark.read.parquet(path).filter(F.col("doc_id").isin([3, 77]))
+    assert _ids(got) == _ids(exp)
+
+
+def test_maintenance_preserves_per_column_sizing(spark, tmp_path):
+    """A hot column deliberately upsized (n_bits) must keep its size
+    through update_bloom_index (new files) and compact_dataset (full
+    rebuild) — never silently reset to the defaults."""
+    from big_data_engineering_financial_analysis_spark.sources.dataset import compact_dataset
+
+    path = str(tmp_path / "ds")
+    df = _write(spark, path)
+    big = bs.DEFAULT_N_BITS * 4
+    bs.build_bloom_index(path, ["doc_id"], n_bits=big, n_hashes=9)
+
+    def sizes(manifest):
+        return {(b["m"], b["k"]) for e in manifest.values() for b in e.values()}
+
+    # append new files, then incremental update: new entries same size
+    df.limit(40).write.mode("append").parquet(path + "/lang=zz")
+    m = bs.update_bloom_index(path)
+    assert sizes(m) == {(big, 9)}
+
+    # compaction rebuild: sizing survives the swap
+    compact_dataset(spark, path, ["lang"], ["score"], max_records_per_file=50)
+    m2 = bs.load_bloom_index(path)
+    assert m2 and sizes(m2) == {(big, 9)}
+    got = bs.read_point(spark, path, "doc_id", [3])
+    exp = spark.read.parquet(path).filter(F.col("doc_id") == 3)
     assert _ids(got) == _ids(exp)
 
 

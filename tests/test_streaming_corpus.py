@@ -341,6 +341,45 @@ def test_signature_compaction_dedupe_is_decision_invariant(spark, tmp_path):
     assert decide(plain_store) == decide(compact_store)
 
 
+def test_crashed_compaction_recovers_not_empty(spark, tmp_path):
+    """A crash between compact_signature_store's two renames leaves only
+    sigs._pre_compact.  Both the next compaction AND the next sink batch
+    must restore it — never bootstrap an empty store (which would
+    silently disable all history dedup)."""
+    import os
+    import shutil
+
+    from big_data_engineering_financial_analysis_spark.operators import dedup as ded
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").limit(60)
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}/sigs", exist_ok=True)
+    ded.minhash_signatures(docs.select("doc_id", "text")).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/sigs")
+    n_rows = spark.read.parquet(f"{store}/sigs").count()
+
+    # simulate the crash window: sigs renamed aside, replacement missing
+    os.rename(f"{store}/sigs", f"{store}/sigs._pre_compact")
+
+    # sink discovery heals it: an exact-duplicate arrival is flagged,
+    # proving the history was restored, not bootstrapped empty
+    dup_arrivals = docs.selectExpr("doc_id + 5000000 AS doc_id", "text").limit(5)
+    out = str(tmp_path / "dec")
+    corpus.incremental_dedup_sink(store, out, threshold=0.5)(dup_arrivals, 0)
+    decided = {r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
+    assert decided and all(v == 1 for v in decided.values())
+    assert not os.path.exists(f"{store}/sigs._pre_compact")
+
+    # crash after the swap: superseded aside + dead stage are reaped
+    shutil.copytree(f"{store}/sigs", f"{store}/sigs._pre_compact")
+    os.makedirs(f"{store}/sigs._compact_stage")
+    stats = corpus.compact_signature_store(spark, store)
+    assert stats["rows_before"] >= n_rows  # read the LIVE store, not the aside
+    assert not os.path.exists(f"{store}/sigs._pre_compact")
+    assert not os.path.exists(f"{store}/sigs._compact_stage")
+
+
 def test_signature_compaction_watermark_horizon(spark, tmp_path):
     """retain_min_id eviction: decisions whose partners are in-horizon
     are untouched; an arrival whose ONLY near-duplicate was evicted is

@@ -92,6 +92,41 @@ def test_duckdb_oracle_parity_on_documents(spark):
         assert got[col].tolist() == exp[col].tolist(), col
 
 
+def test_phone_pattern_properties():
+    """Hypothesis sweep of the date/phone boundary in pure Python (same
+    Java-compatible RE2 subset, so `re` agrees with both engines):
+    ISO dates, datetimes, and semver strings are NEVER redacted; compact
+    digit runs of 9-15 digits ALWAYS are."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pat = re.compile(tx.PHONE_RE)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        y=st.integers(1900, 2099), mo=st.integers(1, 12), d=st.integers(1, 28),
+        h=st.integers(0, 23), mi=st.integers(0, 59), s=st.integers(0, 59),
+    )
+    def dates_survive(y, mo, d, h, mi, s):
+        for text in (
+            f"{y:04d}-{mo:02d}-{d:02d}",
+            f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}",
+            f"v{y % 100}.{mo}.{d}",
+        ):
+            assert pat.search(text) is None, text
+
+    @settings(max_examples=200, deadline=None)
+    @given(digits=st.text(alphabet="0123456789", min_size=9, max_size=15))
+    def digit_runs_redact(digits):
+        m = pat.search(f"id {digits} end")
+        assert m is not None and m.group(0) == digits
+
+    dates_survive()
+    digit_runs_redact()
+
+
 def test_gate_composition_is_pushable(spark):
     """pii_ok composes as a scan-level gate: the filtered plan contains no
     Python and no shuffle (row-local expressions only)."""

@@ -72,6 +72,15 @@ MANIFEST_NAME = "_bloomskip.json"
 DEFAULT_N_BITS = 1 << 16
 DEFAULT_N_HASHES = 7
 
+#: bump whenever _key_bytes canonicalization changes: a manifest built
+#: under a DIFFERENT hashing scheme would probe different bit positions
+#: than the build inserted — i.e. false negatives, the one failure mode
+#: this module must never have.  load_bloom_index treats a format
+#: mismatch (including legacy untagged manifests) as "no manifest":
+#: full scan until the next build/update rewrites it — slower, never
+#: wrong.
+KEY_FORMAT = 2  # 2 = value-canonical numeric + temporal hashing (r7)
+
 
 def _num_bytes(f: float) -> bytes:
     """Canonical bytes for a numeric value: integral magnitudes collapse
@@ -214,11 +223,13 @@ def _sizing_from_manifest(manifest: dict) -> dict[str, tuple[int, int]]:
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic swap, same contract as zonemap._write_manifest."""
+    """Atomic swap, same contract as zonemap._write_manifest.  The file
+    carries the key-hashing format tag so a manifest written under an
+    older canonicalization is never probed with the newer one."""
     final = os.path.join(path, MANIFEST_NAME)
     tmp = final + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump({"format": KEY_FORMAT, "files": manifest}, fh)
     os.replace(tmp, final)
 
 
@@ -295,11 +306,18 @@ def update_bloom_index(
 
 
 def load_bloom_index(path: str) -> dict | None:
+    """Returns the file->blooms map, or None for a missing, unparseable,
+    or FORMAT-MISMATCHED manifest (legacy untagged ones included) — a
+    sidecar hashed under a different canonicalization must degrade to
+    full scan, never probe wrong bit positions."""
     try:
         with open(os.path.join(path, MANIFEST_NAME)) as fh:
-            return json.load(fh)
+            obj = json.load(fh)
     except (OSError, ValueError):
         return None
+    if not isinstance(obj, dict) or obj.get("format") != KEY_FORMAT:
+        return None
+    return obj["files"]
 
 
 def _blooms_allow(blooms: dict | None, col: str, values: list) -> bool:

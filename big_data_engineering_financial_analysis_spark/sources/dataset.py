@@ -166,12 +166,9 @@ def recover_compaction(path: str) -> None:
     the aside copy is superseded, delete it."""
     import shutil
 
-    old = path + "._pre_compact"
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, path)
+    from big_data_engineering_financial_analysis_spark.sources.localfs import recover_aside_swap
+
+    recover_aside_swap(path, path + "._pre_compact")
     # A crash BEFORE the first rename (e.g. mid-Spark-write) leaks the
     # staged ``_compact_*`` tempdir; repeated crashed compactions would
     # accumulate full-dataset-sized orphans.  The stage dir only becomes

@@ -13,6 +13,23 @@ one place.
 from __future__ import annotations
 
 
+def recover_aside_swap(live: str, aside: str) -> None:
+    """Heal a crashed two-rename swap (stage → rename live aside → rename
+    stage in): only-aside-exists means the crash hit between the renames —
+    restore the aside as live; both-exist means the crash hit after the
+    swap — the aside is superseded, delete it.  The one protocol shared
+    by every directory-swap writer (dataset compaction, signature-store
+    compaction); keep the semantics here so the copies cannot drift."""
+    import os
+    import shutil
+
+    if os.path.exists(aside):
+        if os.path.exists(live):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, live)
+
+
 def check_local(path: str, what: str, why: str | None = None) -> str:
     """Fail fast on scheme-qualified remote paths; return the bare local
     path (``file://`` prefix stripped).  ``what`` names the caller for the

@@ -99,6 +99,26 @@ def snapshot_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def _read_hwm(root: str) -> int:
+    """Highest version number EVER committed (not merely still retained).
+    Version ids must never be reused — an external pin like "train on v7"
+    must resolve to exactly one corpus forever, or to an expired-version
+    error; real table formats make the same guarantee."""
+    try:
+        with open(os.path.join(root, "_hwm")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_hwm(root: str, version: int) -> None:
+    # ".tmp-" prefix so a crashed write is reaped by _reap_tmp
+    tmp = os.path.join(root, f".tmp-hwm-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(root, "_hwm"))
+
+
 def _reap_tmp(root: str) -> None:
     """A crashed commit leaves only a ``.tmp-*`` build dir (the final
     os.rename is the commit point); any that exists is garbage."""
@@ -106,7 +126,11 @@ def _reap_tmp(root: str) -> None:
         return
     for name in os.listdir(root):
         if name.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            full = os.path.join(root, name)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.unlink(full)
 
 
 def commit_snapshot(path: str, note: str | None = None) -> int:
@@ -125,9 +149,12 @@ def commit_snapshot(path: str, note: str | None = None) -> int:
     root = _snap_root(path)
     os.makedirs(root, exist_ok=True)
     _reap_tmp(root)
-    version = (snapshot_versions(path) or [0])[-1] + 1
+    # never reuse a version id, even after full expiry: an external pin
+    # ("train on v7") must resolve to one corpus forever or error
+    version = max(_read_hwm(root), (snapshot_versions(path) or [0])[-1]) + 1
     vname = f"v{version:08d}"
     tmp = os.path.join(root, f".tmp-{vname}-{os.getpid()}")
+    os.makedirs(tmp)  # empty dataset still commits an (empty) version
     files = _data_files(path)
     for fpath in files:
         rel = os.path.relpath(fpath, path)
@@ -150,6 +177,7 @@ def commit_snapshot(path: str, note: str | None = None) -> int:
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump(meta, fh)
     os.rename(tmp, os.path.join(root, vname))
+    _write_hwm(root, version)
     return version
 
 
@@ -192,7 +220,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     path = _check_local(path)
     _reap_tmp(_snap_root(path))
     versions = snapshot_versions(path)
-    drop = versions[: len(versions) - keep_last] if keep_last else versions
+    drop = versions[: max(0, len(versions) - keep_last)]
     for v in drop:
         shutil.rmtree(os.path.join(_snap_root(path), f"v{v:08d}"))
     return drop

@@ -181,17 +181,12 @@ def _recover_store_compaction(store_dir: str) -> None:
     compactor AND by every sink's store discovery, so a crashed
     compaction can never make the store "look empty" and silently
     disable history dedup."""
-    import os
     import shutil
 
-    aside = store_dir + "._pre_compact"
-    if os.path.exists(aside):
-        if os.path.exists(store_dir):
-            shutil.rmtree(aside)
-        else:
-            os.rename(aside, store_dir)
-    staged = store_dir + "._compact_stage"
-    shutil.rmtree(staged, ignore_errors=True)
+    from big_data_engineering_financial_analysis_spark.sources.localfs import recover_aside_swap
+
+    recover_aside_swap(store_dir, store_dir + "._pre_compact")
+    shutil.rmtree(store_dir + "._compact_stage", ignore_errors=True)
 
 
 def compact_signature_store(

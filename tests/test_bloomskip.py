@@ -279,6 +279,40 @@ def test_distributed_build_matches_sequential(spark, tmp_path):
     assert _ids(got) == _ids(exp)
 
 
+def test_stale_format_manifest_degrades_to_full_scan(spark, tmp_path):
+    """A sidecar written under an older _key_bytes canonicalization (or a
+    legacy untagged manifest) must be treated as absent — full scan,
+    never a probe against wrong bit positions — and the next update
+    rewrites it at the current format."""
+    import json
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    manifest_file = os.path.join(path, bs.MANIFEST_NAME)
+    with open(manifest_file) as fh:
+        current = json.load(fh)
+    assert current["format"] == bs.KEY_FORMAT
+
+    # legacy untagged shape (the raw files map, as pre-format code wrote)
+    with open(manifest_file, "w") as fh:
+        json.dump(current["files"], fh)
+    assert bs.load_bloom_index(path) is None
+    keep, total = bs.prune_files_eq(path, "doc_id", [3])
+    assert len(keep) == total  # nothing pruned on a stale manifest
+    got = bs.read_point(spark, path, "doc_id", [3])
+    assert _ids(got) == [3]
+
+    # wrong format number: same degradation, and update rewrites fresh
+    with open(manifest_file, "w") as fh:
+        json.dump({"format": bs.KEY_FORMAT - 1, "files": current["files"]}, fh)
+    assert bs.load_bloom_index(path) is None
+    rebuilt = bs.update_bloom_index(path, ["doc_id"])
+    assert rebuilt == current["files"]
+    keep2, total2 = bs.prune_files_eq(path, "doc_id", [3])
+    assert len(keep2) < total2
+
+
 def test_maintenance_preserves_per_column_sizing(spark, tmp_path):
     """A hot column deliberately upsized (n_bits) must keep its size
     through update_bloom_index (new files) and compact_dataset (full

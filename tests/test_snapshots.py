@@ -155,6 +155,38 @@ def test_compaction_snapshot_before_makes_it_reversible(spark, tmp_path):
     )
 
 
+def test_expiry_edge_cases_and_version_ids_never_reused(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path, 0, 60)
+    v1 = sn.commit_snapshot(path)
+    v2 = sn.commit_snapshot(path)
+    # keep_last larger than what exists: drop NOTHING (regression: the
+    # negative slice used to delete the oldest versions instead)
+    assert sn.expire_snapshots(path, keep_last=5) == []
+    assert sn.snapshot_versions(path) == [v1, v2]
+    # full expiry, then a new commit: the version id advances past the
+    # high-water mark — "train on v1" can never resolve to new data
+    assert sn.expire_snapshots(path, keep_last=0) == [v1, v2]
+    _write(spark, path, 100, 160)
+    v3 = sn.commit_snapshot(path)
+    assert v3 == v2 + 1
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, path, v1)
+    assert _ids(sn.read_snapshot(spark, path, v3)) == list(range(100, 160))
+
+
+def test_commit_on_empty_dataset_dir(tmp_path):
+    """A dataset directory that exists but holds no data files still
+    commits a well-formed (empty) version instead of crashing."""
+    path = str(tmp_path / "ds")
+    import os
+
+    os.makedirs(path)
+    v = sn.commit_snapshot(path, note="pre-first-write")
+    assert sn.snapshot_versions(path) == [v]
+    assert sn.snapshot_meta(path, v)["n_files"] == 0
+
+
 def test_crash_safety_and_remote_path_rejected(spark, tmp_path):
     path = str(tmp_path / "ds")
     _write(spark, path, 0, 50)

@@ -40,11 +40,20 @@ def dataset_sink(
     zonemap_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
     bloom_cols: list[str] | None = None,
+    snapshot_every: int | None = None,
 ):
     """Build a ``foreachBatch`` function appending micro-batches into a
     sharded dataset, maintaining the zone-map manifest per commit.
 
     Use as ``stream.writeStream.foreachBatch(dataset_sink(...))``.
+
+    ``snapshot_every=N`` pins a snapshot version (`sources/snapshots.py`,
+    hardlinks — zero data bytes) after every Nth committed batch: the
+    stream's consumers get consistent, immutable cut points ("train on
+    the corpus as of batch 400") that survive later compactions of the
+    live tree.  Committed AFTER the batch's marker, so a replayed batch
+    never re-snapshots; cadence counts committed batches, not batch ids
+    (restart-gap safe).
 
     Durability window (user-facing contract, see module doc): the
     ``_batches/<id>`` marker is written AFTER the parquet append and
@@ -92,5 +101,13 @@ def dataset_sink(
             # side point lookups keep skipping as the stream grows
             bs.update_bloom_index(path, bloom_cols)
         os.makedirs(marker, exist_ok=True)
+        if snapshot_every is not None:
+            # count COMMITTED batches (the markers), not batch ids: ids
+            # can have gaps across restarts, markers cannot
+            n_committed = len(os.listdir(os.path.join(path, "_batches")))
+            if n_committed % snapshot_every == 0:
+                from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+
+                sn.commit_snapshot(path, note=f"batch {batch_id}")
 
     return write_batch

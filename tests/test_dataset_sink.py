@@ -116,6 +116,34 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert zm.read_pruned(spark, out, "doc_id", lo=60).count() == 20
 
 
+def test_snapshot_cadence(spark, tmp_path):
+    """snapshot_every=2 pins a version after every 2nd COMMITTED batch;
+    replays never re-snapshot; each pinned version holds exactly the rows
+    committed up to its cut point, immune to later appends."""
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+
+    out = str(tmp_path / "ds")
+    sink = dataset_sink(
+        out, partition_cols=["lang"], sort_cols=["doc_id"],
+        zonemap_cols=["doc_id"], snapshot_every=2,
+    )
+    sink(_chunk(spark, 0, 30), 0)
+    assert sn.snapshot_versions(out) == []  # 1 committed batch: no cut yet
+    sink(_chunk(spark, 30, 50), 1)
+    v1 = sn.snapshot_versions(out)
+    assert len(v1) == 1  # 2nd commit -> first cut
+    sink(_chunk(spark, 30, 50), 1)  # replay: no new snapshot
+    assert sn.snapshot_versions(out) == v1
+    sink(_chunk(spark, 50, 90), 2)
+    sink(_chunk(spark, 90, 100), 3)
+    versions = sn.snapshot_versions(out)
+    assert len(versions) == 2  # 4th commit -> second cut
+    # cut points are exact and immutable
+    assert sn.read_snapshot(spark, out, versions[0]).count() == 50
+    assert sn.read_snapshot(spark, out, versions[1]).count() == 100
+    assert spark.read.parquet(out).count() == 100
+
+
 def test_ingest_to_serve_end_to_end(spark, tmp_path):
     """The reference's full architecture in engine terms: a candle stream
     appends into the partitioned at-rest store (consumer -> QuestDB), and

@@ -210,6 +210,64 @@ def read_snapshot(
     return spark.read.option("basePath", vdir).parquet(vdir)
 
 
+def _version_files(path: str, version: int) -> set[str]:
+    vdir = os.path.join(_snap_root(path), f"v{version:08d}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"snapshot v{version} not found under {path!r} "
+            "(expired versions cannot be diffed)"
+        )
+    return {os.path.relpath(f, vdir) for f in _data_files(vdir)}
+
+
+def snapshot_file_diff(path: str, v_old: int, v_new: int) -> dict:
+    """File-level changelog between two pinned versions:
+    ``{"added": [...], "removed": [...]}`` relative paths.  Pure manifest
+    arithmetic — no data IO.  The engine's writers never modify a parquet
+    file in place, so a file present in both versions is byte-identical
+    in both."""
+    path = _check_local(path)
+    old, new = _version_files(path, v_old), _version_files(path, v_new)
+    return {"added": sorted(new - old), "removed": sorted(old - new)}
+
+
+def read_snapshot_increment(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    strict: bool = True,
+) -> DataFrame:
+    """Rows ADDED between two cuts, reading ONLY the added files — the
+    incremental-consumer primitive ("process what's new since my last
+    cut") a training pipeline needs to avoid reprocessing the corpus.
+
+    Exactness contract: on an append-only history (the `dataset_sink`
+    path between compactions) the added files hold exactly the new rows.
+    A compaction between the cuts rewrites files (every row moves to a
+    new file), so the file diff no longer means row addition; with
+    ``strict=True`` (default) that is detected via removed files and
+    raised, rather than silently re-emitting the whole corpus as "new".
+    Pass ``strict=False`` to consume the rewritten files anyway (caller
+    dedups downstream).  Cost: scan of the added files only — the
+    increment's size, never the corpus's."""
+    path = _check_local(path)
+    diff = snapshot_file_diff(path, v_old, v_new)
+    if strict and diff["removed"]:
+        raise ValueError(
+            f"snapshot range v{v_old}..v{v_new} spans a file rewrite "
+            f"({len(diff['removed'])} files removed — compaction or "
+            "overwrite); the file diff no longer equals the row "
+            "increment. Re-baseline from the newer cut, or pass "
+            "strict=False to consume rewritten files with downstream dedup."
+        )
+    vdir = os.path.join(_snap_root(path), f"v{v_new:08d}")
+    if not diff["added"]:
+        return read_snapshot(spark, path, v_new).limit(0)
+    files = [os.path.join(vdir, rel) for rel in diff["added"]]
+    return spark.read.option("basePath", vdir).parquet(*files)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` versions; returns the expired
     version numbers.  Data bytes are reclaimed by the filesystem when the

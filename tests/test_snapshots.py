@@ -187,6 +187,33 @@ def test_commit_on_empty_dataset_dir(tmp_path):
     assert sn.snapshot_meta(path, v)["n_files"] == 0
 
 
+def test_snapshot_increment_reads_only_new_rows(spark, tmp_path):
+    """Between append-only cuts, read_snapshot_increment returns exactly
+    the rows added — from the added files only.  A compaction between
+    cuts is detected (strict) instead of re-emitting the corpus."""
+    path = str(tmp_path / "ds")
+    _write(spark, path, 0, 100)
+    v1 = sn.commit_snapshot(path)
+    _write(spark, path, 100, 160, mode="append")
+    v2 = sn.commit_snapshot(path)
+
+    diff = sn.snapshot_file_diff(path, v1, v2)
+    assert diff["added"] and not diff["removed"]
+    inc = sn.read_snapshot_increment(spark, path, v1, v2)
+    assert _ids(inc) == list(range(100, 160))
+    assert "lang" in inc.columns  # partition encoding recovered
+    # empty range is an empty frame with the right schema
+    assert sn.read_snapshot_increment(spark, path, v2, v2).count() == 0
+
+    # compaction rewrites every file: strict detects, non-strict consumes
+    compact_dataset(spark, path, ["lang"], ["score"])
+    v3 = sn.commit_snapshot(path)
+    with pytest.raises(ValueError, match="rewrite"):
+        sn.read_snapshot_increment(spark, path, v2, v3)
+    loose = sn.read_snapshot_increment(spark, path, v2, v3, strict=False)
+    assert len(_ids(loose)) == 160  # the rewritten corpus, caller dedups
+
+
 def test_crash_safety_and_remote_path_rejected(spark, tmp_path):
     path = str(tmp_path / "ds")
     _write(spark, path, 0, 50)

@@ -48,6 +48,10 @@ for label, n_rows, per_file in [("1x", 50_000, 2_000), ("10x", 500_000, 2_000)]:
     bs.build_bloom_index(path, ["doc_id"])
     build_s = time.monotonic() - t0
 
+    t0 = time.monotonic()
+    bs.build_bloom_index(path, ["doc_id"], spark=spark)
+    build_dist_s = time.monotonic() - t0
+
     manifest_bytes = os.path.getsize(os.path.join(path, bs.MANIFEST_NAME))
     n_files = len(bs._data_files(path))
 
@@ -73,6 +77,7 @@ for label, n_rows, per_file in [("1x", 50_000, 2_000), ("10x", 500_000, 2_000)]:
         "rows": n_rows,
         "files": n_files,
         "build_s": round(build_s, 2),
+        "build_distributed_s": round(build_dist_s, 2),
         "manifest_kb": round(manifest_bytes / 1024, 1),
         "kept_files": len(keep),
         "total_files": total,

@@ -294,8 +294,11 @@ def update_bloom_index(
     defaults; ``n_bits``/``n_hashes`` apply only to newly-requested
     columns."""
     manifest = load_bloom_index(path) or {}
+    # sizing comes from the RAW manifest (any format): per-column (m, k)
+    # is hash-scheme independent, so an upsized hot column survives even
+    # the format-bump rebuild where the filters themselves cannot
     sizing = {c: (n_bits, n_hashes) for c in (cols or [])} | _sizing_from_manifest(
-        manifest
+        _raw_manifest_files(path) or manifest
     )
     current = {os.path.relpath(f, path): f for f in _data_files(path)}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}
@@ -305,11 +308,28 @@ def update_bloom_index(
     return manifest
 
 
+def _raw_manifest_files(path: str) -> dict | None:
+    """The file->blooms map from EITHER manifest shape (tagged or legacy
+    untagged), with no format gate — for metadata that is hash-scheme
+    independent, like per-column (m, k) sizing.  NEVER use for pruning:
+    a format-mismatched manifest probes wrong bit positions."""
+    try:
+        with open(os.path.join(path, MANIFEST_NAME)) as fh:
+            obj = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(obj, dict):
+        return None
+    files = obj.get("files") if "format" in obj else obj
+    return files if isinstance(files, dict) else None
+
+
 def load_bloom_index(path: str) -> dict | None:
     """Returns the file->blooms map, or None for a missing, unparseable,
-    or FORMAT-MISMATCHED manifest (legacy untagged ones included) — a
-    sidecar hashed under a different canonicalization must degrade to
-    full scan, never probe wrong bit positions."""
+    malformed, or FORMAT-MISMATCHED manifest (legacy untagged ones
+    included) — a sidecar hashed under a different canonicalization must
+    degrade to full scan, never probe wrong bit positions, and no bad
+    sidecar may ever fail the read path."""
     try:
         with open(os.path.join(path, MANIFEST_NAME)) as fh:
             obj = json.load(fh)
@@ -317,7 +337,8 @@ def load_bloom_index(path: str) -> dict | None:
         return None
     if not isinstance(obj, dict) or obj.get("format") != KEY_FORMAT:
         return None
-    return obj["files"]
+    files = obj.get("files")
+    return files if isinstance(files, dict) else None
 
 
 def _blooms_allow(blooms: dict | None, col: str, values: list) -> bool:

@@ -134,7 +134,11 @@ def compact_dataset(
     # degrading to full scans until the next manual build
     from big_data_engineering_financial_analysis_spark.sources import bloomskip as _bs
 
-    old_blooms = _bs.load_bloom_index(path)
+    # raw read (any manifest format): which columns were bloom-indexed and
+    # at what sizing is hash-scheme independent, so a format-bumped legacy
+    # sidecar still gets rebuilt fresh (at the current format) instead of
+    # silently dropping point-lookup pruning after the compaction
+    old_blooms = _bs._raw_manifest_files(path)
     if old_blooms:
         # preserve each column's observed (m, k) — an upsized hot column
         # must not reset to defaults — and distribute the rebuild: this

@@ -130,7 +130,10 @@ def _reap_tmp(root: str) -> None:
             if os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
             else:
-                os.unlink(full)
+                try:  # racing cleaner / permissions: a leak is better
+                    os.unlink(full)  # than wedging every future commit
+                except OSError:
+                    pass
 
 
 def commit_snapshot(path: str, note: str | None = None) -> int:
@@ -207,6 +210,12 @@ def read_snapshot(
             f"(have {versions}; expired versions cannot be read)"
         )
     vdir = os.path.join(_snap_root(path), f"v{version:08d}")
+    if not _data_files(vdir):
+        raise ValueError(
+            f"snapshot v{version} of {path!r} holds zero data files "
+            "(committed before the first write) — there is no schema to "
+            "serve; read a later version"
+        )
     return spark.read.option("basePath", vdir).parquet(vdir)
 
 
@@ -251,6 +260,11 @@ def read_snapshot_increment(
     Pass ``strict=False`` to consume the rewritten files anyway (caller
     dedups downstream).  Cost: scan of the added files only — the
     increment's size, never the corpus's."""
+    if v_old > v_new:
+        raise ValueError(
+            f"read_snapshot_increment: v_old={v_old} > v_new={v_new} — "
+            "a reversed range would present the OLD files as 'added'"
+        )
     path = _check_local(path)
     diff = snapshot_file_diff(path, v_old, v_new)
     if strict and diff["removed"]:

@@ -51,9 +51,14 @@ def dataset_sink(
     hardlinks — zero data bytes) after every Nth committed batch: the
     stream's consumers get consistent, immutable cut points ("train on
     the corpus as of batch 400") that survive later compactions of the
-    live tree.  Committed AFTER the batch's marker, so a replayed batch
-    never re-snapshots; cadence counts committed batches, not batch ids
-    (restart-gap safe).
+    live tree.  Cadence counts committed batches (markers), not batch
+    ids, so restart gaps don't skew it; the due-cut cursor is persisted
+    (``_batches/_snap_cursor``) and checked on EVERY call including
+    replays, so a crash between a batch's marker and its snapshot is
+    healed at the next call (the cut lands one batch late, never
+    silently skipped).  The committed-batch count is kept in memory per
+    sink instance and re-derived from one directory listing per restart
+    — O(1) per batch, not O(stream age).
 
     Durability window (user-facing contract, see module doc): the
     ``_batches/<id>`` marker is written AFTER the parquet append and
@@ -67,10 +72,48 @@ def dataset_sink(
     from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
 
+    if snapshot_every is not None and snapshot_every < 1:
+        raise ValueError(f"snapshot_every must be >= 1, got {snapshot_every}")
+
+    markers_dir = os.path.join(path, "_batches")
+    cursor_file = os.path.join(markers_dir, "_snap_cursor")
+    state = {"n_committed": None}  # per-instance; re-derived once per restart
+
+    def _n_committed() -> int:
+        if state["n_committed"] is None:
+            state["n_committed"] = (
+                sum(1 for n in os.listdir(markers_dir) if not n.startswith("_"))
+                if os.path.isdir(markers_dir)
+                else 0
+            )
+        return state["n_committed"]
+
+    def _maybe_snapshot(batch_id: int) -> None:
+        """Commit any DUE cut.  Runs on every call (replays included), so
+        a crash between marker and snapshot heals at the next call."""
+        due = _n_committed() // snapshot_every
+        try:
+            with open(cursor_file) as fh:
+                done = int(fh.read().strip())
+        except (OSError, ValueError):
+            done = 0
+        if due > done:
+            from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+
+            sn.commit_snapshot(path, note=f"batch {batch_id}")
+            tmp = cursor_file + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(str(due))
+            os.replace(tmp, cursor_file)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(path, "_batches", str(batch_id))
         if os.path.exists(marker):
+            if snapshot_every is not None:
+                _maybe_snapshot(batch_id)  # heal a crash-skipped cut
             return  # replayed batch: already committed, idempotent skip
+        if snapshot_every is not None:
+            _n_committed()  # initialize BEFORE this batch's marker exists
         # TIMESTAMP_MICROS, not legacy INT96: INT96 carries no parquet
         # min/max statistics, which would leave every time column in the
         # appended files invisible to the zone map AND to row-group
@@ -98,16 +141,14 @@ def dataset_sink(
         if bloom_cols is not None:
             # equality-skipping twin of the zone-map update: O(new files)
             # column-projected scans extend the Bloom sidecar so serving-
-            # side point lookups keep skipping as the stream grows
-            bs.update_bloom_index(path, bloom_cols)
+            # side point lookups keep skipping as the stream grows —
+            # distributed, because the one legitimately LARGE update (a
+            # format-bump or manifest-loss full rebuild) must not stall a
+            # micro-batch behind a driver-sequential corpus scan
+            bs.update_bloom_index(path, bloom_cols, spark=batch_df.sparkSession)
         os.makedirs(marker, exist_ok=True)
         if snapshot_every is not None:
-            # count COMMITTED batches (the markers), not batch ids: ids
-            # can have gaps across restarts, markers cannot
-            n_committed = len(os.listdir(os.path.join(path, "_batches")))
-            if n_committed % snapshot_every == 0:
-                from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
-
-                sn.commit_snapshot(path, note=f"batch {batch_id}")
+            state["n_committed"] += 1
+            _maybe_snapshot(batch_id)
 
     return write_batch

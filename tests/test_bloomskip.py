@@ -312,6 +312,35 @@ def test_stale_format_manifest_degrades_to_full_scan(spark, tmp_path):
     keep2, total2 = bs.prune_files_eq(path, "doc_id", [3])
     assert len(keep2) < total2
 
+    # malformed-but-tagged manifest degrades, never raises
+    with open(manifest_file, "w") as fh:
+        json.dump({"format": bs.KEY_FORMAT}, fh)
+    assert bs.load_bloom_index(path) is None
+    assert _ids(bs.read_point(spark, path, "doc_id", [3])) == [3]
+
+
+def test_format_bump_rebuild_keeps_upsized_sizing(spark, tmp_path):
+    """Per-column (m, k) is hash-scheme independent: when a legacy-format
+    manifest forces a full rebuild, the upsized hot column must come back
+    at its upsized (m, k), not the defaults."""
+    import json
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    big = bs.DEFAULT_N_BITS * 4
+    bs.build_bloom_index(path, ["doc_id"], n_bits=big, n_hashes=9)
+    manifest_file = os.path.join(path, bs.MANIFEST_NAME)
+    with open(manifest_file) as fh:
+        files = json.load(fh)["files"]
+    with open(manifest_file, "w") as fh:
+        json.dump(files, fh)  # demote to the legacy untagged shape
+
+    rebuilt = bs.update_bloom_index(path)  # full rebuild (format mismatch)
+    assert {(b["m"], b["k"]) for e in rebuilt.values() for b in e.values()} == {
+        (big, 9)
+    }
+    assert bs.load_bloom_index(path) == rebuilt  # current format again
+
 
 def test_maintenance_preserves_per_column_sizing(spark, tmp_path):
     """A hot column deliberately upsized (n_bits) must keep its size

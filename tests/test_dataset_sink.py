@@ -144,6 +144,44 @@ def test_snapshot_cadence(spark, tmp_path):
     assert spark.read.parquet(out).count() == 100
 
 
+def test_snapshot_cadence_heals_crash_skipped_cut(spark, tmp_path):
+    """Crash window: marker written, snapshot not yet committed.  The cut
+    must land at the next call (replay or next batch) — never be silently
+    skipped for a whole cadence period."""
+    import os
+
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+
+    out = str(tmp_path / "ds")
+    sink = dataset_sink(
+        out, partition_cols=["lang"], sort_cols=["doc_id"], snapshot_every=2,
+    )
+    sink(_chunk(spark, 0, 30), 0)
+    # simulate: batch 1 committed its data + marker, crashed pre-snapshot
+    spark.createDataFrame(
+        [(i, "xx") for i in range(30, 50)], ["doc_id", "lang"]
+    ).write.mode("append").partitionBy("lang").parquet(out)
+    os.makedirs(os.path.join(out, "_batches", "1"))
+    assert sn.snapshot_versions(out) == []
+
+    # a fresh sink instance (restart) replaying batch 1 heals the cut
+    sink2 = dataset_sink(
+        out, partition_cols=["lang"], sort_cols=["doc_id"], snapshot_every=2,
+    )
+    sink2(_chunk(spark, 30, 50), 1)  # replay: marker exists, data skipped
+    versions = sn.snapshot_versions(out)
+    assert len(versions) == 1
+    assert sn.read_snapshot(spark, out, versions[0]).count() == 50
+    assert spark.read.parquet(out).count() == 50  # replay appended nothing
+
+
+def test_snapshot_every_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot_every"):
+        dataset_sink("/tmp/x", ["lang"], ["doc_id"], snapshot_every=0)
+
+
 def test_ingest_to_serve_end_to_end(spark, tmp_path):
     """The reference's full architecture in engine terms: a candle stream
     appends into the partitioned at-rest store (consumer -> QuestDB), and

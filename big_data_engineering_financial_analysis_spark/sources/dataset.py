@@ -185,6 +185,53 @@ def recover_compaction(path: str) -> None:
                 shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
+def describe_dataset(path: str) -> dict:
+    """Operational snapshot of a dataset directory from METADATA only —
+    parquet footers, sidecar manifests, marker dirs; zero row IO.  The
+    ops-facing answer to "what state is this store in?": file count and
+    bytes, row count (footer num_rows, exact), Hive partition keys,
+    which skip indexes exist and their coverage, streaming-commit and
+    snapshot status.  O(files) footer reads — cheap at any row scale."""
+    import pyarrow.parquet as pq
+
+    from big_data_engineering_financial_analysis_spark.sources import bloomskip as _bs
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as _sn
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as _zm
+
+    files = _zm._data_files(path)
+    rows = 0
+    bytes_total = 0
+    partitions: set[str] = set()
+    for fpath in files:
+        rows += pq.ParquetFile(fpath).metadata.num_rows
+        bytes_total += os.path.getsize(fpath)
+        for part in os.path.relpath(fpath, path).split(os.sep)[:-1]:
+            if "=" in part:
+                partitions.add(part.split("=", 1)[0])
+    zones = _zm.load_zonemap(path) or {}
+    blooms = _bs.load_bloom_index(path) or {}
+    markers_dir = os.path.join(path, "_batches")
+    n_batches = (
+        sum(1 for n in os.listdir(markers_dir) if not n.startswith("_"))
+        if os.path.isdir(markers_dir)
+        else 0
+    )
+    rels = {os.path.relpath(f, path) for f in files}
+    return {
+        "files": len(files),
+        "rows": rows,
+        "bytes": bytes_total,
+        "partition_cols": sorted(partitions),
+        "zonemap_cols": sorted({c for z in zones.values() for c in z}),
+        "zonemap_coverage": len(rels & set(zones)),
+        "bloom_cols": sorted({c for b in blooms.values() for c in b}),
+        "bloom_coverage": len(rels & set(blooms)),
+        "committed_batches": n_batches,
+        "snapshots": _sn.snapshot_versions(path),
+        "pending_compaction_recovery": os.path.exists(path + "._pre_compact"),
+    }
+
+
 def read_dataset(spark: SparkSession, path: str) -> DataFrame:
     """Partition-aware scan: equality/IN filters on the partition columns
     prune directories (PartitionFilters), filters on sorted data columns

@@ -124,3 +124,34 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 2 * docs.count()
     old = merged.filter("doc_id < 1000000")
     assert old.filter("score IS NOT NULL").count() == 0  # NULL-filled
+
+
+def test_describe_dataset(spark, tmp_path):
+    """describe_dataset reports file/row/partition/index/snapshot state
+    from metadata only, and its counts agree with ground truth."""
+    from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+    from big_data_engineering_financial_analysis_spark.sources.dataset import describe_dataset
+
+    path = str(tmp_path / "ds")
+    df = load_table(spark, SF_SMALL, "orders").limit(500)
+    write_sharded(
+        df, path, partition_cols=["o_orderstatus"], sort_cols=["o_orderkey"],
+        max_records_per_file=100,
+    )
+    zm.build_zonemap(path, ["o_orderkey"])
+    bs.build_bloom_index(path, ["o_custkey"])
+    v1 = sn.commit_snapshot(path)
+
+    d = describe_dataset(path)
+    assert d["rows"] == 500 == spark.read.parquet(path).count()
+    assert d["files"] == len(zm._data_files(path)) > 1
+    assert d["partition_cols"] == ["o_orderstatus"]
+    assert d["zonemap_cols"] == ["o_orderkey"]
+    assert d["bloom_cols"] == ["o_custkey"]
+    assert d["zonemap_coverage"] == d["bloom_coverage"] == d["files"]
+    assert d["snapshots"] == [v1]
+    assert d["committed_batches"] == 0
+    assert d["pending_compaction_recovery"] is False
+    assert d["bytes"] > 0

@@ -1069,7 +1069,15 @@ def connected_components_star(
     # Scope-disable constraint propagation for the loop (see docstring:
     # checkpoint-preserved constraints + union-of-own-swap trips
     # UnionBase.rewriteConstraints on Spark 4.1.2).  Saved/restored so a
-    # caller-chosen value survives this call.
+    # caller-chosen value survives this call.  SINGLE-THREADED-SESSION
+    # ASSUMPTION (same contract as sources/dataset.write_sharded's
+    # timestamp-conf scoping): session confs are process-global, so a
+    # concurrent query on the same SparkSession would plan without
+    # constraint propagation while this loop runs, and a concurrent
+    # save/restore of the same key could interleave with ours.  The
+    # engine's execution model is one driver thread per session (every
+    # registry/bench/driver path); callers running concurrent queries
+    # must use separate sessions.
     sess = pairs.sparkSession
     _CP = "spark.sql.constraintPropagation.enabled"
     _prev_cp = sess.conf.get(_CP, None)
@@ -1078,12 +1086,18 @@ def connected_components_star(
     try:
         for rounds in range(1, max_iter + 1):
             new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-            changed = (
-                new_edges.exceptAll(edges).limit(1).count()
-                + edges.exceptAll(new_edges).limit(1).count()
+            # Convergence probe as ONE Spark job: both frames are
+            # .distinct() edge SETS, so set difference is a left-anti
+            # join (cheaper than exceptAll's count-matching), and the
+            # two directions union into a single limit-1 scan — the
+            # probe's former two-job floor halved (r7 verdict ask #3b).
+            changed = not (
+                new_edges.join(edges, ["u", "v"], "left_anti")
+                .unionByName(edges.join(new_edges, ["u", "v"], "left_anti"))
+                .isEmpty()
             )
             edges = new_edges
-            if changed == 0:
+            if not changed:
                 converged = True
                 if stats is not None:
                     stats["rounds"] = rounds

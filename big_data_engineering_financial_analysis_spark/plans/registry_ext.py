@@ -50,6 +50,16 @@ SHARD_SYMBOLS = ["1", "2", "3", "4", "42"]
 #: size instead
 SHARD_MAX_RECORDS = 20
 
+#: Layout/enrichment version baked into the serving store's _ready.json
+#: marker.  Bump whenever the ENRICHMENT LOGIC or the STORE LAYOUT
+#: changes (new indicator columns, different partition/sort scheme,
+#: sidecar format): a store left in the shared tempdir by an OLDER
+#: engine version then fails the marker check and is rewritten, instead
+#: of the serve-only rows silently benching/verifying against stale
+#: data (ADVICE r7).  1 = r6 layout (17-col enriched, stock_symbol
+#: partitions, local_time sort + zonemap).
+SHARD_LAYOUT_VERSION = 1
+
 
 def sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
     """Write (overwrite) the enriched-candle serving dataset for
@@ -90,7 +100,11 @@ def ensure_sharded_panel_dataset(spark: SparkSession, sf_dir: str) -> str:
 
     path = _serving_store_path(sf_dir)
     marker = os.path.join(path, "_ready.json")
-    want = {"symbols": SHARD_SYMBOLS, "max_records": SHARD_MAX_RECORDS}
+    want = {
+        "layout_version": SHARD_LAYOUT_VERSION,
+        "symbols": SHARD_SYMBOLS,
+        "max_records": SHARD_MAX_RECORDS,
+    }
     try:
         with open(marker) as fh:
             if json.load(fh) == want:

@@ -60,6 +60,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import operator
 import os
 from typing import Any, Iterable
 
@@ -132,11 +133,18 @@ def _key_bytes(v: Any) -> bytes:
     if isinstance(v, dt.date):  # date ≡ midnight timestamp under Spark's cast
         return _temporal_bytes(dt.datetime(v.year, v.month, v.day))
     try:
-        return b"i:" + str(int(v)).encode()  # int and numpy integer
-    except (TypeError, ValueError):
+        # operator.index accepts only TRUE integers (int, numpy integer via
+        # __index__) — int(v) would silently truncate non-integral float
+        # carriers that are not Python-float subclasses (np.float32(42.5)
+        # -> b"i:42" while the build side stored b"f:42.5": a Bloom FALSE
+        # NEGATIVE, the one failure mode this module must never have).
+        # Non-integral float-likes fall through to the float branch, whose
+        # is_integer() check still collapses integral magnitudes to i:.
+        return b"i:" + str(operator.index(v)).encode()
+    except TypeError:
         pass
     try:
-        return _num_bytes(float(v))  # "42.5" probes a double column
+        return _num_bytes(float(v))  # "42.5"/np.float32 probe a double column
     except (TypeError, ValueError):
         pass
     try:

@@ -206,6 +206,30 @@ def test_canonical_key_bytes_cross_numeric_type():
         assert bs._key_bytes(weird) == bs._key_bytes(weird)
 
 
+def test_nonintegral_numpy_float_probe_does_not_truncate():
+    """np.float32 / np.float16 are NOT Python-float subclasses, but int()
+    succeeds on them — a truncating integer branch would canonicalize
+    np.float32(42.5) to b"i:42" while the build side stored b"f:42.5":
+    a Bloom FALSE NEGATIVE (file wrongly pruned, silent wrong results).
+    The integer branch must accept only true integers (operator.index)."""
+    import numpy as np
+
+    # non-integral numpy floats of every width hash like the exact float
+    for carrier in (np.float16, np.float32, np.float64):
+        v = carrier(42.5)
+        assert bs._key_bytes(v) == bs._key_bytes(float(v))
+        assert bs._key_bytes(v) != bs._key_bytes(42)
+    # a float32 value inexact in binary widens exactly as the build side
+    # (pyarrow to_pylist widens float32 -> Python float the same way)
+    v = np.float32(0.1)
+    assert bs._key_bytes(v) == bs._key_bytes(float(v))
+    # integral numpy floats still collapse to the int form via the
+    # float branch's is_integer() check
+    assert bs._key_bytes(np.float32(42.0)) == bs._key_bytes(42)
+    # numpy integers keep taking the integer branch (__index__)
+    assert bs._key_bytes(np.int16(7)) == bs._key_bytes(7)
+
+
 def test_canonical_key_bytes_cross_temporal_type():
     """Spark's cast-and-compare matches a DATE row against a datetime
     probe (and vice versa), and casts ISO strings to timestamps — so all

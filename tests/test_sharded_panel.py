@@ -105,6 +105,43 @@ def test_ensure_dataset_is_idempotent_and_write_once(spark, tmp_path, monkeypatc
     assert os.path.exists(os.path.join(path, "_ready.json"))
 
 
+def test_ensure_dataset_rewrites_stale_layout_version(spark, tmp_path, monkeypatch):
+    """A store left behind by an OLDER engine version — its marker has no
+    (or an older) layout_version token — must be rewritten, not served:
+    the serve-only rows would otherwise bench/verify against data whose
+    enrichment logic or layout predates the current engine (ADVICE r7)."""
+    import json
+    import os
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    monkeypatch.setattr(tempfile, "tempdir", None)
+    path = ext.ensure_sharded_panel_dataset(spark, SF)
+    marker = os.path.join(path, "_ready.json")
+    # simulate a pre-version-token store: old marker shape, same config
+    with open(marker, "w") as fh:
+        json.dump({"symbols": ext.SHARD_SYMBOLS, "max_records": ext.SHARD_MAX_RECORDS}, fh)
+    before = os.path.getmtime(marker)
+    assert ext.ensure_sharded_panel_dataset(spark, SF) == path
+    with open(marker) as fh:
+        assert json.load(fh)["layout_version"] == ext.SHARD_LAYOUT_VERSION
+    assert os.path.getmtime(marker) >= before
+    # and a FUTURE version token (newer engine wrote it) also rewrites —
+    # the guard is equality on the full config dict, never >= comparisons
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "layout_version": ext.SHARD_LAYOUT_VERSION + 1,
+                "symbols": ext.SHARD_SYMBOLS,
+                "max_records": ext.SHARD_MAX_RECORDS,
+            },
+            fh,
+        )
+    assert ext.ensure_sharded_panel_dataset(spark, SF) == path
+    with open(marker) as fh:
+        assert json.load(fh)["layout_version"] == ext.SHARD_LAYOUT_VERSION
+
+
 def test_time_bounded_panel_twins_skip_files_and_match_flat(spark):
     """Each registered *_sharded panel twin must (a) skip files on its
     time bounds and (b) reproduce the flat panel's rows exactly."""

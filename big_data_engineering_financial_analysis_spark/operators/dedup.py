@@ -383,6 +383,14 @@ def minhash_signatures(
 #: one-to-one into the DuckDB oracle via QUALIFY row_number().
 DEFAULT_BUCKET_CAP = 1000
 
+#: connected_components_star switches to its tiny-graph execution regime
+#: (small scoped shuffle fan-out, plain non-AQE stages) when the initial
+#: canonical edge count measures below this.  100k edges ≈ a few MB —
+#: single-task territory where full shuffle fan-out and AQE stage-jobs
+#: are pure fixed overhead; above it the loop leaves session confs
+#: untouched (AQE skew handling and parallelism matter at corpus scale).
+TINY_GRAPH_EDGES = 100_000
+
 
 def _cap_buckets(
     exploded: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None
@@ -962,12 +970,59 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 
+def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:
+    """Exact min-root union-find over collected (u, v) edge rows —
+    connected_components_star's tiny-graph kernel.  Union always roots
+    at the SMALLER id (preserving the min-reachable-id contract directly
+    instead of via rank bookkeeping) with full path compression on find;
+    at the bounded input sizes the auto-switch admits (≤ TINY_GRAPH_EDGES
+    rows) this is effectively linear.  Returns the (node, component)
+    labels as a LocalRelation — downstream scans and broadcasts are
+    free, which is what lets merge_component_labels reference the frame
+    four times without a checkpoint."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edge_rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    nodes = set()
+    for row in edge_rows:
+        nodes.add(row[0])
+        nodes.add(row[1])
+    labels = sorted((n, find(n)) for n in nodes)
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    # via pandas: the Arrow conversion path yields a true LocalRelation
+    # (a list parallelizes to an RDD-backed plan), which is what makes
+    # downstream scans/broadcasts free and lets merge_component_labels
+    # recognize the frame as driver-resident
+    import pandas as pd
+
+    pdf = pd.DataFrame(labels, columns=["node", "component"])
+    return spark.createDataFrame(pdf, schema)
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    driver_threshold: int | None = TINY_GRAPH_EDGES,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") — the extreme-scale
@@ -991,11 +1046,29 @@ def connected_components_star(
     window over the symmetrized edges, no aggregate-join round-trip —
     so a full large+small cycle costs about one min-label round; only
     the ROUND COUNT changes (log² vs diameter).  Every
-    round's edge frame is eagerly ``localCheckpoint``-ed — mandatory
-    here, not hygiene: the edge frame is referenced by both rewrites
-    and the convergence check, so a lazy formulation's plan tree grows
+    round's edge frame is ``localCheckpoint``-ed (lazily; the cycle's
+    single convergence action materializes it) — mandatory here, not
+    hygiene: the edge frame is referenced by both rewrites and the
+    convergence check, so a lazy formulation's plan tree grows
     exponentially in rounds (see :func:`connected_components` and
     PERF.md round 7).
+
+    **Driver auto-switch** (``driver_threshold``, default
+    ``TINY_GRAPH_EDGES``): the canonical edge count is measured anyway
+    (it seeds the convergence short-circuit), and when it is at most
+    the threshold the loop is replaced by an exact driver-side
+    union-find over the collected edges — same (node, min-reachable-id)
+    contract, labels returned as a LocalRelation whose downstream scans
+    are free.  This is the engine's standing model-sized-data pattern
+    (MMR's driver-side greedy steps, ``enrich_auto``'s probe-and-route):
+    a duplicate-pair graph is SPARSE relative to its corpus — 100k edges
+    is ~1.6 MB collected — so real workloads at this size are latency-
+    bound on fixed per-cycle job overhead, not data.  Above the
+    threshold nothing is collected and the distributed loop runs
+    unchanged; ``driver_threshold=0`` (or ``None``) forces the
+    distributed path (the equivalence/scale tests pin it).  Parity of
+    the two paths is pytest-proven on chain/clique/island/random graphs
+    and the real minhash-LSH dedup graph.
 
     Termination: a full large+small cycle that leaves the canonical
     (hi, lo) edge set unchanged means the graph is a forest of stars
@@ -1020,15 +1093,42 @@ def connected_components_star(
     """
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    # nodes is referenced only by the final labels join OUTSIDE the loop —
+    # keep it lazy (an eager checkpoint here was one fixed job per call;
+    # the distinct folds into the caller's final action instead).  Derived
+    # from the INPUT pairs, not the checkpointed edge frame: a
+    # checkpoint-preserved-constraints union with its own column swap is
+    # exactly the rewriteConstraints shape the conf scoping below guards
+    # the loop against, and this plan evaluates after the scope exits.
     nodes = fwd.select("u").union(rev.select("u")).distinct()
-    nodes = nodes.localCheckpoint(eager=True)
-    # canonical undirected form: (hi, lo) pairs, self-loops dropped
+    # canonical undirected form: (hi, lo) pairs, self-loops dropped.
+    # LAZY checkpoint + count: the count materializes the checkpoint (one
+    # job, same cost as eager) and seeds the convergence short-circuit —
+    # a cycle that changed the edge COUNT cannot have left the set equal,
+    # so the exact probe only runs on count-stable cycles (usually just
+    # the final one).  Lineage is still truncated at the logical level
+    # immediately (LogicalRDD wrapper), so plans stay round-sized.
     edges = (
         fwd.unionByName(rev)
         .filter(F.col("u") > F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
+
+    if driver_threshold and n_edges <= driver_threshold:
+        # Tiny-graph regime: exact union-find on the collected canonical
+        # edges (bounded by driver_threshold rows — driver-sized by
+        # construction, same contract as the MMR/PQ shortlist collects).
+        # The collect reads the just-materialized checkpoint partitions.
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver"
+        return _driver_union_find(
+            pairs.sparkSession, edges.collect(), pairs.schema[id_a].dataType
+        )
+    if stats is not None:
+        stats["mode"] = "distributed"
 
     # Both rewrites compute "min over u's neighborhood" as a WINDOW over
     # the symmetrized edge frame, not a groupBy+self-join: one shuffle
@@ -1046,11 +1146,16 @@ def connected_components_star(
         sym = _sym(e).withColumn(
             "m", F.least(F.min("v").over(_w), F.col("u"))
         )
+        # no intermediate distinct: large-star emits AT MOST one row per
+        # symmetrized input edge (each (u,v>u) pair yields one (v,m)), so
+        # the un-normalized frame stays O(|E|) at any scale — duplicates
+        # (two u's handing v the same minimum) don't affect small-star's
+        # window MIN, and small-star's closing distinct renormalizes the
+        # cycle output.  Saves one Exchange per cycle.
         return (
             sym.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -1085,18 +1190,26 @@ def connected_components_star(
     converged = False
     try:
         for rounds in range(1, max_iter + 1):
-            new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-            # Convergence probe as ONE Spark job: both frames are
-            # .distinct() edge SETS, so set difference is a left-anti
-            # join (cheaper than exceptAll's count-matching), and the
-            # two directions union into a single limit-1 scan — the
-            # probe's former two-job floor halved (r7 verdict ask #3b).
-            changed = not (
-                new_edges.join(edges, ["u", "v"], "left_anti")
-                .unionByName(edges.join(new_edges, ["u", "v"], "left_anti"))
-                .isEmpty()
+            new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            # ONE action per cycle (r7 verdict ask #3 — was a checkpoint
+            # job plus a separate probe job): scanning new_edges inside
+            # this aggregate materializes the lazy checkpoint, and the
+            # left-outer join against the previous edge set yields both
+            # convergence facts at once — |new| and |new ∖ old|.  Both
+            # frames are distinct edge SETS, so |new| == |old| plus
+            # new∖old = ∅ proves set equality.
+            row = (
+                new_edges.join(
+                    edges.withColumn("_old", F.lit(1)), ["u", "v"], "left_outer"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_new"),
+                    F.count(F.when(F.col("_old").isNull(), 1)).alias("n_fresh"),
+                )
+                .first()
             )
-            edges = new_edges
+            changed = row["n_new"] != n_edges or row["n_fresh"] > 0
+            edges, n_edges = new_edges, row["n_new"]
             if not changed:
                 converged = True
                 if stats is not None:
@@ -1125,6 +1238,87 @@ def connected_components_star(
     )
 
 
+def _local_relation_rows(df: DataFrame):
+    """Collected rows when ``df``'s optimized plan is a LocalRelation
+    (data already driver-resident — collecting moves nothing), else
+    None.  Plan introspection only; any Py4J surprise degrades to the
+    distributed path, never the other way."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return df.collect()
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        pass
+    return None
+
+
+def _driver_merge_labels(
+    spark, label_rows, batch_rows, id_type, changed_col
+) -> DataFrame:
+    """Python kernel of merge_component_labels' driver fast-path:
+    union-find over the standing labels' star edges plus the batch —
+    literally CC(star(labels) ∪ new_pairs), the same identity the
+    distributed path is built on.  ``changed_col`` marks exactly the
+    rows the distributed relabel branch would emit: members of
+    components touched by the batch, plus batch nodes new to the
+    labeling."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    old_comp = {row[0]: row[1] for row in label_rows}
+    for node, comp in old_comp.items():
+        union(node, comp)
+    touched_comps = set()
+    batch_nodes = set()
+    for row in batch_rows:
+        a, b = row[0], row[1]
+        union(a, b)
+        batch_nodes.update((a, b))
+        for n in (a, b):
+            if n in old_comp:
+                touched_comps.add(old_comp[n])
+
+    import pandas as pd
+
+    nodes = set(old_comp) | batch_nodes
+    fields = [
+        T.StructField("node", id_type),
+        T.StructField("component", id_type),
+    ]
+    cols = ["node", "component"]
+    if changed_col is not None:
+        fields.append(T.StructField(changed_col, T.IntegerType(), False))
+        cols.append(changed_col)
+        out = sorted(
+            (
+                n,
+                find(n),
+                int(n in batch_nodes or old_comp.get(n) in touched_comps),
+            )
+            for n in nodes
+        )
+    else:
+        out = sorted((n, find(n)) for n in nodes)
+    # pandas -> Arrow -> LocalRelation (see _driver_union_find)
+    pdf = pd.DataFrame(out, columns=cols)
+    return spark.createDataFrame(pdf, T.StructType(fields))
+
+
 def merge_component_labels(
     labels: DataFrame,
     new_pairs: DataFrame,
@@ -1132,6 +1326,7 @@ def merge_component_labels(
     id_b: str = "id_b",
     max_iter: int = 50,
     changed_col: str | None = None,
+    driver_threshold: int | None = TINY_GRAPH_EDGES,
 ) -> DataFrame:
     """Incrementally maintain a ``(node, component)`` labeling under a
     new batch of duplicate pairs — the cluster-side twin of
@@ -1163,7 +1358,31 @@ def merge_component_labels(
     ``labels``), 0 on pass-through rows — a store-maintenance sink uses
     it to rewrite only the storage buckets holding potentially-changed
     rows (:func:`..streaming.corpus.incremental_cluster_sink`).
+
+    **Driver fast-path**: when ``labels`` is already driver-resident (a
+    LocalRelation — exactly what :func:`connected_components_star`'s
+    tiny-graph path returns) and the batch measures at most
+    ``driver_threshold`` pairs, the merge runs as a Python union-find
+    over the label edges plus the batch — nothing corpus-sized is ever
+    collected (a LocalRelation's rows live on the driver by definition,
+    and the batch collect is bounded by the threshold).  A parquet- or
+    shuffle-backed ``labels`` frame NEVER takes this path regardless of
+    size; ``driver_threshold=0``/``None`` pins the distributed path.
+    Both paths are pytest-proven equal, including ``changed_col``.
     """
+    local_label_rows = (
+        _local_relation_rows(labels) if driver_threshold else None
+    )
+    if local_label_rows is not None:
+        batch = new_pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+        if len(batch) <= driver_threshold:
+            return _driver_merge_labels(
+                labels.sparkSession,
+                local_label_rows,
+                batch,
+                labels.schema["node"].dataType,
+                changed_col,
+            )
     new_nodes = (
         new_pairs.select(F.col(id_a).alias("node"))
         .union(new_pairs.select(F.col(id_b).alias("node")))
@@ -1182,7 +1401,9 @@ def merge_component_labels(
         F.col("node").alias(id_a), F.col("component").alias(id_b)
     )
     sub = star_edges.unionByName(new_pairs.select(id_a, id_b))
-    relabeled = connected_components_star(sub, id_a, id_b, max_iter=max_iter)
+    relabeled = connected_components_star(
+        sub, id_a, id_b, max_iter=max_iter, driver_threshold=driver_threshold
+    )
     untouched = labels.join(F.broadcast(touched), "component", "leftanti").select(
         "node", "component"
     )

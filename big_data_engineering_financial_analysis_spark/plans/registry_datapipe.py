@@ -537,6 +537,14 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = pairs.filter(F.col("id_b") % 2 == 0)
     second = pairs.filter(F.col("id_b") % 2 == 1)
+    # merge_component_labels scans its `labels` input four times
+    # (touched semi, affected semi, untouched anti, final union).  At
+    # every registry/bench SF the pair graph is far below the star-CC
+    # driver auto-switch threshold, so labels comes back as a
+    # LocalRelation whose scans are free; on a corpus-sized run the
+    # incremental path is the parquet-store sink
+    # (streaming/corpus.incremental_cluster_sink), where scans are
+    # cheap by construction.
     labels = dedup.connected_components_star(first)
     labels = dedup.merge_component_labels(labels, second)
     comp = labels.withColumnRenamed("node", "doc_id")

@@ -133,10 +133,13 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(out.values()) == {1}
 
 
-def test_connected_components_star_matches_minlabel(spark):
+@pytest.mark.parametrize("threshold", [0, dedup.TINY_GRAPH_EDGES])
+def test_connected_components_star_matches_minlabel(spark, threshold):
     """Large-star/small-star CC is semantics-identical to min-label CC:
     same (node, component=min reachable id) labeling on a chain, a
-    clique, disjoint islands, and a seeded random graph."""
+    clique, disjoint islands, and a seeded random graph — on BOTH the
+    pinned distributed loop (threshold=0) and the tiny-graph driver
+    union-find auto-switch (default threshold)."""
     import random
 
     rng = random.Random(7)
@@ -150,10 +153,14 @@ def test_connected_components_star_matches_minlabel(spark):
         + [(a, b) for a, b in rand_edges if a != b]
     )
     pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    stats = {}
     star = {
         r.node: r.component
-        for r in dedup.connected_components_star(pairs).collect()
+        for r in dedup.connected_components_star(
+            pairs, stats=stats, driver_threshold=threshold
+        ).collect()
     }
+    assert stats["mode"] == ("distributed" if threshold == 0 else "driver")
     minl = {
         r.node: r.component for r in dedup.connected_components(pairs).collect()
     }
@@ -174,7 +181,9 @@ def test_connected_components_star_beats_diameter_bound(spark):
         dedup.connected_components(pairs)  # diameter 59 > max_iter 20
     out = {
         r.node: r.component
-        for r in dedup.connected_components_star(pairs, max_iter=10).collect()
+        for r in dedup.connected_components_star(
+            pairs, max_iter=10, driver_threshold=0  # pin the distributed loop
+        ).collect()
     }
     assert set(out) == set(range(1, 61))
     assert set(out.values()) == {1}
@@ -200,11 +209,12 @@ def test_connected_components_star_union_of_filtered_branches(spark):
     chain = spark.range(100, 110).selectExpr("id AS id_a", "id + 1 AS id_b")
     stats = {}
     out = dedup.connected_components_star(
-        cliques.unionByName(chain), stats=stats
+        cliques.unionByName(chain), stats=stats,
+        driver_threshold=0,  # the regression lives in the distributed loop
     )
     comps = {r.component for r in out.collect()}
     assert comps == {0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100}
-    assert stats["rounds"] <= 10
+    assert stats["mode"] == "distributed" and stats["rounds"] <= 10
     assert spark.conf.get("spark.sql.constraintPropagation.enabled") == prev
     spark.catalog.clearCache()
 
@@ -223,12 +233,21 @@ def test_connected_components_star_on_real_dedup_graph(spark):
     pairs = dedup.minhash_lsh_dedup(docs, threshold=0.8)
     star = {
         r.node: r.component
-        for r in dedup.connected_components_star(pairs).collect()
+        for r in dedup.connected_components_star(
+            pairs, driver_threshold=0  # pin the distributed loop
+        ).collect()
     }
     minl = {
         r.node: r.component for r in dedup.connected_components(pairs).collect()
     }
     assert star == minl and len(star) > 0
+    # and the driver union-find auto-switch path agrees bit-for-bit on
+    # the same real graph
+    drv = {
+        r.node: r.component
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert drv == minl
     spark.catalog.clearCache()
 
 
@@ -472,12 +491,14 @@ def test_span_removal_short_docs_untouched(spark):
     assert out[1]["text_dedup"] == "p q" and out[2]["text_dedup"] == "p q"
 
 
-def test_merge_component_labels_equals_full_recompute(spark):
+@pytest.mark.parametrize("threshold", [0, dedup.TINY_GRAPH_EDGES])
+def test_merge_component_labels_equals_full_recompute(spark, threshold):
     """Incremental cluster maintenance invariance: folding pair batches
     into standing labels (in any batch split) equals one CC recompute
     over all pairs.  Exercises: merging two existing components, growing
     a component, a batch of entirely new nodes, and a no-op batch of
-    already-linked pairs."""
+    already-linked pairs.  Runs once with the distributed paths pinned
+    (threshold=0) and once letting the driver fast-paths engage."""
     import random
 
     rng = random.Random(11)
@@ -500,12 +521,65 @@ def test_merge_component_labels_equals_full_recompute(spark):
         k = len(all_pairs) // n_batches
         batches = [all_pairs[i * k:(i + 1) * k] for i in range(n_batches - 1)]
         batches.append(all_pairs[(n_batches - 1) * k:])
-        labels = dedup.connected_components_star(df(batches[0]))
+        labels = dedup.connected_components_star(
+            df(batches[0]), driver_threshold=threshold
+        )
         for batch in batches[1:]:
-            labels = dedup.merge_component_labels(labels, df(batch))
+            labels = dedup.merge_component_labels(
+                labels, df(batch), driver_threshold=threshold
+            )
             labels = labels.localCheckpoint(eager=True)  # the store-write boundary
         got = {r.node: r.component for r in labels.collect()}
         assert got == expected, f"split into {n_batches} batches diverged"
+    spark.catalog.clearCache()
+
+
+def test_merge_component_labels_driver_path_parity(spark):
+    """The driver fast-path (LocalRelation labels + tiny batch -> Python
+    union-find) returns exactly the distributed merge's rows, including
+    the changed_col marking; a non-LocalRelation labels frame never takes
+    it (a parquet/shuffle-backed store must not be collected)."""
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    batch = spark.createDataFrame(
+        [(3, 4), (11, 30), (100, 101)], "id_a long, id_b long"
+    )
+    # labels via the driver path -> LocalRelation -> fast path engages
+    local_labels = dedup.connected_components_star(base)
+    assert dedup._local_relation_rows(local_labels) is not None
+    fast = {
+        r.node: (r.component, r.changed)
+        for r in dedup.merge_component_labels(
+            local_labels, batch, changed_col="changed"
+        ).collect()
+    }
+    # distributed reference: same inputs, fast paths pinned off
+    dist_labels = dedup.connected_components_star(base, driver_threshold=0)
+    assert dedup._local_relation_rows(dist_labels) is None
+    dist = {
+        r.node: (r.component, r.changed)
+        for r in dedup.merge_component_labels(
+            dist_labels, batch, changed_col="changed", driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    # changed marks exactly the touched components + new nodes
+    assert {n for n, (_, c) in fast.items() if c == 1} == {
+        1, 2, 3, 4,           # comp 1 grew
+        10, 11, 30, 31,       # comps 10 and 30 merged
+        100, 101,             # brand-new nodes
+    }
+    assert fast[20] == (20, 0) and fast[21] == (20, 0)  # untouched
+    # a checkpointed (RDD-backed) labels frame routes distributed even
+    # at default threshold
+    ckpt_labels = local_labels.localCheckpoint(eager=True)
+    assert dedup._local_relation_rows(ckpt_labels) is None
+    via_ckpt = {
+        r.node: r.component
+        for r in dedup.merge_component_labels(ckpt_labels, batch).collect()
+    }
+    assert via_ckpt == {n: c for n, (c, _) in fast.items()}
     spark.catalog.clearCache()
 
 

@@ -54,7 +54,9 @@ for label, df in [
 ]:
     t0 = time.time()
     stats: dict = {}
-    out = connected_components_star(df, max_iter=40, stats=stats)
+    # driver_threshold=0: this probe audits the DISTRIBUTED loop's cycle
+    # growth; the driver union-find auto-switch would absorb the small ns
+    out = connected_components_star(df, max_iter=40, stats=stats, driver_threshold=0)
     comps = out.selectExpr("count(distinct component) c").collect()[0]["c"]
     dt = time.time() - t0
     print(

@@ -230,15 +230,56 @@ def _sizing_from_manifest(manifest: dict) -> dict[str, tuple[int, int]]:
     return sizing
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
-    """Atomic swap, same contract as zonemap._write_manifest.  The file
-    carries the key-hashing format tag so a manifest written under an
-    older canonicalization is never probed with the newer one."""
-    final = os.path.join(path, MANIFEST_NAME)
+def _atomic_json(final: str, obj: dict) -> None:
     tmp = final + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"format": KEY_FORMAT, "files": manifest}, fh)
+        json.dump(obj, fh)
     os.replace(tmp, final)
+
+
+def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> None:
+    """Atomic swap, same contract as zonemap._write_manifest.  Every
+    manifest file carries the key-hashing format tag so one written
+    under an older canonicalization is never probed with the newer one.
+
+    **Partition sharding** (the 1M-file answer — r7 verdict ask #4): a
+    single root JSON at ~10.8 KB/file means a ~10 GB driver-side load at
+    lake scale, paid on EVERY prune.  Under ``shard="auto"`` (the
+    default everywhere), a Hive-partitioned dataset instead gets one
+    manifest INSIDE each leaf partition directory holding that
+    directory's files (keyed by basename), plus a root marker manifest
+    (``{"sharded": true}``) carrying only root-level files.  The prune
+    path partition-prunes FIRST (directory ``col=value`` segments, no
+    IO) and opens only the shards of surviving partitions — driver
+    memory and latency scale with the partitions a query touches, not
+    the dataset.  Flat (unpartitioned) datasets keep the single-file
+    layout byte-identically, so nothing changes for small stores.
+
+    A partition directory that later loses all its data files leaves a
+    stale shard manifest behind; it is never read (shards load only for
+    directories that still hold candidate data files) and the next
+    build/update of that directory overwrites it."""
+    by_dir: dict[str, dict] = {}
+    for rel, blooms in manifest.items():
+        d, base = os.path.split(rel)
+        by_dir.setdefault(d, {})[base] = blooms
+    sharded = shard is True or (shard == "auto" and any(d for d in by_dir))
+    if not sharded:
+        _atomic_json(
+            os.path.join(path, MANIFEST_NAME),
+            {"format": KEY_FORMAT, "files": manifest},
+        )
+        return
+    for d, files in by_dir.items():
+        if d:
+            _atomic_json(
+                os.path.join(path, d, MANIFEST_NAME),
+                {"format": KEY_FORMAT, "files": files},
+            )
+    _atomic_json(
+        os.path.join(path, MANIFEST_NAME),
+        {"format": KEY_FORMAT, "sharded": True, "files": by_dir.get("", {})},
+    )
 
 
 def _scan_blooms(
@@ -316,37 +357,95 @@ def update_bloom_index(
     return manifest
 
 
-def _raw_manifest_files(path: str) -> dict | None:
-    """The file->blooms map from EITHER manifest shape (tagged or legacy
-    untagged), with no format gate — for metadata that is hash-scheme
-    independent, like per-column (m, k) sizing.  NEVER use for pruning:
-    a format-mismatched manifest probes wrong bit positions."""
+def _read_manifest_obj(fp: str) -> dict | None:
     try:
-        with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        with open(fp) as fh:
             obj = json.load(fh)
     except (OSError, ValueError):
         return None
-    if not isinstance(obj, dict):
+    return obj if isinstance(obj, dict) else None
+
+
+def _shard_files(path: str, d: str, format_gated: bool) -> dict:
+    """One partition directory's ``rel -> blooms`` from its shard
+    manifest; {} for missing/bad/format-mismatched shards (those files
+    simply stay unpruned)."""
+    obj = _read_manifest_obj(os.path.join(path, d, MANIFEST_NAME))
+    if obj is None or (format_gated and obj.get("format") != KEY_FORMAT):
+        return {}
+    files = obj.get("files")
+    if not isinstance(files, dict):
+        return {}
+    return {os.path.join(d, base): blooms for base, blooms in files.items()}
+
+
+def _raw_manifest_files(path: str) -> dict | None:
+    """The file->blooms map from ANY manifest shape (tagged, legacy
+    untagged, or partition-sharded), with no format gate — for metadata
+    that is hash-scheme independent, like per-column (m, k) sizing.
+    NEVER use for pruning: a format-mismatched manifest probes wrong bit
+    positions."""
+    obj = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
+    if obj is None:
         return None
-    files = obj.get("files") if "format" in obj else obj
-    return files if isinstance(files, dict) else None
+    files = obj.get("files") if ("format" in obj or "sharded" in obj) else obj
+    if not isinstance(files, dict):
+        return None
+    out = dict(files)
+    # merge shard manifests UNCONDITIONALLY (not just when the root says
+    # "sharded"): a root demoted to a legacy/mismatched shape loses its
+    # marker, but the per-partition shards still carry the (m, k) sizing
+    # a rebuild must preserve — and sizing is safe to read from any
+    # format, unlike the filters themselves
+    for d in sorted(
+        {os.path.dirname(os.path.relpath(f, path)) for f in _data_files(path)}
+        - {""}
+    ):
+        out = _shard_files(path, d, format_gated=False) | out
+    return out
 
 
 def load_bloom_index(path: str) -> dict | None:
-    """Returns the file->blooms map, or None for a missing, unparseable,
-    malformed, or FORMAT-MISMATCHED manifest (legacy untagged ones
-    included) — a sidecar hashed under a different canonicalization must
-    degrade to full scan, never probe wrong bit positions, and no bad
-    sidecar may ever fail the read path."""
-    try:
-        with open(os.path.join(path, MANIFEST_NAME)) as fh:
-            obj = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    if not isinstance(obj, dict) or obj.get("format") != KEY_FORMAT:
+    """Returns the FULL file->blooms map (merging partition shards), or
+    None for a missing, unparseable, malformed, or FORMAT-MISMATCHED
+    root manifest (legacy untagged ones included) — a sidecar hashed
+    under a different canonicalization must degrade to full scan, never
+    probe wrong bit positions, and no bad sidecar may ever fail the read
+    path.  This eager merge is the introspection/maintenance entry
+    point; the prune path uses the lazy per-partition loader instead."""
+    obj = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
+    if obj is None or obj.get("format") != KEY_FORMAT:
         return None
     files = obj.get("files")
-    return files if isinstance(files, dict) else None
+    if not isinstance(files, dict):
+        return None
+    out = dict(files)
+    if obj.get("sharded"):
+        for d in sorted(
+            {os.path.dirname(os.path.relpath(f, path)) for f in _data_files(path)}
+            - {""}
+        ):
+            out |= _shard_files(path, d, format_gated=True)
+    return out
+
+
+def _blooms_for(path: str, rels: list[str]) -> dict:
+    """Lazy prune-side loader: the root manifest plus ONLY the shard
+    manifests of partition directories holding candidate files.  After
+    partition pruning this is the piece that bounds driver memory and
+    prune latency by the partitions a query actually touches (a
+    1M-file dataset with a partition predicate loads a handful of
+    shards, not a ~10 GB root JSON).  Semantics identical to indexing
+    into the eager merge: unknown files stay unpruned."""
+    obj = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
+    if obj is None or obj.get("format") != KEY_FORMAT:
+        return {}
+    files = obj.get("files")
+    out = dict(files) if isinstance(files, dict) else {}
+    if obj.get("sharded"):
+        for d in sorted({os.path.dirname(r) for r in rels} - {""}):
+            out |= _shard_files(path, d, format_gated=True)
+    return out
 
 
 def _blooms_allow(blooms: dict | None, col: str, values: list) -> bool:
@@ -357,21 +456,106 @@ def _blooms_allow(blooms: dict | None, col: str, values: list) -> bool:
     return any(bloom.might_contain(v) for v in values)
 
 
+def _hive_parts(rel: str) -> dict[str, str | None]:
+    """Partition column -> decoded value from ``col=value`` path
+    segments; Hive's ``__HIVE_DEFAULT_PARTITION__`` decodes to None
+    (the NULL partition)."""
+    import urllib.parse
+
+    parts: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            col, _, raw = seg.partition("=")
+            val = urllib.parse.unquote(raw)
+            parts[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+    return parts
+
+
+def _range_maybe_matches(v: str, lo, hi) -> bool:
+    """Conservative range check of a partition STRING against bounds of
+    unknown column type: the file is skippable only when EVERY feasible
+    type interpretation (numeric, temporal, lexicographic-for-string-
+    bounds) proves the predicate empty.  Spark compares the column under
+    its real type, which the directory name alone doesn't reveal — e.g.
+    ``"9" >= "10"`` is TRUE for a string column but FALSE for an int
+    column, so skipping on just one reading could drop matching rows.
+    No feasible interpretation (unparseable value) keeps the file."""
+    import datetime as dt
+
+    verdicts = []
+    try:  # numeric interpretation
+        fv = float(v)
+        verdicts.append(
+            (lo is None or fv >= float(lo)) and (hi is None or fv <= float(hi))
+        )
+    except (TypeError, ValueError):
+        pass
+    try:  # temporal interpretation (date ≡ midnight timestamp)
+        tv = dt.datetime.fromisoformat(v.replace(" ", "T"))
+
+        def _ts(b):
+            if isinstance(b, dt.datetime):
+                return b
+            if isinstance(b, dt.date):
+                return dt.datetime(b.year, b.month, b.day)
+            return dt.datetime.fromisoformat(str(b).replace(" ", "T"))
+
+        verdicts.append(
+            (lo is None or tv >= _ts(lo)) and (hi is None or tv <= _ts(hi))
+        )
+    except (TypeError, ValueError):
+        pass
+    if isinstance(lo, (str, type(None))) and isinstance(hi, (str, type(None))):
+        if lo is not None or hi is not None:  # lexicographic interpretation
+            verdicts.append(
+                (lo is None or v >= lo) and (hi is None or v <= hi)
+            )
+    return any(verdicts) if verdicts else True
+
+
+def _partition_allows(
+    parts: dict[str, str | None],
+    ranges: list[tuple],
+    eq: list[tuple],
+) -> bool:
+    """Directory-level pruning — zero IO, evaluated BEFORE any shard
+    manifest is opened.  False only when a predicate on a partition
+    column PROVABLY matches no row in the directory; predicates on
+    non-partition columns are ignored here (the zone/bloom indexes and
+    the residual filter handle them).  Equality uses the same
+    ``_key_bytes`` canonicalization as the Bloom probes, so cross-typed
+    probes (int vs the directory's string form) can never skip a
+    partition a full scan + ``isin`` would match."""
+    for col, lo, hi in ranges:
+        if col not in parts:
+            continue
+        v = parts[col]
+        if v is None:
+            # NULL partition: NULL fails any range bound
+            if lo is not None or hi is not None:
+                return False
+            continue
+        if not _range_maybe_matches(v, lo, hi):
+            return False
+    for col, values in eq:
+        if col not in parts:
+            continue
+        v = parts[col]
+        if v is None:
+            return False  # equality can never match NULL
+        probe_keys = {_key_bytes(x) for x in values}
+        if _key_bytes(v) not in probe_keys:
+            return False
+    return True
+
+
 def prune_files_eq(
     path: str, col: str, values: Iterable
 ) -> tuple[list[str], int]:
     """Return (files to scan, total files) for ``col IN (values)``.  A
     file survives if its filter admits ANY of the values (disjunction —
     an IN-list matches a row on any member)."""
-    values = list(values)
-    files = _data_files(path)
-    manifest = load_bloom_index(path) or {}
-    keep = [
-        fpath
-        for fpath in files
-        if _blooms_allow(manifest.get(os.path.relpath(fpath, path)), col, values)
-    ]
-    return keep, len(files)
+    return prune_files_combined(path, eq=[(col, values)])
 
 
 def prune_files_combined(
@@ -384,22 +568,45 @@ def prune_files_combined(
     ``(col, values)`` equality predicate's Bloom filter admits a value.
     The two indexes are complementary — zones cut along the clustered
     axis (time shards), blooms along unclustered point keys — so their
-    intersection is strictly stronger than either alone."""
+    intersection is strictly stronger than either alone.
+
+    Pruning order (the lake-scale shape): directory-level Hive
+    partition values first (zero IO), THEN the zone manifest, and the
+    per-partition Bloom shards are opened only for files that survive
+    both — so a query carrying a partition predicate loads a handful of
+    shard manifests regardless of total dataset size."""
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
 
     ranges = ranges or []
     eq = [(col, list(values)) for col, values in (eq or [])]
     files = _data_files(path)
-    zmanifest = zm.load_zonemap(path) or {}
-    bmanifest = load_bloom_index(path) or {}
-    keep = []
-    for fpath in files:
-        rel = os.path.relpath(fpath, path)
-        if all(
-            zm._zone_allows(zmanifest.get(rel), col, lo, hi) for col, lo, hi in ranges
-        ) and all(_blooms_allow(bmanifest.get(rel), col, vals) for col, vals in eq):
-            keep.append(fpath)
-    return keep, len(files)
+    rels = {fpath: os.path.relpath(fpath, path) for fpath in files}
+    candidates = [
+        fpath
+        for fpath in files
+        if _partition_allows(_hive_parts(rels[fpath]), ranges, eq)
+    ]
+    if ranges:
+        zmanifest = zm.load_zonemap(path) or {}
+        candidates = [
+            fpath
+            for fpath in candidates
+            if all(
+                zm._zone_allows(zmanifest.get(rels[fpath]), col, lo, hi)
+                for col, lo, hi in ranges
+            )
+        ]
+    if eq:
+        bmanifest = _blooms_for(path, [rels[fpath] for fpath in candidates])
+        candidates = [
+            fpath
+            for fpath in candidates
+            if all(
+                _blooms_allow(bmanifest.get(rels[fpath]), col, vals)
+                for col, vals in eq
+            )
+        ]
+    return candidates, len(files)
 
 
 def read_skipped(

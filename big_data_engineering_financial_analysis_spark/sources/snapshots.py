@@ -167,10 +167,20 @@ def commit_snapshot(path: str, note: str | None = None) -> int:
             os.link(fpath, dst)
         except OSError:  # filesystem without hardlinks: degrade to copy
             shutil.copy2(fpath, dst)
-    for sidecar in _SIDECARS:
-        src = os.path.join(path, sidecar)
-        if os.path.isfile(src):
-            shutil.copy2(src, os.path.join(tmp, sidecar))
+    # sidecars live at the root AND (for the partition-sharded Bloom
+    # manifest) inside each partition directory holding data files —
+    # copy both layers so pruning against the snapshot sees exactly the
+    # live index state at commit time
+    sidecar_dirs = {""} | {
+        os.path.dirname(os.path.relpath(f, path)) for f in files
+    }
+    for d in sidecar_dirs:
+        for sidecar in _SIDECARS:
+            src = os.path.join(path, d, sidecar)
+            if os.path.isfile(src):
+                dst_dir = os.path.join(tmp, d) if d else tmp
+                os.makedirs(dst_dir, exist_ok=True)
+                shutil.copy2(src, os.path.join(dst_dir, sidecar))
     meta = {
         "version": version,
         "note": note,

@@ -317,10 +317,16 @@ def test_stale_format_manifest_degrades_to_full_scan(spark, tmp_path):
     with open(manifest_file) as fh:
         current = json.load(fh)
     assert current["format"] == bs.KEY_FORMAT
+    full = bs.load_bloom_index(path)  # merged across partition shards
+    assert full
 
-    # legacy untagged shape (the raw files map, as pre-format code wrote)
+    # legacy untagged shape (the raw rel-keyed files map, as pre-format
+    # code wrote it at the root).  The partition shard manifests from the
+    # build above are still on disk and still valid — a stale ROOT alone
+    # must disable the whole index (shards are only reachable through a
+    # format-matching root marker).
     with open(manifest_file, "w") as fh:
-        json.dump(current["files"], fh)
+        json.dump(full, fh)
     assert bs.load_bloom_index(path) is None
     keep, total = bs.prune_files_eq(path, "doc_id", [3])
     assert len(keep) == total  # nothing pruned on a stale manifest
@@ -329,10 +335,10 @@ def test_stale_format_manifest_degrades_to_full_scan(spark, tmp_path):
 
     # wrong format number: same degradation, and update rewrites fresh
     with open(manifest_file, "w") as fh:
-        json.dump({"format": bs.KEY_FORMAT - 1, "files": current["files"]}, fh)
+        json.dump({"format": bs.KEY_FORMAT - 1, "files": full}, fh)
     assert bs.load_bloom_index(path) is None
     rebuilt = bs.update_bloom_index(path, ["doc_id"])
-    assert rebuilt == current["files"]
+    assert rebuilt == full
     keep2, total2 = bs.prune_files_eq(path, "doc_id", [3])
     assert len(keep2) < total2
 

@@ -1,0 +1,210 @@
+"""Partition-sharded Bloom manifests — the 1M-file regime answer.
+
+A single root JSON at ~10.8 KB/file is a ~10 GB driver-side load at
+lake scale, paid on every prune.  The sharded layout bounds BOTH the
+bytes on any one manifest file and the bytes a prune loads: one shard
+per Hive partition directory, partition-value pruning (zero IO) before
+any shard is opened, and the root reduced to a marker + root-level
+files.  Every test here holds the module's one invariant fixed: the
+pruned result ALWAYS equals full scan + filter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+
+def _rows(n=300):
+    return [
+        {
+            "doc_id": (i * 37) % n,
+            "lang": ["en", "de", "fr"][i % 3],
+            "score": float(i % 100),
+        }
+        for i in range(n)
+    ]
+
+
+def _write(spark, path):
+    df = spark.createDataFrame(_rows())
+    write_sharded(
+        df, path, partition_cols=["lang"], sort_cols=["score"],
+        max_records_per_file=40,
+    )
+    return df
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_partitioned_build_writes_shards_and_root_marker(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    with open(os.path.join(path, bs.MANIFEST_NAME)) as fh:
+        root = json.load(fh)
+    assert root["format"] == bs.KEY_FORMAT and root["sharded"] is True
+    assert root["files"] == {}  # no root-level data files
+    for lang in ("en", "de", "fr"):
+        shard_fp = os.path.join(path, f"lang={lang}", bs.MANIFEST_NAME)
+        assert os.path.isfile(shard_fp)
+        with open(shard_fp) as fh:
+            shard = json.load(fh)
+        assert shard["format"] == bs.KEY_FORMAT
+        assert all(os.sep not in k for k in shard["files"])  # basename keys
+    # the merged view is unchanged: rel-keyed, every data file covered
+    full = bs.load_bloom_index(path)
+    assert set(full) == {
+        os.path.relpath(f, path) for f in bs._data_files(path)
+    }
+    # and the root manifest is now O(1), not O(files)
+    assert os.path.getsize(os.path.join(path, bs.MANIFEST_NAME)) < 200
+
+
+def test_unpartitioned_dataset_keeps_single_manifest(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(_rows()).repartition(4).write.parquet(path)
+    bs.build_bloom_index(path, ["doc_id"])
+    with open(os.path.join(path, bs.MANIFEST_NAME)) as fh:
+        root = json.load(fh)
+    assert "sharded" not in root
+    assert set(root["files"]) == {
+        os.path.relpath(f, path) for f in bs._data_files(path)
+    }
+    got = bs.read_point(spark, path, "doc_id", [3])
+    assert _ids(got) == [3]
+
+
+def test_partition_eq_prunes_without_opening_other_shards(
+    spark, tmp_path, monkeypatch
+):
+    """An equality predicate on the partition column must (a) never open
+    the shard manifests of pruned-away partitions and (b) still produce
+    full-scan-equal results — even when a pruned partition's shard is
+    GARBAGE on disk, proving it was neither read nor needed."""
+    path = str(tmp_path / "ds")
+    df = _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # corrupt the shards of the partitions the predicate excludes
+    for lang in ("de", "fr"):
+        with open(os.path.join(path, f"lang={lang}", bs.MANIFEST_NAME), "w") as fh:
+            fh.write("NOT JSON")
+
+    opened: list[str] = []
+    real = bs._shard_files
+
+    def spy(p, d, format_gated):
+        opened.append(d)
+        return real(p, d, format_gated)
+
+    monkeypatch.setattr(bs, "_shard_files", spy)
+    probe = sorted({r["doc_id"] for r in _rows() if r["lang"] == "en"})[:3]
+    keep, total = bs.prune_files_combined(
+        path, eq=[("lang", ["en"]), ("doc_id", probe)]
+    )
+    assert opened == ["lang=en"]
+    assert all("lang=en" in f for f in keep) and len(keep) < total
+    got = bs.read_skipped(spark, path, eq=[("lang", ["en"]), ("doc_id", probe)])
+    expect = df.filter(F.col("lang") == "en").filter(F.col("doc_id").isin(probe))
+    assert _ids(got) == _ids(expect)
+
+
+def test_partition_eq_cross_type_never_skips_matching_rows(spark, tmp_path):
+    """Partition values are directory STRINGS; probes arrive typed.  An
+    int probe against an int-valued partition directory must keep that
+    partition (same _key_bytes canonicalization as the Bloom probes)."""
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [{"k": i % 4, "v": i} for i in range(100)]
+    )
+    write_sharded(df, path, partition_cols=["k"], sort_cols=["v"])
+    bs.build_bloom_index(path, ["v"])
+    got = bs.read_skipped(spark, path, eq=[("k", [2])])
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in df.filter("k = 2").collect()
+    )
+    # and a provably-absent partition value skips everything without IO
+    keep, total = bs.prune_files_combined(path, eq=[("k", [99])])
+    assert keep == [] and total > 0
+
+
+def test_null_partition_skippable_for_eq_kept_for_no_predicate(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None)], "doc_id long, lang string"
+    )
+    df.write.partitionBy("lang").parquet(path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # equality can never match the NULL partition: its files are pruned
+    keep, _ = bs.prune_files_combined(path, eq=[("lang", ["en"])])
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f for f in keep)
+    got = bs.read_skipped(spark, path, eq=[("lang", ["en"])])
+    assert _ids(got) == [1]
+    # a range bound excludes NULL too (NULL comparison is never true)
+    keep_r, _ = bs.prune_files_combined(path, ranges=[("lang", "a", "zz")])
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f for f in keep_r)
+    # no predicate on the partition column: NULL-partition files scan
+    got_all = bs.read_skipped(spark, path, eq=[("doc_id", [2])])
+    assert _ids(got_all) == [2]
+
+
+def test_range_partition_pruning_is_type_conservative():
+    """A partition string may be read by Spark as string OR number — the
+    directory name alone doesn't say.  Skipping is only allowed when
+    every feasible interpretation proves the range empty."""
+    # "9" >= "10" lexicographically, 9 < 10 numerically: AMBIGUOUS -> keep
+    assert bs._range_maybe_matches("9", "10", None)
+    # int bounds admit only the numeric interpretation: provably empty
+    assert not bs._range_maybe_matches("9", 10, None)
+    assert bs._range_maybe_matches("15", 10, 20)
+    assert not bs._range_maybe_matches("25", 10, 20)
+    # temporal interpretation (date bounds vs ISO directory value)
+    import datetime as dt
+
+    assert bs._range_maybe_matches(
+        "2024-01-05", dt.date(2024, 1, 1), dt.date(2024, 1, 31)
+    )
+    assert not bs._range_maybe_matches(
+        "2024-02-05", dt.date(2024, 1, 1), dt.date(2024, 1, 31)
+    )
+    # unparseable-for-every-interpretation: keep
+    assert bs._range_maybe_matches("abc", 1, 2)
+
+
+def test_update_preserves_sharded_layout_and_appends(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # append one more partition's worth of rows
+    extra = spark.createDataFrame(
+        [{"doc_id": 9001, "lang": "it", "score": 1.0}]
+    )
+    extra.write.mode("append").partitionBy("lang").parquet(path)
+    bs.update_bloom_index(path)
+    with open(os.path.join(path, bs.MANIFEST_NAME)) as fh:
+        assert json.load(fh)["sharded"] is True
+    assert os.path.isfile(os.path.join(path, "lang=it", bs.MANIFEST_NAME))
+    keep, total = bs.prune_files_eq(path, "doc_id", [9001])
+    assert len(keep) == 1 and total > 3
+    assert _ids(bs.read_point(spark, path, "doc_id", [9001])) == [9001]
+
+
+def test_snapshot_carries_partition_shards(spark, tmp_path):
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "ds")
+    df = _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    v = sn.commit_snapshot(path)
+    vdir = os.path.join(sn._snap_root(path), f"v{v:08d}")
+    keep, total = bs.prune_files_eq(vdir, "doc_id", [7])
+    assert len(keep) < total
+    got = bs.read_point(spark, vdir, "doc_id", [7])
+    assert _ids(got) == _ids(df.filter("doc_id = 7"))

@@ -55,13 +55,28 @@ for label, n_rows, per_file in [("1x", 50_000, 2_000), ("10x", 500_000, 2_000)]:
     bs.build_bloom_index(path, ["doc_id"])
     build_s = time.monotonic() - t0
 
-    manifest_bytes = os.path.getsize(os.path.join(path, bs.MANIFEST_NAME))
+    root_manifest_bytes = os.path.getsize(os.path.join(path, bs.MANIFEST_NAME))
+    sidecar_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f == bs.MANIFEST_NAME
+    )
     n_files = len(bs._data_files(path))
 
     probes = [3, 7_777, 31_337 % n_rows]
     t0 = time.monotonic()
     keep, total = bs.prune_files_eq(path, "doc_id", probes)
     prune_s = time.monotonic() - t0
+
+    # partition-constrained prune: the lake-scale shape — only the
+    # surviving partition's shard manifest is opened, so this latency is
+    # bounded by the partitions a query touches, not the dataset
+    t0 = time.monotonic()
+    keep_part, _ = bs.prune_files_combined(
+        path, eq=[("lang", ["de"]), ("doc_id", probes)]
+    )
+    prune_part_s = time.monotonic() - t0
 
     t0 = time.monotonic()
     got = bs.read_point(spark, path, "doc_id", probes).collect()
@@ -81,10 +96,13 @@ for label, n_rows, per_file in [("1x", 50_000, 2_000), ("10x", 500_000, 2_000)]:
         "files": n_files,
         "build_s": round(build_s, 2),
         "build_distributed_s": round(build_dist_s, 2),
-        "manifest_kb": round(manifest_bytes / 1024, 1),
+        "root_manifest_bytes": root_manifest_bytes,
+        "sidecar_total_kb": round(sidecar_bytes / 1024, 1),
         "kept_files": len(keep),
+        "kept_files_partition_constrained": len(keep_part),
         "total_files": total,
         "prune_ms": round(prune_s * 1000, 1),
+        "prune_partition_constrained_ms": round(prune_part_s * 1000, 1),
         "point_read_s": round(point_s, 2),
         "full_scan_s": round(full_s, 2),
     }

@@ -158,6 +158,13 @@ def compact_dataset(
     old = path + "._pre_compact"
     os.rename(path, old)
     os.rename(staged, path)
+    # manifest-mode snapshots pin pre-compaction files by FILE LIST, not
+    # by inode — move any still-pinned file into the snapshot layer's
+    # retained pool before the aside copy dies (hardlink-mode snapshots
+    # need nothing here; zero-cost no-op when no manifests exist)
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as _snx
+
+    _snx.preserve_replaced_tree(path, old)
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
 

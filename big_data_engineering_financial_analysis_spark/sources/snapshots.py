@@ -26,13 +26,26 @@ log); this module is the minimal filesystem-native form of that idea:
   last snapshot referencing an inode goes away and the live tree no
   longer holds it.
 
-Scope (stated, not implied): paths must be DRIVER-LOCAL (one shared
-filesystem with hardlink support — the same single-writer contract as
-``compact_dataset`` and the incremental-dedup signature store; fails fast
-on scheme-qualified remote paths).  On an object store this module's job
-is done by a real table format; the QUERY-side contract proven here —
+Scope (stated, not implied): two commit modes with different filesystem
+requirements.  ``mode="link"`` (default) pins INODES via hardlinks —
+POSIX-only, and the strongest isolation (survives even raw deletion of
+the live tree).  ``mode="manifest"`` pins a FILE LIST instead — the
+object-store-capable form (commit writes only small JSON; the primitives
+used are list/stat/read/write-small and, on a destructive swap,
+move-into-pool — S3 server-side CopyObject territory, no hardlinks or
+populated-tree renames anywhere).  Manifest pins lean on the engine's own
+immutability contract: writers never modify a parquet file in place, and
+the one file-deleting mutator (``compact_dataset``) moves still-pinned
+files into the ``_retained`` pool before deleting
+(:func:`preserve_replaced_tree`); deletion OUTSIDE the engine's mutators
+breaks a manifest pin — detected and raised at read time
+(:func:`verify_snapshot`), never silently wrong.  This container tests
+both modes on local paths (``check_local`` still gates scheme-qualified
+URIs: the driver-side os.* calls need a mounted view); a real
+object-store port swaps those calls for the store's list/stat/copy API —
+or uses a full table format (Iceberg/Delta), whose query-side contract —
 immutable files + versioned manifests + sidecar indexes per version — is
-exactly what those formats provide, so the serving plans port unchanged.
+exactly what is proven here, so the serving plans port unchanged.
 
 The reference has no snapshot or time-travel notion at all (QuestDB
 tables are mutate-in-place, db/init_questdb.sql); this is engine-native
@@ -68,6 +81,8 @@ from big_data_engineering_financial_analysis_spark.sources.zonemap import _data_
 SNAP_DIR = "_snapshots"  # sibling suffix: <path>._snapshots
 _VERSION_RE = re.compile(r"^v(\d{8})$")
 _SIDECARS = ("_zonemap.json", "_bloomskip.json")
+_FILELIST = "_filelist.json"  # manifest-mode version: rel -> size
+_RETAINED = "_retained"  # pool of replaced files still pinned by manifests
 
 
 def _check_local(path: str) -> str:
@@ -136,18 +151,39 @@ def _reap_tmp(root: str) -> None:
                     pass
 
 
-def commit_snapshot(path: str, note: str | None = None) -> int:
+def commit_snapshot(
+    path: str, note: str | None = None, mode: str = "link"
+) -> int:
     """Pin the dataset's CURRENT file set as the next snapshot version.
 
-    O(files) metadata work, zero data bytes: each data file is hardlinked
-    into the version tree under its live relative path (so the Hive
-    partition encoding — and therefore partition pruning — is preserved),
-    and the skip-index sidecars are copied so zone/bloom pruning works
-    against the snapshot exactly as against live.  Crash-safe: the tree
-    is built under ``_snapshots/.tmp-*`` and becomes visible only via the
-    final atomic rename; a crashed build is reaped on the next commit.
+    O(files) metadata work, zero data bytes.  Two modes:
+
+    * ``mode="link"`` (default): each data file is hardlinked into the
+      version tree under its live relative path (so the Hive partition
+      encoding — and therefore partition pruning — is preserved); the
+      filesystem's inode refcount is the garbage collector.  Requires a
+      POSIX filesystem with hardlinks.
+    * ``mode="manifest"``: the version records a FILE LIST
+      (``_filelist.json``: relative path -> size) instead of linking —
+      the object-store-capable form (S3/HDFS have no hardlinks; the
+      commit writes only small JSON objects).  Pinned reads resolve the
+      listed files against the live tree and the ``_retained`` pool;
+      the immutability contract carrying the mode is the engine's own:
+      writers never modify a parquet file in place, and the one
+      file-deleting mutator (``compact_dataset``) moves replaced files
+      that manifests still pin into the pool before deleting (see
+      :func:`preserve_replaced_tree`).  A file deleted OUTSIDE the
+      engine's mutators breaks the pin — detected and raised at read
+      time (:func:`verify_snapshot`), never silently wrong.
+
+    Both modes copy the skip-index sidecars so zone/bloom state travels
+    with the version.  Crash-safe: the tree is built under
+    ``_snapshots/.tmp-*`` and becomes visible only via the final atomic
+    rename; a crashed build is reaped on the next commit.
     Single-writer, like every mutator in this layer.
     """
+    if mode not in ("link", "manifest"):
+        raise ValueError(f"mode must be 'link' or 'manifest', got {mode!r}")
     path = _check_local(path)
     root = _snap_root(path)
     os.makedirs(root, exist_ok=True)
@@ -159,14 +195,21 @@ def commit_snapshot(path: str, note: str | None = None) -> int:
     tmp = os.path.join(root, f".tmp-{vname}-{os.getpid()}")
     os.makedirs(tmp)  # empty dataset still commits an (empty) version
     files = _data_files(path)
-    for fpath in files:
-        rel = os.path.relpath(fpath, path)
-        dst = os.path.join(tmp, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        try:
-            os.link(fpath, dst)
-        except OSError:  # filesystem without hardlinks: degrade to copy
-            shutil.copy2(fpath, dst)
+    if mode == "manifest":
+        filelist = {
+            os.path.relpath(f, path): os.path.getsize(f) for f in files
+        }
+        with open(os.path.join(tmp, _FILELIST), "w") as fh:
+            json.dump({"files": filelist}, fh)
+    else:
+        for fpath in files:
+            rel = os.path.relpath(fpath, path)
+            dst = os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(fpath, dst)
+            except OSError:  # filesystem without hardlinks: degrade to copy
+                shutil.copy2(fpath, dst)
     # sidecars live at the root AND (for the partition-sharded Bloom
     # manifest) inside each partition directory holding data files —
     # copy both layers so pruning against the snapshot sees exactly the
@@ -184,6 +227,7 @@ def commit_snapshot(path: str, note: str | None = None) -> int:
     meta = {
         "version": version,
         "note": note,
+        "mode": mode,
         "n_files": len(files),
         "committed_at": time.time(),
     }
@@ -200,14 +244,125 @@ def snapshot_meta(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _filelist_of(vdir: str) -> dict | None:
+    """The rel->size map of a manifest-mode version dir, or None for a
+    hardlink-mode version."""
+    try:
+        with open(os.path.join(vdir, _FILELIST)) as fh:
+            obj = json.load(fh)
+    except OSError:
+        return None
+    files = obj.get("files")
+    return files if isinstance(files, dict) else None
+
+
+def _resolve_manifest_rels(
+    path: str, filelist: dict
+) -> tuple[list[str], list[str]]:
+    """Resolve a manifest version's rels against the live tree first,
+    then the ``_retained`` pool; size must match the recorded size (the
+    engine's writers never modify a file in place and never reuse a
+    name with different content, so path+size identifies the file).
+    Raises when any pinned file is gone from both — the immutability
+    contract was broken outside the engine's mutators; an error beats a
+    silently-different corpus."""
+    pool = os.path.join(_snap_root(path), _RETAINED)
+    live, pooled, missing = [], [], []
+    for rel, size in filelist.items():
+        lf = os.path.join(path, rel)
+        pf = os.path.join(pool, rel)
+        if os.path.isfile(lf) and os.path.getsize(lf) == size:
+            live.append(rel)
+        elif os.path.isfile(pf) and os.path.getsize(pf) == size:
+            pooled.append(rel)
+        else:
+            missing.append(rel)
+    if missing:
+        raise ValueError(
+            f"manifest snapshot of {path!r} pins {len(missing)} file(s) "
+            "present in neither the live tree nor the retained pool "
+            f"(first: {missing[0]!r}) — the immutability contract was "
+            "broken outside the engine's mutators (raw delete/overwrite?). "
+            "Use verify_snapshot() for the full list."
+        )
+    return live, pooled
+
+
+def verify_snapshot(path: str, version: int) -> dict:
+    """Integrity check of one version without reading data:
+    ``{"mode", "n_files", "missing": [...]}`` — empty ``missing`` means
+    every pinned file is resolvable.  Hardlink versions verify by
+    construction (inodes are pinned); manifest versions stat each listed
+    file against live tree + retained pool."""
+    path = _check_local(path)
+    vdir = os.path.join(_snap_root(path), f"v{version:08d}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"snapshot v{version} not found under {path!r}")
+    filelist = _filelist_of(vdir)
+    if filelist is None:
+        return {
+            "mode": "link",
+            "n_files": len(_data_files(vdir)),
+            "missing": [],
+        }
+    pool = os.path.join(_snap_root(path), _RETAINED)
+    missing = [
+        rel
+        for rel, size in filelist.items()
+        if not (
+            (os.path.isfile(os.path.join(path, rel))
+             and os.path.getsize(os.path.join(path, rel)) == size)
+            or (os.path.isfile(os.path.join(pool, rel))
+                and os.path.getsize(os.path.join(pool, rel)) == size)
+        )
+    ]
+    return {"mode": "manifest", "n_files": len(filelist), "missing": missing}
+
+
+def _read_rels(
+    spark: SparkSession, path: str, version: int, rels: list[str]
+) -> DataFrame:
+    """Scan the given rels of a version, whichever mode it is.  Hardlink
+    versions read straight from the version tree; manifest versions
+    resolve each rel to the live tree or the retained pool and union the
+    two groups (both preserve the Hive rel structure, so partition
+    columns derive identically under each basePath)."""
+    vdir = os.path.join(_snap_root(path), f"v{version:08d}")
+    filelist = _filelist_of(vdir)
+    if filelist is None:
+        files = [os.path.join(vdir, rel) for rel in rels]
+        return spark.read.option("basePath", vdir).parquet(*files)
+    live, pooled = _resolve_manifest_rels(
+        path, {rel: filelist[rel] for rel in rels}
+    )
+    pool = os.path.join(_snap_root(path), _RETAINED)
+    parts = []
+    if live:
+        parts.append(
+            spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, rel) for rel in live]
+            )
+        )
+    if pooled:
+        parts.append(
+            spark.read.option("basePath", pool).parquet(
+                *[os.path.join(pool, rel) for rel in pooled]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Scan a pinned version (default: latest) as a normal parquet
     dataset.  Fully isolated from later overwrites/compactions/expiries
-    of OTHER versions — the hardlinked inodes are immutable once
-    committed (the engine's writers never modify parquet files in
-    place)."""
+    of OTHER versions: hardlink versions via pinned inodes, manifest
+    versions via the file list + retained pool (the engine's writers
+    never modify parquet files in place)."""
     path = _check_local(path)
     versions = snapshot_versions(path)
     if not versions:
@@ -219,14 +374,14 @@ def read_snapshot(
             f"snapshot v{version} not found under {path!r} "
             f"(have {versions}; expired versions cannot be read)"
         )
-    vdir = os.path.join(_snap_root(path), f"v{version:08d}")
-    if not _data_files(vdir):
+    rels = sorted(_version_files(path, version))
+    if not rels:
         raise ValueError(
             f"snapshot v{version} of {path!r} holds zero data files "
             "(committed before the first write) — there is no schema to "
             "serve; read a later version"
         )
-    return spark.read.option("basePath", vdir).parquet(vdir)
+    return _read_rels(spark, path, version, rels)
 
 
 def _version_files(path: str, version: int) -> set[str]:
@@ -236,6 +391,9 @@ def _version_files(path: str, version: int) -> set[str]:
             f"snapshot v{version} not found under {path!r} "
             "(expired versions cannot be diffed)"
         )
+    filelist = _filelist_of(vdir)
+    if filelist is not None:
+        return set(filelist)
     return {os.path.relpath(f, vdir) for f in _data_files(vdir)}
 
 
@@ -285,24 +443,81 @@ def read_snapshot_increment(
             "increment. Re-baseline from the newer cut, or pass "
             "strict=False to consume rewritten files with downstream dedup."
         )
-    vdir = os.path.join(_snap_root(path), f"v{v_new:08d}")
     if not diff["added"]:
         return read_snapshot(spark, path, v_new).limit(0)
-    files = [os.path.join(vdir, rel) for rel in diff["added"]]
-    return spark.read.option("basePath", vdir).parquet(*files)
+    return _read_rels(spark, path, v_new, diff["added"])
+
+
+def _manifest_pinned_rels(path: str) -> dict[str, int]:
+    """rel -> size pinned by ANY current manifest-mode version."""
+    pinned: dict[str, int] = {}
+    for v in snapshot_versions(path):
+        fl = _filelist_of(os.path.join(_snap_root(path), f"v{v:08d}"))
+        if fl:
+            pinned.update(fl)
+    return pinned
+
+
+def preserve_replaced_tree(path: str, old_tree: str) -> int:
+    """The manifest-mode half of a destructive swap: move files of
+    ``old_tree`` (a replaced live tree, e.g. the compactor's aside copy)
+    that manifest snapshots still pin — and that the new live tree no
+    longer holds — into the ``_retained`` pool, BEFORE the caller
+    deletes ``old_tree``.  Returns the number of files retained.  A
+    rename on POSIX; on an object store this is the server-side-copy
+    step (S3 CopyObject — no data through the driver).  No manifest
+    snapshots, or all pins still live: O(versions) metadata work, zero
+    moves.  Hardlink versions need nothing here (their inodes survive
+    any deletion)."""
+    if not os.path.isdir(_snap_root(path)):
+        return 0
+    pinned = _manifest_pinned_rels(path)
+    if not pinned:
+        return 0
+    pool = os.path.join(_snap_root(path), _RETAINED)
+    moved = 0
+    for rel, size in pinned.items():
+        dst = os.path.join(pool, rel)
+        if os.path.isfile(dst):
+            continue  # already retained by an earlier swap
+        lf = os.path.join(path, rel)
+        if os.path.isfile(lf) and os.path.getsize(lf) == size:
+            continue  # still live: nothing to preserve
+        src = os.path.join(old_tree, rel)
+        if os.path.isfile(src) and os.path.getsize(src) == size:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.rename(src, dst)
+            except OSError:  # cross-device aside dir: degrade to copy
+                shutil.copy2(src, dst)
+            moved += 1
+    return moved
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` versions; returns the expired
-    version numbers.  Data bytes are reclaimed by the filesystem when the
-    last reference to an inode disappears (remaining snapshots and the
-    live tree keep theirs)."""
+    version numbers.  Hardlink versions' data bytes are reclaimed by the
+    filesystem when the last reference to an inode disappears; after
+    dropping, the ``_retained`` pool is garbage-collected down to the
+    files the REMAINING manifest versions still pin (explicit-delete GC —
+    the object-store analogue of the inode refcount)."""
     if keep_last < 0:
         raise ValueError(f"keep_last must be >= 0, got {keep_last}")
     path = _check_local(path)
-    _reap_tmp(_snap_root(path))
+    root = _snap_root(path)
+    _reap_tmp(root)
     versions = snapshot_versions(path)
     drop = versions[: max(0, len(versions) - keep_last)]
     for v in drop:
-        shutil.rmtree(os.path.join(_snap_root(path), f"v{v:08d}"))
+        shutil.rmtree(os.path.join(root, f"v{v:08d}"))
+    pool = os.path.join(root, _RETAINED)
+    if drop and os.path.isdir(pool):
+        still = set(_manifest_pinned_rels(path))
+        for dirpath, _dirs, files in os.walk(pool, topdown=False):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                if os.path.relpath(full, pool) not in still:
+                    os.unlink(full)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
     return drop

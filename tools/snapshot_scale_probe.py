@@ -87,6 +87,22 @@ for label, n_rows, per_file in [("1x", 60_000, 1_000), ("10x", 600_000, 1_000)]:
     snap_read_s = time.time() - t0
     assert snap_rows == live_rows == n_rows
 
+    # manifest mode: the object-store-capable pin — commit should be
+    # ~constant-small (one JSON write), pinned read resolves against the
+    # live tree
+    t0 = time.time()
+    vm = sn.commit_snapshot(path, note="probe-manifest", mode="manifest")
+    commit_manifest_s = time.time() - t0
+    vm_dir = os.path.join(sn._snap_root(path), f"v{vm:08d}")
+    manifest_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(vm_dir)
+        for f in fs
+    )
+    t0 = time.time()
+    assert sn.read_snapshot(spark, path, vm).count() == n_rows
+    manifest_read_s = time.time() - t0
+
     t0 = time.time()
     sn.expire_snapshots(path, keep_last=0)
     expire_s = time.time() - t0
@@ -94,9 +110,12 @@ for label, n_rows, per_file in [("1x", 60_000, 1_000), ("10x", 600_000, 1_000)]:
     results[label] = {
         "files": n_files,
         "commit_s": round(commit_s, 3),
+        "commit_manifest_s": round(commit_manifest_s, 3),
+        "manifest_version_bytes": manifest_bytes,
         "new_bytes_in_snapshot": new_bytes,
         "live_read_s": round(live_read_s, 3),
         "snap_read_s": round(snap_read_s, 3),
+        "manifest_read_s": round(manifest_read_s, 3),
         "expire_s": round(expire_s, 3),
     }
     shutil.rmtree(root, ignore_errors=True)

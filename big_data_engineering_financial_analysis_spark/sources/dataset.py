@@ -217,6 +217,25 @@ def describe_dataset(path: str) -> dict:
                 partitions.add(part.split("=", 1)[0])
     zones = _zm.load_zonemap(path) or {}
     blooms = _bs.load_bloom_index(path) or {}
+    bloom_root = _bs._read_manifest_obj(os.path.join(path, _bs.MANIFEST_NAME))
+    snap_versions = _sn.snapshot_versions(path)
+    snap_modes = {}
+    for v in snap_versions:
+        try:
+            snap_modes[v] = _sn.snapshot_meta(path, v).get("mode", "link")
+        except OSError:
+            snap_modes[v] = "unknown"
+    pool = os.path.join(_sn._snap_root(path), _sn._RETAINED)
+    retained_files = (
+        sum(
+            1
+            for _r, _d, fs in os.walk(pool)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(pool)
+        else 0
+    )
     markers_dir = os.path.join(path, "_batches")
     n_batches = (
         sum(1 for n in os.listdir(markers_dir) if not n.startswith("_"))
@@ -233,8 +252,11 @@ def describe_dataset(path: str) -> dict:
         "zonemap_coverage": len(rels & set(zones)),
         "bloom_cols": sorted({c for b in blooms.values() for c in b}),
         "bloom_coverage": len(rels & set(blooms)),
+        "bloom_sharded": bool(bloom_root and bloom_root.get("sharded")),
         "committed_batches": n_batches,
-        "snapshots": _sn.snapshot_versions(path),
+        "snapshots": snap_versions,
+        "snapshot_modes": snap_modes,
+        "snapshot_retained_files": retained_files,
         "pending_compaction_recovery": os.path.exists(path + "._pre_compact"),
     }
 

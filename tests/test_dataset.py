@@ -132,7 +132,10 @@ def test_describe_dataset(spark, tmp_path):
     from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
     from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
-    from big_data_engineering_financial_analysis_spark.sources.dataset import describe_dataset
+    from big_data_engineering_financial_analysis_spark.sources.dataset import (
+        compact_dataset,
+        describe_dataset,
+    )
 
     path = str(tmp_path / "ds")
     df = load_table(spark, SF_SMALL, "orders").limit(500)
@@ -152,6 +155,18 @@ def test_describe_dataset(spark, tmp_path):
     assert d["bloom_cols"] == ["o_custkey"]
     assert d["zonemap_coverage"] == d["bloom_coverage"] == d["files"]
     assert d["snapshots"] == [v1]
+    assert d["snapshot_modes"] == {v1: "link"}
+    assert d["snapshot_retained_files"] == 0
+    assert d["bloom_sharded"] is True  # o_orderstatus-partitioned layout
     assert d["committed_batches"] == 0
     assert d["pending_compaction_recovery"] is False
     assert d["bytes"] > 0
+
+    # manifest-mode snapshot + compaction: the retained pool and the
+    # per-version mode show up in the same single dict
+    v2 = sn.commit_snapshot(path, mode="manifest")
+    compact_dataset(spark, path, ["o_orderstatus"], ["o_orderkey"])
+    d2 = describe_dataset(path)
+    assert d2["snapshot_modes"] == {v1: "link", v2: "manifest"}
+    assert d2["snapshot_retained_files"] > 0
+    assert d2["rows"] == 500

@@ -119,6 +119,10 @@ EXTRA_FAMILIES = [
     # round-7 addition: multimodal build->resize->parse round-trip
     # (3 Arrow stages, zero shuffles — benches Arrow batch throughput)
     ("r7media", ["asset_resize"]),
+    # round-8 additions: training-data export — seeded deterministic
+    # shuffle/sharding and the token-budget mixture (one hash Exchange
+    # each; the mixture adds a broadcast of the budget recipe)
+    ("r8export", ["corpus_shards", "token_budget_mix"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

@@ -1,0 +1,169 @@
+"""Training-data export operators: deterministic corpus shuffle/sharding
+and token-budget domain mixtures.
+
+The last mile of a training-data pipeline is neither a query nor a
+filter: the curated corpus must leave the lake as (a) a reproducibly
+SHUFFLED set of shards — data-parallel trainers stream shards in order,
+so corpus order IS training order, and an unseeded shuffle makes every
+rebuild a different training run — and (b) a MIXTURE whose per-domain
+token counts hit prescribed budgets (the "data recipe": so many tokens
+of code, so many of encyclopedia, per language caps), again
+reproducibly.
+
+Both are classic driver-bottleneck traps, and both have an exact
+shuffle-free-ish distributed form:
+
+* **Seeded hash shuffle** (:func:`corpus_shuffle`): order = md5 over
+  ``seed || id``.  No global sort ever happens — the shard id is a
+  *prefix of the same hash*, so assigning shards is a stateless
+  projection, and within-shard order is a per-shard local sort (ONE
+  hash shuffle at ``n_shards`` reducers, each sorting its own slice —
+  Spark's sort-shuffle machinery doing exactly what it is built for).
+  At 100 TB this is the only shape that works: a global ORDER BY rand()
+  would funnel a total order through a range exchange, and any
+  RNG-based order (``rand(seed)``) is partition-layout-dependent —
+  md5(seed, id) depends on the ROW, so the order is stable under
+  repartitioning, AQE, and speculative re-execution.
+* **Budgeted mixture** (:func:`token_budget_mix`): per-domain running
+  token sums in seeded-hash order, keep while the cumulative count
+  stays inside the domain's budget.  One window shuffle keyed by
+  domain; the *output* per domain is bounded by its budget regardless
+  of how skewed the input corpus is, and the hash order makes the
+  selected subset a uniform sample of the domain (the budget cut is a
+  random cut, not a "whatever was first in the files" cut).
+
+SURVEY §2.12 extension family (training-data pipeline); the reference
+has no export/sharding stage at all — its persistence is row-at-a-time
+inserts into QuestDB (services/stream-processing/app/consumer.py) with
+no corpus notion.  Oracle-friendly by construction: md5 is bit-identical
+between Spark (`md5`/`conv`) and DuckDB (`md5`/hex cast), so both
+operators carry exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shuffle_key(id_col: Column, seed: int) -> Column:
+    """The seeded per-row order key: md5 over ``seed:id``.  A function
+    of the ROW alone — independent of partition layout, task retries,
+    and cluster size — which is what makes the shuffle reproducible."""
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+
+
+def _shard_of(key: Column, n_shards: int) -> Column:
+    """Shard id from the first 8 hex digits of the order key.  Using a
+    PREFIX of the same hash keeps shard assignment and within-shard
+    order consistent (one hash computation per row) while the two remain
+    independent enough: the shard is digits [0, 8), the within-shard
+    order is dominated by the remaining 24 digits."""
+    return (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards)
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic seeded global shuffle with shard assignment.
+
+    Adds ``shard`` (0..n_shards-1) and ``pos`` (0-based position within
+    the shard in shuffled order).  Reading shards 0..n-1 each in ``pos``
+    order visits the corpus in one global pseudo-random permutation that
+    depends only on (seed, ids) — byte-identical across reruns, cluster
+    sizes, and input layouts.  Plan shape: one projection + ONE hash
+    shuffle (the window's partitionBy) with a per-shard sort; no global
+    ordering structure anywhere.  ``pos`` ties on the md5 key are broken
+    by the id itself, so the permutation is total even under hash
+    collisions.
+
+    For the write path use :func:`write_corpus_shards`, which skips
+    ``pos`` entirely (file order inside a sorted shard already encodes
+    it)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = _shuffle_key(F.col(id_col), seed)
+    out = df.withColumn("_key", key).withColumn(
+        "shard", _shard_of(F.col("_key"), n_shards)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_key")
+    )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 0,
+) -> None:
+    """Materialize the shuffled corpus as ``shard=K`` partition
+    directories whose FILE ORDER is the shuffle order (trainers stream
+    files in order; no ``pos`` column is needed on disk).  One
+    repartition on the shard id + per-task sort — the same single
+    shuffle as :func:`corpus_shuffle`, without the window."""
+    key = _shuffle_key(F.col(id_col), seed)
+    out = (
+        df.withColumn("_key", key)
+        .withColumn("shard", _shard_of(F.col("_key"), n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_key", id_col)
+        .drop("_key")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic token-budget mixture: per domain, take documents in
+    seeded-hash order while the RUNNING token total stays within the
+    domain's budget; domains absent from ``budgets`` contribute nothing.
+
+    Returns the selected rows with ``cum_tokens`` (the running total
+    including the row).  A document that would cross the budget is
+    dropped along with everything after it — budgets are hard ceilings,
+    so ``sum(token_col) <= budgets[domain]`` per domain always holds,
+    and because the order is a per-row hash, the kept set is a uniform
+    random sample of the domain at the budget's token mass, reproducible
+    from (seed, budgets) alone.
+
+    Scale: ONE window shuffle keyed by domain.  Skew-tolerant in the
+    dimension that matters — the OUTPUT per domain is budget-bounded no
+    matter how large its input share is; for a pathologically hot single
+    domain the window sort is that domain's input size, the same cost
+    any per-domain pass pays (cap it upstream with
+    `sampling.cap_per_group` when a domain dwarfs the rest)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(budgets.items())],
+        f"{domain_col} string, _budget long",
+    )
+    key = _shuffle_key(F.col(id_col), seed)
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(bdf), domain_col, "inner")
+        .withColumn("_key", key)
+        .withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_key", "_budget")
+    )

@@ -678,8 +678,13 @@ for _name in RETIRED_R7:
 #:   no window slot; they rotate on schedule in r9 as r7-latest rows.
 #:
 #: Post-r8 staleness: r8:50 / r7:50 / r6:48 — no row older than 2
-#: rounds; the r9 obligation is the 48-row r6 tier + any r9 changes,
-#: leaving 2 slots of headroom at registry size 148 (capacity 150).
+#: rounds.  Round 8 also registers 2 late rows OUTSIDE this window
+#: (corpus_shards, token_budget_mix — the export operators; r7
+#: precedent), bringing the registry to 150 = exactly capacity.  The r9
+#: obligation is therefore the 48-row r6 tier + those 2 never-checked
+#: rows = 50, exactly full: any r9 changed-code row must overlap the r6
+#: tier or be bought with a retirement, and any r9 registration MUST
+#: retire an equivalent (capacity has no slack left).
 _DRIVER_PRIORITY = [
     # (b) registered round 7 — never driver-checked (the only rows whose
     # correctness rests solely on the local sweep; r7 verdict finding 1)

@@ -1,0 +1,123 @@
+"""Training-data export operators (operators/export.py): the shuffle is
+a seeded deterministic permutation independent of physical layout; the
+mixture's budgets are hard per-domain ceilings over a uniform hash cut."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.operators import export
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def _perm(df):
+    return sorted(
+        (r.shard, r.pos, r.doc_id) for r in df.select("shard", "pos", "doc_id").collect()
+    )
+
+
+def test_shuffle_is_layout_independent(spark):
+    """Same (seed, ids) -> same permutation under any physical layout:
+    the order key is a function of the row, not of partitioning."""
+    docs = _docs(spark)
+    base = _perm(export.corpus_shuffle(docs, n_shards=4, seed=9))
+    assert base == _perm(export.corpus_shuffle(docs.repartition(13), n_shards=4, seed=9))
+    assert base == _perm(export.corpus_shuffle(docs.coalesce(1), n_shards=4, seed=9))
+
+
+def test_shuffle_is_a_total_permutation_and_seed_sensitive(spark):
+    docs = _docs(spark, 300)
+    out = export.corpus_shuffle(docs, n_shards=4, seed=1)
+    rows = out.select("shard", "pos", "doc_id").collect()
+    assert len(rows) == 300
+    assert len({(r.shard, r.pos) for r in rows}) == 300  # positions unique
+    # every shard's positions are exactly 0..len(shard)-1
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # shards are roughly balanced (hash prefix): no shard empty or >2x fair
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert len(by_shard) == 4 and max(sizes) < 2 * (300 / 4)
+    # a different seed gives a different permutation
+    assert _perm(out) != _perm(export.corpus_shuffle(docs, n_shards=4, seed=2))
+
+
+def test_shuffle_single_shard_and_bad_args(spark):
+    docs = _docs(spark, 50)
+    one = export.corpus_shuffle(docs, n_shards=1, seed=0)
+    assert sorted(r.pos for r in one.collect()) == list(range(50))
+    with pytest.raises(ValueError):
+        export.corpus_shuffle(docs, n_shards=0)
+
+
+def test_write_corpus_shards_file_order_is_the_shuffle_order(spark, tmp_path):
+    """The written shards' ROW ORDER equals corpus_shuffle's pos order —
+    a trainer streaming the files in order replays the permutation."""
+    path = str(tmp_path / "shards")
+    docs = _docs(spark, 200)
+    export.write_corpus_shards(docs, path, n_shards=4, seed=5)
+    expect = export.corpus_shuffle(docs, n_shards=4, seed=5)
+    for shard in range(4):
+        got = [
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(path, f"shard={shard}")).collect()
+        ]
+        want = [
+            r.doc_id
+            for r in expect.filter(F.col("shard") == shard)
+            .orderBy("pos")
+            .collect()
+        ]
+        assert got == want, f"shard {shard} order diverged"
+
+
+def test_token_budget_mix_budgets_are_hard_ceilings(spark):
+    docs = _docs(spark, 400)
+    budgets = {"0": 50, "1": 10_000, "2": 0}
+    out = export.token_budget_mix(docs, budgets, domain_col="lang")
+    sums = {
+        r.lang: r.s
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert sums.get("0", 0) <= 50 and sums["0"] > 0
+    # budget above the domain's total mass: the whole domain is kept
+    total_1 = (
+        docs.filter("lang = '1'").agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sums["1"] == total_1
+    assert "2" not in sums  # zero budget -> nothing
+    # absent domains contribute nothing
+    out2 = export.token_budget_mix(docs, {"0": 50}, domain_col="lang")
+    assert {r.lang for r in out2.select("lang").distinct().collect()} == {"0"}
+
+
+def test_token_budget_mix_is_deterministic_and_prefix_consistent(spark):
+    """Raising a budget only EXTENDS the selection (the order is fixed by
+    the seed, so a bigger budget keeps every previously-selected doc)."""
+    docs = _docs(spark, 400)
+    small = {
+        r.doc_id
+        for r in export.token_budget_mix(docs, {"0": 80}, domain_col="lang").collect()
+    }
+    big = {
+        r.doc_id
+        for r in export.token_budget_mix(docs, {"0": 200}, domain_col="lang").collect()
+    }
+    assert small and small < big
+    again = {
+        r.doc_id
+        for r in export.token_budget_mix(docs, {"0": 80}, domain_col="lang").collect()
+    }
+    assert small == again

@@ -67,7 +67,11 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_engineering_financial_analysis_spark.sources.zonemap import _data_files
+from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+    _data_files,
+    _hive_parts,
+    _range_maybe_matches,
+)
 
 MANIFEST_NAME = "_bloomskip.json"
 DEFAULT_N_BITS = 1 << 16
@@ -456,63 +460,6 @@ def _blooms_allow(blooms: dict | None, col: str, values: list) -> bool:
     return any(bloom.might_contain(v) for v in values)
 
 
-def _hive_parts(rel: str) -> dict[str, str | None]:
-    """Partition column -> decoded value from ``col=value`` path
-    segments; Hive's ``__HIVE_DEFAULT_PARTITION__`` decodes to None
-    (the NULL partition)."""
-    import urllib.parse
-
-    parts: dict[str, str | None] = {}
-    for seg in rel.split(os.sep)[:-1]:
-        if "=" in seg:
-            col, _, raw = seg.partition("=")
-            val = urllib.parse.unquote(raw)
-            parts[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
-    return parts
-
-
-def _range_maybe_matches(v: str, lo, hi) -> bool:
-    """Conservative range check of a partition STRING against bounds of
-    unknown column type: the file is skippable only when EVERY feasible
-    type interpretation (numeric, temporal, lexicographic-for-string-
-    bounds) proves the predicate empty.  Spark compares the column under
-    its real type, which the directory name alone doesn't reveal — e.g.
-    ``"9" >= "10"`` is TRUE for a string column but FALSE for an int
-    column, so skipping on just one reading could drop matching rows.
-    No feasible interpretation (unparseable value) keeps the file."""
-    import datetime as dt
-
-    verdicts = []
-    try:  # numeric interpretation
-        fv = float(v)
-        verdicts.append(
-            (lo is None or fv >= float(lo)) and (hi is None or fv <= float(hi))
-        )
-    except (TypeError, ValueError):
-        pass
-    try:  # temporal interpretation (date ≡ midnight timestamp)
-        tv = dt.datetime.fromisoformat(v.replace(" ", "T"))
-
-        def _ts(b):
-            if isinstance(b, dt.datetime):
-                return b
-            if isinstance(b, dt.date):
-                return dt.datetime(b.year, b.month, b.day)
-            return dt.datetime.fromisoformat(str(b).replace(" ", "T"))
-
-        verdicts.append(
-            (lo is None or tv >= _ts(lo)) and (hi is None or tv <= _ts(hi))
-        )
-    except (TypeError, ValueError):
-        pass
-    if isinstance(lo, (str, type(None))) and isinstance(hi, (str, type(None))):
-        if lo is not None or hi is not None:  # lexicographic interpretation
-            verdicts.append(
-                (lo is None or v >= lo) and (hi is None or v <= hi)
-            )
-    return any(verdicts) if verdicts else True
-
-
 def _partition_allows(
     parts: dict[str, str | None],
     ranges: list[tuple],
@@ -587,7 +534,7 @@ def prune_files_combined(
         if _partition_allows(_hive_parts(rels[fpath]), ranges, eq)
     ]
     if ranges:
-        zmanifest = zm.load_zonemap(path) or {}
+        zmanifest = zm._zones_for(path, [rels[fpath] for fpath in candidates])
         candidates = [
             fpath
             for fpath in candidates

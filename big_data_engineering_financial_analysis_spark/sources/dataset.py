@@ -216,6 +216,7 @@ def describe_dataset(path: str) -> dict:
             if "=" in part:
                 partitions.add(part.split("=", 1)[0])
     zones = _zm.load_zonemap(path) or {}
+    zone_root = _zm._read_obj(os.path.join(path, _zm.MANIFEST_NAME))
     blooms = _bs.load_bloom_index(path) or {}
     bloom_root = _bs._read_manifest_obj(os.path.join(path, _bs.MANIFEST_NAME))
     snap_versions = _sn.snapshot_versions(path)
@@ -250,6 +251,7 @@ def describe_dataset(path: str) -> dict:
         "partition_cols": sorted(partitions),
         "zonemap_cols": sorted({c for z in zones.values() for c in z}),
         "zonemap_coverage": len(rels & set(zones)),
+        "zonemap_sharded": bool(zone_root and _zm._is_sharded(zone_root)),
         "bloom_cols": sorted({c for b in blooms.values() for c in b}),
         "bloom_coverage": len(rels & set(blooms)),
         "bloom_sharded": bool(bloom_root and bloom_root.get("sharded")),

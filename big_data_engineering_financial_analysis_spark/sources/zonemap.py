@@ -49,12 +49,16 @@ MANIFEST_NAME = "_zonemap.json"
 
 def _encode(v: Any):
     """JSON-encode a parquet statistics value, tagging non-JSON types."""
+    import decimal
+
     if isinstance(v, dt.datetime):
         return {"$ts": v.isoformat()}
     if isinstance(v, dt.date):
         return {"$date": v.isoformat()}
     if isinstance(v, bytes):
         return {"$hex": v.hex()}
+    if isinstance(v, decimal.Decimal):  # DECIMAL(p, s) column stats
+        return {"$dec": str(v)}
     return v
 
 
@@ -66,6 +70,10 @@ def _decode(v: Any):
             return dt.date.fromisoformat(v["$date"])
         if "$hex" in v:
             return bytes.fromhex(v["$hex"])
+        if "$dec" in v:
+            import decimal
+
+            return decimal.Decimal(v["$dec"])
     return v
 
 
@@ -114,7 +122,7 @@ def _file_zones(fpath: str, cols: list[str]) -> dict:
     return zones
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
+def _atomic_json(final: str, obj) -> None:
     """Atomic manifest swap: write to a temp file in the same directory
     and ``os.replace`` it over the live name.  A plain ``open('w')``
     truncates in place, so a concurrent :func:`read_pruned` (or a crash
@@ -122,11 +130,37 @@ def _write_manifest(path: str, manifest: dict) -> None:
     that to a full scan, but pruning would silently vanish until the
     next rebuild.  ``os.replace`` is atomic on POSIX within one
     filesystem, so readers always see the old or the new manifest."""
-    final = os.path.join(path, MANIFEST_NAME)
     tmp = final + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(obj, fh)
     os.replace(tmp, final)
+
+
+def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> None:
+    """Write the manifest; Hive-partitioned datasets shard it per leaf
+    partition directory (same 1M-file argument as the Bloom sidecar —
+    `sources/bloomskip._write_manifest`): one ``_zonemap.json`` inside
+    each partition dir (basename-keyed) plus an O(1) root marker, so a
+    prune carrying a partition predicate loads only surviving shards.
+    Flat datasets keep the original single-file rel-keyed layout
+    byte-identically."""
+    by_dir: dict[str, dict] = {}
+    for rel, zones in manifest.items():
+        d, base = os.path.split(rel)
+        by_dir.setdefault(d, {})[base] = zones
+    sharded = shard is True or (shard == "auto" and any(d for d in by_dir))
+    if not sharded:
+        _atomic_json(os.path.join(path, MANIFEST_NAME), manifest)
+        return
+    for d, files in by_dir.items():
+        if d:
+            _atomic_json(
+                os.path.join(path, d, MANIFEST_NAME), {"files": files}
+            )
+    _atomic_json(
+        os.path.join(path, MANIFEST_NAME),
+        {"sharded": True, "files": by_dir.get("", {})},
+    )
 
 
 def build_zonemap(path: str, cols: list[str]) -> dict:
@@ -164,12 +198,138 @@ def update_zonemap(path: str, cols: list[str] | None = None) -> dict:
     return manifest
 
 
-def load_zonemap(path: str) -> dict | None:
+def _read_obj(fp: str):
     try:
-        with open(os.path.join(path, MANIFEST_NAME)) as fh:
-            return json.load(fh)
+        with open(fp) as fh:
+            obj = json.load(fh)
     except (OSError, ValueError):
         return None
+    return obj if isinstance(obj, dict) else None
+
+
+def _shard_zones(path: str, d: str) -> dict:
+    """One partition directory's ``rel -> zones`` from its shard
+    manifest; {} for missing/bad shards (those files stay unpruned)."""
+    obj = _read_obj(os.path.join(path, d, MANIFEST_NAME))
+    files = obj.get("files") if obj else None
+    if not isinstance(files, dict):
+        return {}
+    return {os.path.join(d, base): zones for base, zones in files.items()}
+
+
+def _is_sharded(obj: dict) -> bool:
+    # data-file rel keys always end in .parquet, so the marker keys can
+    # never collide with a legacy rel-keyed map
+    return obj.get("sharded") is True and isinstance(obj.get("files"), dict)
+
+
+def load_zonemap(path: str) -> dict | None:
+    """The FULL rel-keyed manifest (merging partition shards), or None
+    when absent/unparseable.  Eager — for introspection and maintenance;
+    the prune path uses the lazy :func:`_zones_for` instead."""
+    obj = _read_obj(os.path.join(path, MANIFEST_NAME))
+    if obj is None:
+        return None
+    if not _is_sharded(obj):
+        return obj  # legacy flat layout: rel-keyed map, unchanged
+    out = dict(obj["files"])
+    for d in sorted(
+        {os.path.dirname(os.path.relpath(f, path)) for f in _data_files(path)}
+        - {""}
+    ):
+        out |= _shard_zones(path, d)
+    return out
+
+
+def _zones_for(path: str, rels: list[str]) -> dict:
+    """Lazy prune-side loader: root manifest plus ONLY the shards of
+    partition directories holding candidate files — after partition
+    pruning, driver memory and prune latency scale with the partitions
+    a query touches, not the dataset."""
+    obj = _read_obj(os.path.join(path, MANIFEST_NAME))
+    if obj is None:
+        return {}
+    if not _is_sharded(obj):
+        return obj
+    out = dict(obj["files"])
+    for d in sorted({os.path.dirname(r) for r in rels} - {""}):
+        out |= _shard_zones(path, d)
+    return out
+
+
+def _hive_parts(rel: str) -> dict[str, str | None]:
+    """Partition column -> decoded value from ``col=value`` path
+    segments; Hive's ``__HIVE_DEFAULT_PARTITION__`` decodes to None
+    (the NULL partition)."""
+    import urllib.parse
+
+    parts: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            col, _, raw = seg.partition("=")
+            val = urllib.parse.unquote(raw)
+            parts[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+    return parts
+
+
+def _range_maybe_matches(v: str, lo, hi) -> bool:
+    """Conservative range check of a partition STRING against bounds of
+    unknown column type: skippable only when EVERY feasible type
+    interpretation (numeric, temporal, lexicographic-for-string-bounds)
+    proves the predicate empty.  Spark compares the column under its
+    real type, which the directory name alone doesn't reveal — e.g.
+    ``"9" >= "10"`` is TRUE for a string column but FALSE for an int
+    column, so skipping on just one reading could drop matching rows.
+    No feasible interpretation (unparseable value) keeps the file."""
+    verdicts = []
+    try:  # numeric interpretation
+        fv = float(v)
+        verdicts.append(
+            (lo is None or fv >= float(lo)) and (hi is None or fv <= float(hi))
+        )
+    except (TypeError, ValueError):
+        pass
+    try:  # temporal interpretation (date ≡ midnight timestamp)
+        tv = dt.datetime.fromisoformat(v.replace(" ", "T"))
+
+        def _ts(b):
+            if isinstance(b, dt.datetime):
+                return b
+            if isinstance(b, dt.date):
+                return dt.datetime(b.year, b.month, b.day)
+            return dt.datetime.fromisoformat(str(b).replace(" ", "T"))
+
+        verdicts.append(
+            (lo is None or tv >= _ts(lo)) and (hi is None or tv <= _ts(hi))
+        )
+    except (TypeError, ValueError):
+        pass
+    if isinstance(lo, (str, type(None))) and isinstance(hi, (str, type(None))):
+        if lo is not None or hi is not None:  # lexicographic interpretation
+            verdicts.append(
+                (lo is None or v >= lo) and (hi is None or v <= hi)
+            )
+    return any(verdicts) if verdicts else True
+
+
+def _partition_allows_ranges(
+    parts: dict[str, str | None], predicates: list[tuple]
+) -> bool:
+    """Directory-level range pruning — zero IO, evaluated BEFORE any
+    shard manifest is opened.  False only when a range on a partition
+    column PROVABLY matches no row in the directory."""
+    for col, lo, hi in predicates:
+        if col not in parts:
+            continue
+        v = parts[col]
+        if v is None:
+            # NULL partition: NULL fails any range bound
+            if lo is not None or hi is not None:
+                return False
+            continue
+        if not _range_maybe_matches(v, lo, hi):
+            return False
+    return True
 
 
 def _utc_align(bound, stat):
@@ -228,10 +388,18 @@ def prune_files_multi(
     ``(col, lo, hi)`` predicate's zone allows it — the 2-D z-order case
     (x-range AND y-range) in one call."""
     files = _data_files(path)
-    manifest = load_zonemap(path) or {}
+    rels = {fpath: os.path.relpath(fpath, path) for fpath in files}
+    # directory-level Hive partition pruning first (zero IO), then open
+    # only surviving partitions' zone shards
+    candidates = [
+        fpath
+        for fpath in files
+        if _partition_allows_ranges(_hive_parts(rels[fpath]), predicates)
+    ]
+    manifest = _zones_for(path, [rels[fpath] for fpath in candidates])
     keep = []
-    for fpath in files:
-        zones = manifest.get(os.path.relpath(fpath, path))
+    for fpath in candidates:
+        zones = manifest.get(rels[fpath])
         if all(_zone_allows(zones, col, lo, hi) for col, lo, hi in predicates):
             keep.append(fpath)
     return keep, len(files)

@@ -158,6 +158,7 @@ def test_describe_dataset(spark, tmp_path):
     assert d["snapshot_modes"] == {v1: "link"}
     assert d["snapshot_retained_files"] == 0
     assert d["bloom_sharded"] is True  # o_orderstatus-partitioned layout
+    assert d["zonemap_sharded"] is True
     assert d["committed_batches"] == 0
     assert d["pending_compaction_recovery"] is False
     assert d["bytes"] > 0

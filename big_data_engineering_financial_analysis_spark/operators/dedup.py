@@ -395,29 +395,26 @@ TINY_GRAPH_EDGES = 100_000
 def _cap_buckets(
     exploded: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None
 ) -> DataFrame:
-    """Bound bucket membership to the ``cap`` smallest ids — adaptively.
+    """Bound bucket membership to the ``cap`` smallest ids — for free.
 
-    The row_number window costs a shuffle+sort of the exploded frame, which
-    is pure overhead on healthy corpora where no bucket is hot.  So probe
-    first: one partial-aggregated count per bucket (map-side combine, then
-    a LIMIT-1 existence check on over-cap groups).  When nothing exceeds
-    the cap — the common case — the capped plan IS the uncapped plan and
-    the window never runs; the probe's scan is shared work anyway because
-    callers persist the sketch frame the buckets derive from.  When a hot
-    bucket exists, the window engages and its output is deterministic
-    (smallest ids kept), mirroring the oracle's unconditional QUALIFY
-    (which is a no-op exactly when the probe says skip).
+    The window is applied UNCONDITIONALLY (mirroring the oracle's
+    unconditional QUALIFY row_number) because in every caller the capped
+    frame immediately self-joins on ``bucket_cols`` — and the window's
+    required distribution (hash on ``bucket_cols``) and sort order
+    (``bucket_cols ++ id``, of which the SMJ's ``bucket_cols`` sort is a
+    prefix) are exactly what that join already forces.  Catalyst's
+    EnsureRequirements therefore inserts NO extra Exchange or Sort: the
+    capped plan reuses the join's own shuffle, and row_number is a
+    streaming pass over the already-sorted partitions.  The r3–r7 shape
+    probed first (a count-per-bucket aggregate + LIMIT-1 existence job)
+    to skip the window on healthy corpora — but that probe was itself an
+    extra job over the exploded frame every call, which bench r3–r7
+    carried as a standing ~1.5x on ``dedup_minhash_lsh``; the window it
+    was avoiding costs nothing given the downstream join.  Output is
+    deterministic (smallest ids kept) and identical to the probed shape:
+    when no bucket exceeds ``cap`` the filter keeps every row.
     """
     if cap is None:
-        return exploded
-    over = (
-        exploded.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > cap)
-        .limit(1)
-        .count()
-    )
-    if not over:
         return exploded
     w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
     return (

@@ -677,14 +677,13 @@ for _name in RETIRED_R7:
 #:   4 were driver-sim'd MATCH on final code.  Judged not-material →
 #:   no window slot; they rotate on schedule in r9 as r7-latest rows.
 #:
-#: Post-r8 staleness: r8:50 / r7:50 / r6:48 — no row older than 2
+#: Post-r8 staleness: r8:50 / r7:50 / r6:46 — no row older than 2
 #: rounds.  Round 8 also registers 2 late rows OUTSIDE this window
 #: (corpus_shards, token_budget_mix — the export operators; r7
-#: precedent), bringing the registry to 150 = exactly capacity.  The r9
-#: obligation is therefore the 48-row r6 tier + those 2 never-checked
-#: rows = 50, exactly full: any r9 changed-code row must overlap the r6
-#: tier or be bought with a retirement, and any r9 registration MUST
-#: retire an equivalent (capacity has no slack left).
+#: precedent) and RETIRES 2 r6-tier rows (RETIRED_R8 below), leaving
+#: the registry at 148/150.  The r9 obligation is therefore the 46-row
+#: r6 tier + those 2 never-checked rows = 48 — 2 slots of headroom for
+#: r9 changed-code rows or late registrations.
 _DRIVER_PRIORITY = [
     # (b) registered round 7 — never driver-checked (the only rows whose
     # correctness rests solely on the local sweep; r7 verdict finding 1)
@@ -707,6 +706,40 @@ _DRIVER_PRIORITY = [
     "value_quartiles", "vwap_obv", "winsorize", "xsec_momentum",
     "zorder_index",
 ]
+
+#: RETIRED round 8 — proactive capacity relief, not retire-to-grow: the
+#: r7 verdict flagged the registry at 150/150 with the r9 obligation
+#: (48-row r6 tier + 2 never-checked export rows) exactly filling the
+#: window.  Retiring two r6-tier rows cuts the r9 obligation to 48 and
+#: frees 2 capacity slots.  Both retirees follow the RETIRED_R6/R7
+#: standard — each is a strict projection / proven-equal twin of a
+#: still-registered row, with a dedicated coverage pytest in
+#: tests/test_retired_r8.py:
+#:
+#: * api_highest   — round(max(close), 6) over EXACTLY summarize's
+#:                   symbol + time window: a 1-column projection of
+#:                   summarize's max_close (asserted equal in the test).
+#:                   The REST "highest" endpoint path stays covered by
+#:                   plans/api.py + tests/test_api.py / test_http_api.py
+#:                   — the same story as api_lowest, retired round 6.
+#: * enrich_pandas — the applyInPandas Arrow twin of enrich_indicators;
+#:                   its oracle SQL is LITERALLY enrich_indicators'.
+#:                   The test asserts frame equality against the still-
+#:                   registered expression path on testdata, and the
+#:                   reference-recipe parity test
+#:                   (tests/test_indicators.py) pins the kernel.  The
+#:                   Arrow path also stays driver-proven via
+#:                   enrich_incremental's O(n) auto-switch parity suite.
+#:
+#: Post-retirement: registry 148/150 (2 slots free), r9 obligation =
+#: 46 r6-stale + 2 never-checked (corpus_shards, token_budget_mix) = 48
+#: — 2 slots of window headroom for r9 changed-code rows.  Any r8/r9
+#: registration spends one capacity slot AND (if unregistered by the
+#: r9 window cutoff) one r9 window slot; budget both.
+RETIRED_R8 = ["api_highest", "enrich_pandas"]
+for _name in RETIRED_R8:
+    QUERIES.pop(_name, None)
+    ORACLES.pop(_name, None)
 
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {
     name: fn for name, fn in QUERIES.items() if name not in _DRIVER_PRIORITY

@@ -395,24 +395,33 @@ TINY_GRAPH_EDGES = 100_000
 def _cap_buckets(
     exploded: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None
 ) -> DataFrame:
-    """Bound bucket membership to the ``cap`` smallest ids — for free.
+    """Bound bucket membership to the ``cap`` smallest ids, unconditionally.
 
     The window is applied UNCONDITIONALLY (mirroring the oracle's
-    unconditional QUALIFY row_number) because in every caller the capped
-    frame immediately self-joins on ``bucket_cols`` — and the window's
-    required distribution (hash on ``bucket_cols``) and sort order
-    (``bucket_cols ++ id``, of which the SMJ's ``bucket_cols`` sort is a
-    prefix) are exactly what that join already forces.  Catalyst's
-    EnsureRequirements therefore inserts NO extra Exchange or Sort: the
-    capped plan reuses the join's own shuffle, and row_number is a
-    streaming pass over the already-sorted partitions.  The r3–r7 shape
-    probed first (a count-per-bucket aggregate + LIMIT-1 existence job)
-    to skip the window on healthy corpora — but that probe was itself an
-    extra job over the exploded frame every call, which bench r3–r7
-    carried as a standing ~1.5x on ``dedup_minhash_lsh``; the window it
-    was avoiding costs nothing given the downstream join.  Output is
-    deterministic (smallest ids kept) and identical to the probed shape:
-    when no bucket exceeds ``cap`` the filter keeps every row.
+    unconditional QUALIFY row_number); the r3–r7 shape probed bucket
+    sizes first (a count-per-bucket aggregate + LIMIT-1 existence check
+    — an extra driver-synchronized job over the exploded frame on EVERY
+    call) and windowed only when a hot bucket existed.  Cost by join
+    regime of the downstream bucket self-join every caller performs:
+
+    * **SMJ regime (large inputs — the 100 TB target):** the window's
+      required distribution (hash on ``bucket_cols``) and sort
+      (``bucket_cols ++ id``, of which the SMJ's sort is a prefix) are
+      exactly what the join forces anyway, so the window adds no
+      Exchange or Sort — and Spark 4's WindowGroupLimit rewrite enforces
+      the cap map-side BEFORE the shuffle, so an adversarial hot bucket
+      ships ≤ cap rows per map partition instead of shuffling whole to
+      one reducer (the probed shape's straggler).  Strictly better.
+    * **Broadcast regime (AQE broadcasts the bucket join — small
+      inputs):** the window keeps its own hash Exchange of the capped
+      banded frame, which the probed shape skipped; that frame is small
+      by definition when the join is broadcast-able, and the probe job
+      saved is comparable — measured neutral within session noise at
+      sf0.1 (PERF.md round 8).
+
+    Output is deterministic (smallest ids kept) and identical to the
+    probed shape: when no bucket exceeds ``cap`` the filter keeps every
+    row.
     """
     if cap is None:
         return exploded

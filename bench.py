@@ -120,9 +120,11 @@ EXTRA_FAMILIES = [
     # (3 Arrow stages, zero shuffles — benches Arrow batch throughput)
     ("r7media", ["asset_resize"]),
     # round-8 additions: training-data export — seeded deterministic
-    # shuffle/sharding and the token-budget mixture (one hash Exchange
-    # each; the mixture adds a broadcast of the budget recipe)
-    ("r8export", ["corpus_shards", "token_budget_mix"]),
+    # shuffle/sharding, the token-budget mixture (one hash Exchange
+    # each; the mixture adds a broadcast of the budget recipe), and the
+    # two-pass global example index (one range + one pid Exchange; never
+    # an Exchange SinglePartition)
+    ("r8export", ["corpus_shards", "token_budget_mix", "global_index"]),
 ]
 
 HEADLINE = [q for _, qs in HEADLINE_FAMILIES for q in qs]

@@ -167,3 +167,77 @@ def token_budget_mix(
         .filter(F.col("cum_tokens") <= F.col("_budget"))
         .drop("_key", "_budget")
     )
+
+
+def global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "doc_id",
+    index_col: str = "example_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based global row index in a caller-chosen total
+    order — WITHOUT the single-partition global window.
+
+    Training-data exports need stable contiguous example ids ("example
+    17 of the curriculum"), i.e. ``row_number() OVER (ORDER BY ...)``.
+    Spark's literal spelling of that is the classic scale trap: a window
+    with no partitionBy moves THE ENTIRE DATASET to one partition (the
+    `WindowExec` warning), so the operator that assigns ids to 100 TB
+    runs on one core.  This is the two-pass partition-offset form
+    instead — the distributed-systems classic:
+
+    1. ``repartitionByRange`` on the order key (+ ``id_col`` tiebreak,
+       so the order is total whenever ids are unique): partition ``i``
+       holds keys ≤ partition ``i+1``'s, so partition id order IS key
+       order.  Eagerly ``localCheckpoint``-ed — load-bearing, not an
+       optimization: the range boundaries come from a SAMPLE, so a
+       recompute could place rows differently and silently corrupt the
+       index; pinning the materialized partitioning also lets the two
+       passes share the exchange.
+    2. One tiny driver pass: per-partition row counts (``num_partitions``
+       rows via ``spark_partition_id``) folded into cumulative offsets,
+       embedded as a literal map (driver memory = one long per
+       partition — thousands of partitions, not rows).
+    3. ``index = offset[pid] + rank-within-partition − 1``: the
+       within-partition rank is a window partitioned by ``_pid``, whose
+       hash exchange moves each range partition WHOLE to one reducer —
+       balanced by construction (range partitions are equal-sized), no
+       global funnel anywhere.
+
+    Plan: one range Exchange + one hash Exchange, zero Python, zero
+    driver-side row data.  The index equals the oracle's
+    ``row_number() OVER (ORDER BY order_cols, id) - 1`` exactly.
+    """
+    order = [F.col(c) for c in order_cols] + [F.col(id_col)]
+    n = num_partitions or max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(n, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # eager: pin sampled range boundaries (step 1)
+    )
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        ranged.withColumn(
+            index_col,
+            (
+                F.element_at(offset_map, F.col("_pid"))
+                + F.row_number().over(w)
+                - 1
+            ).cast("long"),
+        )
+        .drop("_pid")
+    )

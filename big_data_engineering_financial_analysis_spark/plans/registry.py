@@ -678,12 +678,12 @@ for _name in RETIRED_R7:
 #:   no window slot; they rotate on schedule in r9 as r7-latest rows.
 #:
 #: Post-r8 staleness: r8:50 / r7:50 / r6:46 — no row older than 2
-#: rounds.  Round 8 also registers 2 late rows OUTSIDE this window
-#: (corpus_shards, token_budget_mix — the export operators; r7
-#: precedent) and RETIRES 2 r6-tier rows (RETIRED_R8 below), leaving
-#: the registry at 148/150.  The r9 obligation is therefore the 46-row
-#: r6 tier + those 2 never-checked rows = 48 — 2 slots of headroom for
-#: r9 changed-code rows or late registrations.
+#: rounds.  Round 8 also registers 3 late rows OUTSIDE this window
+#: (corpus_shards, token_budget_mix, global_index — the export
+#: operators; r7 precedent) and RETIRES 2 r6-tier rows (RETIRED_R8
+#: below), leaving the registry at 149/150.  The r9 obligation is
+#: therefore the 46-row r6 tier + those 3 never-checked rows = 49 —
+#: 1 slot of window headroom and 1 capacity slot for r9.
 _DRIVER_PRIORITY = [
     # (b) registered round 7 — never driver-checked (the only rows whose
     # correctness rests solely on the local sweep; r7 verdict finding 1)
@@ -731,11 +731,12 @@ _DRIVER_PRIORITY = [
 #:                   Arrow path also stays driver-proven via
 #:                   enrich_incremental's O(n) auto-switch parity suite.
 #:
-#: Post-retirement: registry 148/150 (2 slots free), r9 obligation =
-#: 46 r6-stale + 2 never-checked (corpus_shards, token_budget_mix) = 48
-#: — 2 slots of window headroom for r9 changed-code rows.  Any r8/r9
-#: registration spends one capacity slot AND (if unregistered by the
-#: r9 window cutoff) one r9 window slot; budget both.
+#: Post-retirement: registry 149/150 (1 slot free), r9 obligation =
+#: 46 r6-stale + 3 never-checked (corpus_shards, token_budget_mix,
+#: global_index) = 49 — 1 slot of window headroom for r9 changed-code
+#: rows.  Any r9 registration spends one capacity slot AND (if
+#: unregistered by the r9 window cutoff) one r9 window slot; budget
+#: both.
 RETIRED_R8 = ["api_highest", "enrich_pandas"]
 for _name in RETIRED_R8:
     QUERIES.pop(_name, None)

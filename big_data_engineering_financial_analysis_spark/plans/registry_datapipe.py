@@ -2290,3 +2290,27 @@ c AS (
 )
 SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= budget
 """
+
+
+GI_PARTITIONS = 8
+
+
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based example ids in (lang, n_chars, doc_id) order —
+    the two-pass partition-offset form of ``row_number() OVER (ORDER BY
+    ...)``, which in naive Spark is the single-partition global-window
+    trap (operators/export.global_index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = _export.global_index(
+        docs, ["lang", "n_chars"], id_col="doc_id", num_partitions=GI_PARTITIONS
+    )
+    return out.select("doc_id", "lang", "n_chars", "example_id")
+
+
+QUERIES["global_index"] = q_global_index
+ORACLES["global_index"] = """
+SELECT doc_id, lang, n_chars,
+       CAST(row_number() OVER (ORDER BY lang, n_chars, doc_id) - 1
+            AS BIGINT) AS example_id
+FROM documents
+"""

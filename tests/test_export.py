@@ -121,3 +121,50 @@ def test_token_budget_mix_is_deterministic_and_prefix_consistent(spark):
         for r in export.token_budget_mix(docs, {"0": 80}, domain_col="lang").collect()
     }
     assert small == again
+
+
+def test_global_index_is_contiguous_and_matches_total_order(spark):
+    """example_id is exactly row_number()-1 in (order_cols, id) order:
+    contiguous 0..n-1, no single-partition window anywhere (asserted on
+    the plan: every Window carries a partitionBy)."""
+    df = _docs(spark)
+    out = export.global_index(df, ["lang", "n_tokens"], num_partitions=5)
+    rows = out.select("doc_id", "lang", "n_tokens", "example_id").collect()
+    got = sorted(rows, key=lambda r: r.example_id)
+    assert [r.example_id for r in got] == list(range(len(rows)))
+    expected = sorted(rows, key=lambda r: (r.lang, r.n_tokens, r.doc_id))
+    assert [r.doc_id for r in got] == [r.doc_id for r in expected]
+    # the naive row_number-over-everything plan funnels the corpus
+    # through Exchange SinglePartition; this one must never
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_global_index_is_layout_independent(spark):
+    """Same data -> same ids under any input partitioning and any
+    num_partitions (the sampled range boundaries move, the index does
+    not — it is a pure function of the total order)."""
+    df = _docs(spark)
+    base = {
+        r.doc_id: r.example_id
+        for r in export.global_index(df, ["lang", "n_tokens"], num_partitions=4)
+        .select("doc_id", "example_id").collect()
+    }
+    for variant in (df.repartition(17), df.coalesce(1)):
+        for n in (2, 9):
+            m = {
+                r.doc_id: r.example_id
+                for r in export.global_index(variant, ["lang", "n_tokens"], num_partitions=n)
+                .select("doc_id", "example_id").collect()
+            }
+            assert m == base
+
+
+def test_global_index_skewed_order_column(spark):
+    """A constant order column (worst-case skew for the range
+    partitioner) still yields the correct contiguous index — the id
+    tiebreak keeps the order total."""
+    df = _docs(spark, n=300).withColumn("k", F.lit("same"))
+    out = export.global_index(df, ["k"], num_partitions=6)
+    rows = sorted(out.select("doc_id", "example_id").collect(), key=lambda r: r.doc_id)
+    assert [r.example_id for r in rows] == list(range(300))

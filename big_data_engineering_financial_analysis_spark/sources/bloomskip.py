@@ -526,7 +526,21 @@ def prune_files_combined(
 
     ranges = ranges or []
     eq = [(col, list(values)) for col, values in (eq or [])]
-    files = _data_files(path)
+
+    def _dir_allows(dirname: str) -> bool:
+        # hoist _partition_allows to the walk: a failing partition
+        # directory is never LISTED (the walk is the 1M-file cost)
+        col, _, _ = dirname.partition("=")
+        from big_data_engineering_financial_analysis_spark.sources.zonemap import _dir_value
+
+        v = _dir_value(dirname)
+        return _partition_allows(
+            {col: v},
+            [p for p in ranges if p[0] == col],
+            [p for p in eq if p[0] == col],
+        )
+
+    files = _data_files(path, dir_filter=_dir_allows)
     rels = {fpath: os.path.relpath(fpath, path) for fpath in files}
     candidates = [
         fpath

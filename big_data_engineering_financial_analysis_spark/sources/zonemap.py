@@ -77,18 +77,67 @@ def _decode(v: Any):
     return v
 
 
-def _data_files(path: str) -> list[str]:
+def _data_files(path: str, dir_filter=None) -> list[str]:
+    """All data files under ``path``; with ``dir_filter`` (a predicate
+    on a single ``col=value`` directory NAME), subtrees whose partition
+    segment fails the filter are never descended — the 1M-file walk fix:
+    a query carrying partition predicates lists only surviving
+    partitions' files instead of stat-ing the whole dataset
+    driver-side.  ``dir_filter`` must be CONSERVATIVE (False only when
+    the predicate provably matches no row in the subtree); non-partition
+    directories (no ``=``) are always descended."""
     out = []
     for root, dirs, files in os.walk(path):
         # mirror Spark's file-index convention: a `_`/`.`-prefixed
         # DIRECTORY is metadata, not data — never descend (else snapshot
         # trees under _snapshots/ would double-count into zone/bloom
         # manifests and prune decisions)
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        dirs[:] = [
+            d
+            for d in dirs
+            if not d.startswith((".", "_"))
+            and (dir_filter is None or "=" not in d or dir_filter(d))
+        ]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(os.path.join(root, f))
     return sorted(out)
+
+
+def _dir_value(dirname: str) -> str | None:
+    """Decoded partition value of one ``col=value`` directory name;
+    None for the Hive NULL partition."""
+    import urllib.parse
+
+    val = urllib.parse.unquote(dirname.partition("=")[2])
+    return None if val == "__HIVE_DEFAULT_PARTITION__" else val
+
+
+def _range_dir_filter(predicates: list[tuple]):
+    """Walk-time directory filter from ``(col, lo, hi)`` predicates —
+    the same conservative test :func:`_partition_allows_ranges` applies
+    per file, hoisted to the directory level so failing partitions are
+    never LISTED (the walk is the driver-side cost at 1M files, not the
+    manifest)."""
+    by_col = {}
+    for col, lo, hi in predicates:
+        by_col.setdefault(col, []).append((lo, hi))
+
+    def allow(dirname: str) -> bool:
+        col = dirname.partition("=")[0]
+        bounds = by_col.get(col)
+        if not bounds:
+            return True
+        v = _dir_value(dirname)
+        for lo, hi in bounds:
+            if v is None:
+                if lo is not None or hi is not None:
+                    return False
+            elif not _range_maybe_matches(v, lo, hi):
+                return False
+        return True
+
+    return allow
 
 
 def _file_zones(fpath: str, cols: list[str]) -> dict:
@@ -386,11 +435,20 @@ def prune_files_multi(
 ) -> tuple[list[str], int]:
     """Conjunctive multi-column pruning: a file survives only if EVERY
     ``(col, lo, hi)`` predicate's zone allows it — the 2-D z-order case
-    (x-range AND y-range) in one call."""
-    files = _data_files(path)
+    (x-range AND y-range) in one call.
+
+    Returns ``(kept_files, n_enumerated)`` where ``n_enumerated`` counts
+    the files the prune had to CONSIDER: partition directories that
+    provably fail a partition-column predicate are skipped during the
+    walk itself (never listed, never stat-ed), so with partition
+    predicates both the walk and the count are bounded by the surviving
+    partitions — the 1M-file driver-side cost model.  Without partition
+    predicates ``n_enumerated`` is the full file count, as before."""
+    files = _data_files(path, dir_filter=_range_dir_filter(predicates))
     rels = {fpath: os.path.relpath(fpath, path) for fpath in files}
-    # directory-level Hive partition pruning first (zero IO), then open
-    # only surviving partitions' zone shards
+    # per-file partition re-check (zero IO): belt for nested layouts the
+    # walk filter may have descended through, and for rel paths fed by
+    # callers rather than the walk
     candidates = [
         fpath
         for fpath in files

@@ -130,9 +130,12 @@ def test_partition_eq_cross_type_never_skips_matching_rows(spark, tmp_path):
     assert sorted(r.v for r in got.collect()) == sorted(
         r.v for r in df.filter("k = 2").collect()
     )
-    # and a provably-absent partition value skips everything without IO
+    # and a provably-absent partition value skips everything without IO:
+    # since round 8 the failing partitions are pruned during the WALK, so
+    # nothing is even enumerated (total counts files CONSIDERED, and a
+    # probe that kills every partition considers none)
     keep, total = bs.prune_files_combined(path, eq=[("k", [99])])
-    assert keep == [] and total > 0
+    assert keep == [] and total == 0
 
 
 def test_null_partition_skippable_for_eq_kept_for_no_predicate(spark, tmp_path):

@@ -141,3 +141,39 @@ def test_legacy_rel_keyed_manifest_still_loads_and_prunes(spark, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in expect.collect()
     )
+
+
+def test_walk_prunes_failing_partition_directories(spark, tmp_path):
+    """Since round 8 a partition directory that provably fails a
+    partition-column predicate is skipped during the WALK itself —
+    never listed, never stat-ed.  Observable two ways: the returned
+    total counts only files CONSIDERED, and a directory filter spy sees
+    each partition segment exactly once per prune."""
+    path = str(tmp_path / "ds")
+    df = _write(spark, path)
+    zm.build_zonemap(path, ["score"])
+    all_files = len(zm._data_files(path))
+
+    # partition predicate: only lang=1's files are enumerated
+    keep, total = zm.prune_files_multi(
+        path, [("lang", "1", "1"), ("score", 0.0, 1e9)]
+    )
+    per_lang = len(zm._data_files(os.path.join(path, "lang=1")))
+    assert total == per_lang < all_files
+    assert sorted(keep) == sorted(
+        zm._data_files(os.path.join(path, "lang=1"))
+    )
+    # result still equals the full scan
+    got = zm.read_pruned_multi(
+        spark, path, [("lang", "1", "1"), ("score", 0.0, 1e9)]
+    )
+    expect = df.filter("lang = '1'")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in expect.collect()
+    )
+    # a predicate killing EVERY partition enumerates nothing
+    keep, total = zm.prune_files_multi(path, [("lang", "9", "9")])
+    assert keep == [] and total == 0
+    # no partition predicate -> full enumeration, unchanged semantics
+    _, total = zm.prune_files_multi(path, [("score", 0.0, 1e9)])
+    assert total == all_files

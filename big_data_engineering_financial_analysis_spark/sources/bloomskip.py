@@ -268,19 +268,25 @@ def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> No
         d, base = os.path.split(rel)
         by_dir.setdefault(d, {})[base] = blooms
     sharded = shard is True or (shard == "auto" and any(d for d in by_dir))
+    # skip-unchanged (zonemap._atomic_json_if_changed): a streaming
+    # append touches a few partitions; the other shards keep bytes+mtime
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+        _atomic_json_if_changed,
+    )
+
     if not sharded:
-        _atomic_json(
+        _atomic_json_if_changed(
             os.path.join(path, MANIFEST_NAME),
             {"format": KEY_FORMAT, "files": manifest},
         )
         return
     for d, files in by_dir.items():
         if d:
-            _atomic_json(
+            _atomic_json_if_changed(
                 os.path.join(path, d, MANIFEST_NAME),
                 {"format": KEY_FORMAT, "files": files},
             )
-    _atomic_json(
+    _atomic_json_if_changed(
         os.path.join(path, MANIFEST_NAME),
         {"format": KEY_FORMAT, "sharded": True, "files": by_dir.get("", {})},
     )

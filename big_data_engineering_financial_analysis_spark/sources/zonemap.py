@@ -185,6 +185,25 @@ def _atomic_json(final: str, obj) -> None:
     os.replace(tmp, final)
 
 
+def _atomic_json_if_changed(final: str, obj) -> bool:
+    """Write only when content differs from what's on disk; returns
+    whether a write happened.  The per-micro-batch maintenance calls
+    (``update_zonemap`` / ``update_bloom_index``) funnel every shard
+    through the writer, but a streaming append touches only a few
+    partitions — at 100k partitions the expensive half is the 100k
+    ``os.replace`` swaps of UNCHANGED shards, not the reads.  Unchanged
+    shards keep their bytes and mtimes (the observable contract the
+    tests pin, mirroring the corpus label store's
+    affected-bucket-only-overwrite)."""
+    prev = _read_obj(final)
+    if prev is not None and json.dumps(prev, sort_keys=True) == json.dumps(
+        obj, sort_keys=True
+    ):
+        return False
+    _atomic_json(final, obj)
+    return True
+
+
 def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> None:
     """Write the manifest; Hive-partitioned datasets shard it per leaf
     partition directory (same 1M-file argument as the Bloom sidecar —
@@ -199,14 +218,14 @@ def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> No
         by_dir.setdefault(d, {})[base] = zones
     sharded = shard is True or (shard == "auto" and any(d for d in by_dir))
     if not sharded:
-        _atomic_json(os.path.join(path, MANIFEST_NAME), manifest)
+        _atomic_json_if_changed(os.path.join(path, MANIFEST_NAME), manifest)
         return
     for d, files in by_dir.items():
         if d:
-            _atomic_json(
+            _atomic_json_if_changed(
                 os.path.join(path, d, MANIFEST_NAME), {"files": files}
             )
-    _atomic_json(
+    _atomic_json_if_changed(
         os.path.join(path, MANIFEST_NAME),
         {"sharded": True, "files": by_dir.get("", {})},
     )

@@ -177,3 +177,43 @@ def test_walk_prunes_failing_partition_directories(spark, tmp_path):
     # no partition predicate -> full enumeration, unchanged semantics
     _, total = zm.prune_files_multi(path, [("score", 0.0, 1e9)])
     assert total == all_files
+
+
+def test_update_rewrites_only_dirty_shards(spark, tmp_path):
+    """Per-micro-batch maintenance cost model: an append touching ONE
+    partition rewrites that partition's shard (and nothing else) — the
+    untouched shards and the root marker keep their exact mtimes, so at
+    100k partitions a batch pays O(touched partitions) manifest writes,
+    not O(partitions)."""
+    import time as _t
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["score"])
+
+    def mtimes():
+        return {
+            d: os.stat(os.path.join(path, d, zm.MANIFEST_NAME)).st_mtime_ns
+            for d in ("lang=0", "lang=1", "lang=2")
+        } | {"": os.stat(os.path.join(path, zm.MANIFEST_NAME)).st_mtime_ns}
+
+    before = mtimes()
+    _t.sleep(0.02)
+    # no-op update: nothing changed, nothing rewritten
+    zm.update_zonemap(path)
+    assert mtimes() == before
+
+    # append one file into lang=1 only
+    extra = spark.createDataFrame(
+        [(9001, "1", 9999.0)], "doc_id long, lang string, score double"
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("lang").parquet(path)
+    _t.sleep(0.02)
+    zm.update_zonemap(path)
+    after = mtimes()
+    assert after["lang=1"] != before["lang=1"]
+    for k in ("lang=0", "lang=2", ""):
+        assert after[k] == before[k]
+    # and the new file is covered
+    keep, _ = zm.prune_files_multi(path, [("score", 9000.0, 10000.0)])
+    assert any("lang=1" in f for f in keep)

@@ -343,6 +343,7 @@ def update_bloom_index(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
     spark: SparkSession | None = None,
+    dirs: list[str] | None = None,
 ) -> dict:
     """Incremental maintenance: index ONLY files not yet covered, drop
     entries for deleted files — O(new files), the per-micro-batch call.
@@ -351,7 +352,56 @@ def update_bloom_index(
     already present in the manifest keep their OBSERVED (m, k) — a
     deliberately upsized hot column is never silently reset to the
     defaults; ``n_bits``/``n_hashes`` apply only to newly-requested
-    columns."""
+    columns.
+
+    ``dirs`` bounds maintenance IO to the given relative partition
+    directories — O(touched partitions) shard reads+writes per
+    micro-batch, same contract and same safety argument as
+    `zonemap.update_zonemap(dirs=...)` (a missed dir's files stay out of
+    the manifest, and an unindexed file is always KEPT by the prune).
+    Only valid on an already-sharded manifest (else full update);
+    sizing inheritance is then per-dir: an upsized column in an
+    UNTOUCHED shard is not seen, so new files take that dir's own
+    observed (m, k) or the defaults.  A format-mismatched dirty shard
+    rebuilds fresh at the current format, exactly like the full path."""
+    if dirs is not None:
+        root = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
+        if root is not None and root.get("sharded") is True:
+            out: dict = {}
+            for d in sorted(set(dirs) - {""}):
+                existing = _shard_files(path, d, format_gated=True)
+                sizing = {c: (n_bits, n_hashes) for c in (cols or [])} | {
+                    c: (enc["m"], enc["k"])
+                    for blooms in existing.values()
+                    for c, enc in blooms.items()
+                }
+                current = {
+                    os.path.relpath(f, path): f
+                    for f in _data_files(os.path.join(path, d))
+                }
+                shard = {rel: b for rel, b in existing.items() if rel in current}
+                todo = [
+                    (rel, fpath)
+                    for rel, fpath in current.items()
+                    if rel not in shard
+                ]
+                shard.update(_scan_blooms(todo, sizing, spark))
+                from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+                    _atomic_json_if_changed,
+                )
+
+                _atomic_json_if_changed(
+                    os.path.join(path, d, MANIFEST_NAME),
+                    {
+                        "format": KEY_FORMAT,
+                        "files": {
+                            os.path.basename(r): b for r, b in shard.items()
+                        },
+                    },
+                )
+                out |= shard
+            return out
+        # not sharded (legacy flat / missing): full update below
     manifest = load_bloom_index(path) or {}
     # sizing comes from the RAW manifest (any format): per-column (m, k)
     # is hash-scheme independent, so an upsized hot column survives even

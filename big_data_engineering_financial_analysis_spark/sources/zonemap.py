@@ -246,13 +246,52 @@ def build_zonemap(path: str, cols: list[str]) -> dict:
     return manifest
 
 
-def update_zonemap(path: str, cols: list[str] | None = None) -> dict:
+def update_zonemap(
+    path: str, cols: list[str] | None = None, dirs: list[str] | None = None
+) -> dict:
     """Incrementally maintain the manifest: footer-scan ONLY files not
     yet covered, drop entries for deleted files.  O(new files) instead
     of :func:`build_zonemap`'s O(all files) — the right call after each
     streaming micro-batch append.  Columns default to the manifest's
     union (+ any extra ``cols``) so appends keep covering what the
-    build covered."""
+    build covered.
+
+    ``dirs`` (relative partition directories, e.g. ``["lang=en"]``)
+    bounds the MAINTENANCE IO the same way the prune side is bounded: a
+    micro-batch that touched k partitions walks, reads, and (if dirty)
+    rewrites only those k shards — O(touched partitions), where the
+    default path's coverage check reads every shard.  Only valid on an
+    already-sharded manifest (anything else falls back to the full
+    update); the return value then covers ONLY the given dirs.  A dir
+    the caller forgot is simply not maintained — its files miss the
+    manifest and the prune KEEPS them (no-false-negative posture), so a
+    wrong ``dirs`` list can never produce wrong results, only weaker
+    skipping until the next full update."""
+    if dirs is not None:
+        root = _read_obj(os.path.join(path, MANIFEST_NAME))
+        if root is not None and _is_sharded(root):
+            out: dict = {}
+            for d in sorted(set(dirs) - {""}):
+                existing = _shard_zones(path, d)  # rel-keyed
+                want = sorted(
+                    set(cols or [])
+                    | {c for zones in existing.values() for c in zones}
+                )
+                current = {
+                    os.path.relpath(f, path): f
+                    for f in _data_files(os.path.join(path, d))
+                }
+                shard = {rel: z for rel, z in existing.items() if rel in current}
+                for rel, fpath in current.items():
+                    if rel not in shard:
+                        shard[rel] = _file_zones(fpath, want)
+                _atomic_json_if_changed(
+                    os.path.join(path, d, MANIFEST_NAME),
+                    {"files": {os.path.basename(r): z for r, z in shard.items()}},
+                )
+                out |= shard
+            return out
+        # not sharded (legacy flat / missing): full update below
     manifest = load_zonemap(path) or {}
     want = sorted(
         set(cols or []) | {c for zones in manifest.values() for c in zones}
@@ -323,6 +362,23 @@ def _zones_for(path: str, rels: list[str]) -> dict:
     for d in sorted({os.path.dirname(r) for r in rels} - {""}):
         out |= _shard_zones(path, d)
     return out
+
+
+#: the characters Spark's PartitioningUtils.escapePathName percent-encodes
+#: in ``col=value`` directory names (plus ASCII control chars)
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_escape(value: str) -> str:
+    """Mirror Spark's partition-directory escaping so a partition VALUE
+    can be turned back into its on-disk ``col=value`` segment.  Callers
+    must treat a miss as a fallback signal (check the directory exists),
+    never as a correctness input — an unmaintained shard only weakens
+    skipping, see ``update_zonemap(dirs=...)``."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS or ord(c) < 0x20 else c
+        for c in value
+    )
 
 
 def _hive_parts(rel: str) -> dict[str, str | None]:

@@ -136,8 +136,32 @@ def dataset_sink(
                 conf.unset(key)
             else:
                 conf.set(key, prev)
+        # bound sidecar maintenance to the partitions THIS batch touched
+        # (one tiny distinct job over the batch's partition columns):
+        # O(touched) shard reads+writes instead of O(partitions).  Any
+        # escaping mismatch with Spark's own directory naming degrades to
+        # the full update (never to a wrong manifest — an unmaintained
+        # shard's files are simply kept by the prune).
+        touched: list[str] | None = None
+        if (zonemap_cols is not None or bloom_cols is not None) and partition_cols:
+            from big_data_engineering_financial_analysis_spark.sources.zonemap import _hive_escape
+
+            touched = [
+                "/".join(
+                    f"{c}="
+                    + (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if r[c] is None
+                        else _hive_escape(str(r[c]))
+                    )
+                    for c in partition_cols
+                )
+                for r in batch_df.select(*partition_cols).distinct().collect()
+            ]
+            if any(not os.path.isdir(os.path.join(path, d)) for d in touched):
+                touched = None  # escaping mismatch: full update instead
         if zonemap_cols is not None:
-            zm.update_zonemap(path, zonemap_cols)
+            zm.update_zonemap(path, zonemap_cols, dirs=touched)
         if bloom_cols is not None:
             # equality-skipping twin of the zone-map update: O(new files)
             # column-projected scans extend the Bloom sidecar so serving-
@@ -145,7 +169,9 @@ def dataset_sink(
             # distributed, because the one legitimately LARGE update (a
             # format-bump or manifest-loss full rebuild) must not stall a
             # micro-batch behind a driver-sequential corpus scan
-            bs.update_bloom_index(path, bloom_cols, spark=batch_df.sparkSession)
+            bs.update_bloom_index(
+                path, bloom_cols, spark=batch_df.sparkSession, dirs=touched
+            )
         os.makedirs(marker, exist_ok=True)
         if snapshot_every is not None:
             state["n_committed"] += 1

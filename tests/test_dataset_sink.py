@@ -303,3 +303,69 @@ def test_streaming_appends_keep_bloom_sidecar_current(spark, tmp_path):
     assert 0 < len(keep) < total
     got = bs.read_point(spark, out, "doc_id", [42])
     assert [r.doc_id for r in got.collect()] == [42]
+
+
+def test_sink_maintains_only_touched_partition_shards(spark, tmp_path):
+    """Per-batch sidecar maintenance is bounded by the partitions the
+    batch touched: a batch writing only lang=de rewrites lang=de's
+    shard manifests and leaves lang=en's (bytes AND mtimes) untouched —
+    while coverage stays complete for both."""
+    import time as _t
+
+    from big_data_engineering_financial_analysis_spark.sources import (
+        bloomskip as bs,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    # batch 1: both langs; batch 2: de only (ids divisible by 4)
+    _chunk(spark, 0, 100).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                dataset_sink(
+                    out,
+                    partition_cols=["lang"],
+                    sort_cols=["doc_id"],
+                    zonemap_cols=["doc_id"],
+                    bloom_cols=["doc_id"],
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+
+    def mtimes():
+        return {
+            name: os.stat(os.path.join(out, "lang=en", name)).st_mtime_ns
+            for name in (zm.MANIFEST_NAME, bs.MANIFEST_NAME)
+        }
+
+    before = mtimes()
+    _t.sleep(0.02)
+    de_only = _chunk(spark, 100, 200).filter(F.col("lang") == "de")
+    de_only.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    assert mtimes() == before  # en shards never visited, let alone rewritten
+    # coverage complete anyway: every data file is manifest-covered
+    manifest = zm.load_zonemap(out)
+    blooms = bs.load_bloom_index(out)
+    rels = sorted(os.path.relpath(f, out) for f in zm._data_files(out))
+    assert sorted(manifest) == rels and sorted(blooms) == rels
+    # and the pruned read still equals the full scan
+    keep, _ = zm.prune_files(out, "doc_id", lo=150)
+    assert keep and all("lang=de" in f for f in keep)
+    got = zm.read_pruned(spark, out, "doc_id", lo=150)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id
+        for r in spark.read.parquet(out).filter("doc_id >= 150").collect()
+    )

@@ -365,6 +365,10 @@ def update_bloom_index(
     observed (m, k) or the defaults.  A format-mismatched dirty shard
     rebuilds fresh at the current format, exactly like the full path."""
     if dirs is not None:
+        if not cols:
+            # same contract as update_zonemap(dirs=...): per-dir column
+            # inheritance cannot cover a brand-new partition
+            raise ValueError("update_bloom_index(dirs=...) requires explicit cols")
         root = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
         if root is not None and root.get("sharded") is True:
             out: dict = {}

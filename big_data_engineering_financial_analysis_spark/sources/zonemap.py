@@ -268,6 +268,12 @@ def update_zonemap(
     wrong ``dirs`` list can never produce wrong results, only weaker
     skipping until the next full update."""
     if dirs is not None:
+        if not cols:
+            # the full path inherits columns from the WHOLE manifest; a
+            # dirs-bounded update can only see its own shards, so a brand
+            # new partition would silently get zone-less entries — make
+            # the caller state what to cover (the sink always does)
+            raise ValueError("update_zonemap(dirs=...) requires explicit cols")
         root = _read_obj(os.path.join(path, MANIFEST_NAME))
         if root is not None and _is_sharded(root):
             out: dict = {}

@@ -217,3 +217,26 @@ def test_update_rewrites_only_dirty_shards(spark, tmp_path):
     # and the new file is covered
     keep, _ = zm.prune_files_multi(path, [("score", 9000.0, 10000.0)])
     assert any("lang=1" in f for f in keep)
+
+
+def test_dirs_update_requires_cols_and_covers_new_partition(spark, tmp_path):
+    """dirs-mode inherits columns per-dir, so (a) explicit cols are
+    required, and (b) a brand-new partition directory gets a fresh,
+    fully-covered shard."""
+    import pytest
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    zm.build_zonemap(path, ["score"])
+    with pytest.raises(ValueError, match="requires explicit cols"):
+        zm.update_zonemap(path, dirs=["lang=0"])
+    # new partition value never seen by the build
+    extra = spark.createDataFrame(
+        [(9001, "7", 777.0)], "doc_id long, lang string, score double"
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("lang").parquet(path)
+    out = zm.update_zonemap(path, ["score"], dirs=["lang=7"])
+    assert out and all(r.startswith("lang=7") for r in out)
+    assert all("score" in z for z in out.values())
+    keep, _ = zm.prune_files_multi(path, [("score", 700.0, 800.0)])
+    assert any("lang=7" in f for f in keep)

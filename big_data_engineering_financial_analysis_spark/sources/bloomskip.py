@@ -371,18 +371,27 @@ def update_bloom_index(
             raise ValueError("update_bloom_index(dirs=...) requires explicit cols")
         root = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
         if root is not None and root.get("sharded") is True:
+            from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+                _atomic_json_if_changed,
+            )
+
             out: dict = {}
+            # group by ACTUAL leaf directory (shards are leaf-level,
+            # basename-keyed) — same nested-partitioning rule as
+            # zonemap.update_zonemap(dirs=...)
+            by_leaf: dict[str, dict[str, str]] = {}
             for d in sorted(set(dirs) - {""}):
-                existing = _shard_files(path, d, format_gated=True)
-                sizing = {c: (n_bits, n_hashes) for c in (cols or [])} | {
+                for f in _data_files(os.path.join(path, d)):
+                    rel = os.path.relpath(f, path)
+                    by_leaf.setdefault(os.path.dirname(rel), {})[rel] = f
+            for leaf in sorted(by_leaf):
+                existing = _shard_files(path, leaf, format_gated=True)
+                sizing = {c: (n_bits, n_hashes) for c in cols} | {
                     c: (enc["m"], enc["k"])
                     for blooms in existing.values()
                     for c, enc in blooms.items()
                 }
-                current = {
-                    os.path.relpath(f, path): f
-                    for f in _data_files(os.path.join(path, d))
-                }
+                current = by_leaf[leaf]
                 shard = {rel: b for rel, b in existing.items() if rel in current}
                 todo = [
                     (rel, fpath)
@@ -390,12 +399,8 @@ def update_bloom_index(
                     if rel not in shard
                 ]
                 shard.update(_scan_blooms(todo, sizing, spark))
-                from big_data_engineering_financial_analysis_spark.sources.zonemap import (
-                    _atomic_json_if_changed,
-                )
-
                 _atomic_json_if_changed(
-                    os.path.join(path, d, MANIFEST_NAME),
+                    os.path.join(path, leaf, MANIFEST_NAME),
                     {
                         "format": KEY_FORMAT,
                         "files": {

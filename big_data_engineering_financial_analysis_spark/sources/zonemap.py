@@ -277,22 +277,27 @@ def update_zonemap(
         root = _read_obj(os.path.join(path, MANIFEST_NAME))
         if root is not None and _is_sharded(root):
             out: dict = {}
+            # group by the files' ACTUAL leaf directory: a non-leaf dirs
+            # entry (nested partitioning, caller passed "a=1" over
+            # "a=1/b=2" leaves) still updates each leaf's own shard —
+            # shard manifests live ONLY at leaf level, basename-keyed
+            by_leaf: dict[str, dict[str, str]] = {}
             for d in sorted(set(dirs) - {""}):
-                existing = _shard_zones(path, d)  # rel-keyed
+                for f in _data_files(os.path.join(path, d)):
+                    rel = os.path.relpath(f, path)
+                    by_leaf.setdefault(os.path.dirname(rel), {})[rel] = f
+            for leaf in sorted(by_leaf):
+                existing = _shard_zones(path, leaf)  # rel-keyed
                 want = sorted(
-                    set(cols or [])
-                    | {c for zones in existing.values() for c in zones}
+                    set(cols) | {c for zones in existing.values() for c in zones}
                 )
-                current = {
-                    os.path.relpath(f, path): f
-                    for f in _data_files(os.path.join(path, d))
-                }
+                current = by_leaf[leaf]
                 shard = {rel: z for rel, z in existing.items() if rel in current}
                 for rel, fpath in current.items():
                     if rel not in shard:
                         shard[rel] = _file_zones(fpath, want)
                 _atomic_json_if_changed(
-                    os.path.join(path, d, MANIFEST_NAME),
+                    os.path.join(path, leaf, MANIFEST_NAME),
                     {"files": {os.path.basename(r): z for r, z in shard.items()}},
                 )
                 out |= shard

@@ -240,3 +240,30 @@ def test_dirs_update_requires_cols_and_covers_new_partition(spark, tmp_path):
     assert all("score" in z for z in out.values())
     keep, _ = zm.prune_files_multi(path, [("score", 700.0, 800.0)])
     assert any("lang=7" in f for f in keep)
+
+
+def test_dirs_update_non_leaf_nested_partitioning(spark, tmp_path):
+    """A NON-leaf dirs entry over nested partitioning (a=.../b=...)
+    updates each leaf's own shard — shard manifests are leaf-level and
+    basename-keyed, so collapsing sub-paths would corrupt rel keys."""
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), str(i % 3), float(i)) for i in range(60)],
+        "doc_id long, a string, b string, score double",
+    )
+    write_sharded(df, path, partition_cols=["a", "b"], sort_cols=["score"])
+    zm.build_zonemap(path, ["score"])
+    extra = spark.createDataFrame(
+        [(9001, "0", "1", 9999.0)], "doc_id long, a string, b string, score double"
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("a", "b").parquet(path)
+    out = zm.update_zonemap(path, ["score"], dirs=["a=0"])  # non-leaf
+    # every returned rel is a real file path relative to the dataset root
+    for rel in out:
+        assert os.path.isfile(os.path.join(path, rel))
+    # full coverage: merged manifest covers every file, rel keys correct
+    manifest = zm.load_zonemap(path)
+    rels = sorted(os.path.relpath(f, path) for f in zm._data_files(path))
+    assert sorted(manifest) == rels
+    keep, _ = zm.prune_files_multi(path, [("score", 9000.0, 10000.0)])
+    assert any("a=0" in f and "b=1" in f for f in keep)

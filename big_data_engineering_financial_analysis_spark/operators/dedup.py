@@ -976,21 +976,20 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 
-def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:
-    """Exact min-root union-find over collected (u, v) edge rows —
-    connected_components_star's tiny-graph kernel.  Union always roots
-    at the SMALLER id (preserving the min-reachable-id contract directly
-    instead of via rank bookkeeping) with full path compression on find;
-    at the bounded input sizes the auto-switch admits (≤ TINY_GRAPH_EDGES
-    rows) this is effectively linear.  Returns the (node, component)
-    labels as a LocalRelation — downstream scans and broadcasts are
-    free, which is what lets merge_component_labels reference the frame
-    four times without a checkpoint."""
-    from pyspark.sql import types as T
+class _UnionFind:
+    """Min-root union-find with full path compression — the ONE driver
+    kernel shared by :func:`connected_components_star`'s tiny-graph path
+    and :func:`merge_component_labels`' fast path.  Union always roots
+    at the SMALLER id, so ``find(x)`` directly IS the min-reachable-id
+    contract both CC operators expose (no rank bookkeeping to reconcile);
+    kept as a single class so a fix to the kernel can never apply to one
+    caller and silently break parity with the other."""
 
-    parent: dict = {}
+    def __init__(self):
+        self.parent: dict = {}
 
-    def find(x):
+    def find(self, x):
+        parent = self.parent
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -998,17 +997,33 @@ def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edge_rows:
-        ra, rb = find(row[0]), find(row[1])
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+            self.parent[hi] = lo
 
+
+def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:
+    """Exact min-root union-find over collected (u, v) edge rows —
+    connected_components_star's tiny-graph kernel (the shared
+    :class:`_UnionFind`); at the bounded input sizes the auto-switch
+    admits (≤ TINY_GRAPH_EDGES rows) this is effectively linear.
+    Self-loop rows (u == v) create no merge but DO register the node, so
+    a node appearing only in self-pairs still gets its singleton label —
+    parity with the distributed path's nodes-left-join.  Returns the
+    (node, component) labels as a LocalRelation — downstream scans and
+    broadcasts are free, which is what lets merge_component_labels
+    reference the frame four times without a checkpoint."""
+    from pyspark.sql import types as T
+
+    uf = _UnionFind()
     nodes = set()
     for row in edge_rows:
+        uf.union(row[0], row[1])
         nodes.add(row[0])
         nodes.add(row[1])
-    labels = sorted((n, find(n)) for n in nodes)
+    labels = sorted((n, uf.find(n)) for n in nodes)
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
@@ -1107,7 +1122,14 @@ def connected_components_star(
     # exactly the rewriteConstraints shape the conf scoping below guards
     # the loop against, and this plan evaluates after the scope exits.
     nodes = fwd.select("u").union(rev.select("u")).distinct()
-    # canonical undirected form: (hi, lo) pairs, self-loops dropped.
+    # canonical undirected form: (hi, lo) pairs.  Self-loops are KEPT as
+    # (x, x) — not semantics (a self-pair creates no merge) but PARITY:
+    # the driver union-find below derives its node set from these rows,
+    # so dropping (x, x) here would lose a node that appears in no other
+    # pair, while the distributed path (whose final labels join derives
+    # nodes from the raw input) would still emit it.  The star rewrites
+    # shed (x, x) rows in their first cycle and the final
+    # nodes-left-join-coalesce restores the self-label either way.
     # LAZY checkpoint + count: the count materializes the checkpoint (one
     # job, same cost as eager) and seeds the convergence short-circuit —
     # a cycle that changed the edge COUNT cannot have left the set equal,
@@ -1116,7 +1138,7 @@ def connected_components_star(
     # immediately (LogicalRDD wrapper), so plans stay round-sized.
     edges = (
         fwd.unionByName(rev)
-        .filter(F.col("u") > F.col("v"))
+        .filter(F.col("u") >= F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1270,30 +1292,15 @@ def _driver_merge_labels(
     labeling."""
     from pyspark.sql import types as T
 
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
+    uf = _UnionFind()
     old_comp = {row[0]: row[1] for row in label_rows}
     for node, comp in old_comp.items():
-        union(node, comp)
+        uf.union(node, comp)
     touched_comps = set()
     batch_nodes = set()
     for row in batch_rows:
         a, b = row[0], row[1]
-        union(a, b)
+        uf.union(a, b)
         batch_nodes.update((a, b))
         for n in (a, b):
             if n in old_comp:
@@ -1313,13 +1320,13 @@ def _driver_merge_labels(
         out = sorted(
             (
                 n,
-                find(n),
+                uf.find(n),
                 int(n in batch_nodes or old_comp.get(n) in touched_comps),
             )
             for n in nodes
         )
     else:
-        out = sorted((n, find(n)) for n in nodes)
+        out = sorted((n, uf.find(n)) for n in nodes)
     # pandas -> Arrow -> LocalRelation (see _driver_union_find)
     pdf = pd.DataFrame(out, columns=cols)
     return spark.createDataFrame(pdf, T.StructType(fields))

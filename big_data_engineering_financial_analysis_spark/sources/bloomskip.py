@@ -370,7 +370,16 @@ def update_bloom_index(
             # inheritance cannot cover a brand-new partition
             raise ValueError("update_bloom_index(dirs=...) requires explicit cols")
         root = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
-        if root is not None and root.get("sharded") is True:
+        # format gate: a root written under an older KEY_FORMAT must take
+        # the FULL update, which rewrites the root at the current format —
+        # the dirs branch never touches the root, so engaging it here
+        # would rebuild shards forever under a root that load/prune
+        # correctly refuse, leaving the index silently dead
+        if (
+            root is not None
+            and root.get("sharded") is True
+            and root.get("format") == KEY_FORMAT
+        ):
             from big_data_engineering_financial_analysis_spark.sources.zonemap import (
                 _atomic_json_if_changed,
             )
@@ -529,36 +538,46 @@ def _partition_allows(
     parts: dict[str, str | None],
     ranges: list[tuple],
     eq: list[tuple],
+    eq_keys: dict[str, set] | None = None,
 ) -> bool:
     """Directory-level pruning — zero IO, evaluated BEFORE any shard
     manifest is opened.  False only when a predicate on a partition
     column PROVABLY matches no row in the directory; predicates on
     non-partition columns are ignored here (the zone/bloom indexes and
-    the residual filter handle them).  Equality uses the same
-    ``_key_bytes`` canonicalization as the Bloom probes, so cross-typed
-    probes (int vs the directory's string form) can never skip a
-    partition a full scan + ``isin`` would match."""
-    for col, lo, hi in ranges:
-        if col not in parts:
-            continue
-        v = parts[col]
-        if v is None:
-            # NULL partition: NULL fails any range bound
-            if lo is not None or hi is not None:
-                return False
-            continue
-        if not _range_maybe_matches(v, lo, hi):
-            return False
+    the residual filter handle them).  The range half delegates to
+    ``zonemap._partition_allows_ranges`` — ONE copy of the conservative
+    no-false-negative logic, so the two skip-index families can never
+    drift.  Equality uses the same ``_key_bytes`` canonicalization as
+    the Bloom probes, so cross-typed probes (int vs the directory's
+    string form) can never skip a partition a full scan + ``isin``
+    would match; pass ``eq_keys`` (col -> canonical probe-key set,
+    from :func:`_eq_probe_keys`) to canonicalize the probe values once
+    per PRUNE instead of once per file."""
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+        _partition_allows_ranges,
+    )
+
+    if not _partition_allows_ranges(parts, ranges):
+        return False
     for col, values in eq:
         if col not in parts:
             continue
         v = parts[col]
         if v is None:
             return False  # equality can never match NULL
-        probe_keys = {_key_bytes(x) for x in values}
+        probe_keys = (
+            eq_keys[col] if eq_keys is not None else {_key_bytes(x) for x in values}
+        )
         if _key_bytes(v) not in probe_keys:
             return False
     return True
+
+
+def _eq_probe_keys(eq: list[tuple]) -> dict[str, set]:
+    """col -> canonical ``_key_bytes`` set of its probe values — hoisted
+    out of the per-file prune loop (O(values) canonicalizations per
+    prune, not O(files x values))."""
+    return {col: {_key_bytes(x) for x in values} for col, values in eq}
 
 
 def prune_files_eq(
@@ -591,6 +610,7 @@ def prune_files_combined(
 
     ranges = ranges or []
     eq = [(col, list(values)) for col, values in (eq or [])]
+    eq_keys = _eq_probe_keys(eq)  # canonicalize probes ONCE per prune
 
     def _dir_allows(dirname: str) -> bool:
         # hoist _partition_allows to the walk: a failing partition
@@ -603,6 +623,7 @@ def prune_files_combined(
             {col: v},
             [p for p in ranges if p[0] == col],
             [p for p in eq if p[0] == col],
+            eq_keys=eq_keys,
         )
 
     files = _data_files(path, dir_filter=_dir_allows)
@@ -610,7 +631,7 @@ def prune_files_combined(
     candidates = [
         fpath
         for fpath in files
-        if _partition_allows(_hive_parts(rels[fpath]), ranges, eq)
+        if _partition_allows(_hive_parts(rels[fpath]), ranges, eq, eq_keys=eq_keys)
     ]
     if ranges:
         zmanifest = zm._zones_for(path, [rels[fpath] for fpath in candidates])

@@ -179,7 +179,19 @@ def recover_compaction(path: str) -> None:
 
     from big_data_engineering_financial_analysis_spark.sources.localfs import recover_aside_swap
 
-    recover_aside_swap(path, path + "._pre_compact")
+    aside = path + "._pre_compact"
+    # both-exist = crash in compact_dataset's post-swap window, possibly
+    # BEFORE preserve_replaced_tree finished: the aside copy may hold the
+    # only bytes of files that manifest-mode snapshots still pin, and
+    # recover_aside_swap is about to delete it.  Re-run the preserve step
+    # first (idempotent: skips already-retained and still-live files) so
+    # a crash here can never turn a pinned read into a permanent
+    # immutability-contract failure.
+    if os.path.exists(aside) and os.path.exists(path):
+        from big_data_engineering_financial_analysis_spark.sources import snapshots as _snx
+
+        _snx.preserve_replaced_tree(path, aside)
+    recover_aside_swap(path, aside)
     # A crash BEFORE the first rename (e.g. mid-Spark-write) leaks the
     # staged ``_compact_*`` tempdir; repeated crashed compactions would
     # accumulate full-dataset-sized orphans.  The stage dir only becomes

@@ -211,3 +211,27 @@ def test_snapshot_carries_partition_shards(spark, tmp_path):
     assert len(keep) < total
     got = bs.read_point(spark, vdir, "doc_id", [7])
     assert _ids(got) == _ids(df.filter("doc_id = 7"))
+
+
+def test_dirs_update_heals_stale_format_root(spark, tmp_path):
+    """A sharded root written under an older KEY_FORMAT must force the
+    FULL update even when dirs= is passed — the dirs branch never
+    rewrites the root, so engaging it would rebuild shards forever
+    under a root that load/prune refuse (index silently dead)."""
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame([{"k": str(i % 3), "v": i} for i in range(60)])
+    write_sharded(df, path, partition_cols=["k"], sort_cols=["v"])
+    bs.build_bloom_index(path, ["v"])
+    # age the root's format tag
+    root_fp = os.path.join(path, bs.MANIFEST_NAME)
+    obj = json.load(open(root_fp))
+    obj["format"] = bs.KEY_FORMAT - 1
+    json.dump(obj, open(root_fp, "w"))
+    assert bs.load_bloom_index(path) is None  # stale root: index dead
+    bs.update_bloom_index(path, ["v"], dirs=["k=1"])
+    # the full path ran: root healed at the current format, index alive
+    healed = json.load(open(root_fp))
+    assert healed["format"] == bs.KEY_FORMAT
+    blooms = bs.load_bloom_index(path)
+    rels = sorted(os.path.relpath(f, path) for f in bs._data_files(path))
+    assert blooms is not None and sorted(blooms) == rels

@@ -598,3 +598,39 @@ def test_merge_component_labels_touches_only_affected(spark):
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
     spark.catalog.clearCache()
+
+
+def test_connected_components_star_self_loop_only_nodes(spark):
+    """A node appearing ONLY in self-pairs must get its singleton label
+    on BOTH execution paths (the driver union-find derives nodes from
+    the canonical edges, so dropping (x, x) there used to lose the node
+    while the distributed nodes-left-join kept it)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5), (7, 7)], "id_a long, id_b long"
+    )
+    expect = [(1, 1), (2, 1), (5, 5), (7, 7)]
+    for threshold in (dedup.TINY_GRAPH_EDGES, 0):
+        got = sorted(
+            (r.node, r.component)
+            for r in dedup.connected_components_star(
+                pairs, driver_threshold=threshold
+            ).collect()
+        )
+        assert got == expect, f"threshold={threshold}"
+
+
+def test_merge_component_labels_self_pair_new_node(spark):
+    """A batch self-pair for a brand-new node registers the node as a
+    singleton on both merge paths (distributed branch routes through
+    connected_components_star, whose driver kernel used to drop it)."""
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, component long")
+    batch = spark.createDataFrame([(9, 9)], "id_a long, id_b long")
+    expect = [(1, 1), (2, 1), (9, 9)]
+    for threshold in (dedup.TINY_GRAPH_EDGES, 0):
+        got = sorted(
+            (r.node, r.component)
+            for r in dedup.merge_component_labels(
+                labels, batch, driver_threshold=threshold
+            ).collect()
+        )
+        assert got == expect, f"threshold={threshold}"

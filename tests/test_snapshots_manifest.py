@@ -156,3 +156,32 @@ def test_modes_mix_and_diff_across_modes(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         sn.commit_snapshot(path, mode="nope")
+
+
+def test_recovery_preserves_pinned_files_from_aside_tree(spark, tmp_path):
+    """Crash in compact_dataset's post-swap window, BEFORE
+    preserve_replaced_tree ran: the aside copy holds the only bytes of
+    manifest-pinned files, and recovery is about to delete it.
+    recover_compaction must run the preserve step first — otherwise the
+    pin is permanently broken (the round-8 review finding)."""
+    import big_data_engineering_financial_analysis_spark.sources.dataset as ds
+
+    path = str(tmp_path / "ds")
+    _write(spark, path, 0, 200)
+    v1 = sn.commit_snapshot(path, mode="manifest")
+    before = _ids(sn.read_snapshot(spark, path, v1))
+
+    # simulate the crash window: the swap happened (new live tree, aside
+    # holds the ONLY copies of the pinned pre-compaction files), but
+    # preserve_replaced_tree never ran
+    aside = path + "._pre_compact"
+    os.rename(path, aside)
+    _write(spark, path, 200, 260)  # the "compacted" replacement tree
+    assert sn.verify_snapshot(path, v1)["missing"]  # pins point nowhere live
+
+    ds.recover_compaction(path)
+    assert not os.path.exists(aside)  # recovery completed the deletion
+    assert sn.verify_snapshot(path, v1)["missing"] == []
+    assert _ids(sn.read_snapshot(spark, path, v1)) == before
+    # live tree is the post-swap one, untouched by recovery
+    assert _ids(spark.read.parquet(path)) == list(range(200, 260))

@@ -369,3 +369,57 @@ def test_sink_maintains_only_touched_partition_shards(spark, tmp_path):
         r.doc_id
         for r in spark.read.parquet(out).filter("doc_id >= 150").collect()
     )
+
+
+def test_sink_touched_dirs_with_escaped_partition_values(spark, tmp_path):
+    """Partition values containing characters Spark percent-escapes in
+    directory names (here ':') must still route through the
+    dirs-bounded maintenance (or safely fall back to the full update) —
+    coverage stays complete either way."""
+    from big_data_engineering_financial_analysis_spark.sources import (
+        bloomskip as bs,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [
+            {"doc_id": i, "lang": f"a:{i % 2}", "score": float(i),
+             "ts": T0 + dt.timedelta(minutes=i)}
+            for i in range(80)
+        ],
+        SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            dataset_sink(
+                out,
+                partition_cols=["lang"],
+                sort_cols=["doc_id"],
+                zonemap_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # Spark escaped the ':' in the directory names
+    assert any("%3A" in d for d in os.listdir(out) if d.startswith("lang="))
+    # sidecar coverage is complete for every data file regardless of path
+    manifest = zm.load_zonemap(out)
+    from big_data_engineering_financial_analysis_spark.sources import (
+        bloomskip as _bs,
+    )
+
+    blooms = _bs.load_bloom_index(out)
+    rels = sorted(os.path.relpath(f, out) for f in zm._data_files(out))
+    assert sorted(manifest) == rels and sorted(blooms) == rels
+    # pruned point read equals full scan
+    got = bs.read_skipped(spark, out, eq=[("doc_id", [7])])
+    assert sorted(r.doc_id for r in got.collect()) == [7]

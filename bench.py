@@ -149,6 +149,19 @@ UNIFORM_INFLATION_TOL = 1.15
 MIN_ANCHORED = 8
 INFLATION_COOLDOWN_SEC = 60
 
+#: Extra-tier twin of the detector (round-9, r8 verdict ask #8): the
+#: extra tier has no r01 anchors (it grew round 5+), so its cross-round
+#: reference is the committed per-query BEST-KNOWN file
+#: (.bench_extra_ref.json, same lifecycle as .bench_canary.json —
+#: self-seeds on the first clean run, tightens monotonically).  Ratios
+#: vs a best-known are biased >= 1 by construction, so the tolerance
+#: sits higher than the r01-anchored one: clean medians read ~1.0-1.15,
+#: the documented whole-run-heat signature ~1.2-1.7.  On detection the
+#: WORST-5 extras (by ratio) re-run once after a cooldown — bounded
+#: cost, and they are exactly the queries a hot tail inflates most.
+EXTRA_INFLATION_TOL = 1.25
+EXTRA_RERUN_WORST = 5
+
 
 def median_vs_anchor(
     timings: dict, anchors: dict, min_anchored: int = MIN_ANCHORED
@@ -172,6 +185,18 @@ def median_vs_anchor(
         else (ratios[mid - 1] + ratios[mid]) / 2
     )
     return round(med, 3)
+
+
+def worst_anchored(timings: dict, anchors: dict, k: int) -> list[str]:
+    """The k anchored queries with the highest timing/anchor ratio —
+    the bounded re-run set for the extra-tier inflation defense (heat
+    inflates the whole tier, but re-running everything would double the
+    extra tier's cost; the worst ratios recover most of the bias)."""
+    return sorted(
+        (n for n in timings if anchors.get(n)),
+        key=lambda n: timings[n] / anchors[n],
+        reverse=True,
+    )[:k]
 
 
 def _force(df) -> None:
@@ -284,10 +309,62 @@ def main() -> None:
     }
 
     extra: dict[str, float] = {}
+    extra_inflation = None
     if os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "1") != "0":
         # same throttle discipline as the headline loop: gate on a clean
         # canary, accept only if still clean afterwards, best-of-attempts
         run_families(EXTRA_FAMILIES, extra, tag="extra-")
+
+        # Extra-tier uniform-inflation defense (r8 verdict ask #8): the
+        # r8 heat event re-ran the HEADLINE tier only; the extras
+        # inherit the same machine state, so extra_total comparisons
+        # across rounds need the same self-labeling.  Reference = the
+        # committed per-query best-known file (no r01 anchors exist for
+        # this tier); on detection the worst-5 ratios re-run once after
+        # a cooldown, keeping minima — both medians ship in the summary.
+        eref_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_extra_ref.json",
+        )
+        eref_key = f"sf={sf},cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+        try:
+            with open(eref_path) as fh:
+                erefs = json.load(fh)
+        except (OSError, ValueError):
+            erefs = {}
+        ebest: dict[str, float] = erefs.get(eref_key, {})
+        median_extra_first = median_vs_anchor(extra, ebest)
+        extra_hot = (
+            median_extra_first is not None
+            and median_extra_first > EXTRA_INFLATION_TOL
+        )
+        reran_names: list[str] = []
+        if extra_hot:
+            reran_names = worst_anchored(extra, ebest, EXTRA_RERUN_WORST)
+            spark.catalog.clearCache()
+            time.sleep(INFLATION_COOLDOWN_SEC)
+            canary_check("pre:extra-rerun")
+            for name in reran_names:
+                t = min(timed(name) for _ in range(2))
+                extra[name] = round(min(t, extra[name]), 3)
+            spark.catalog.clearCache()
+        extra_inflation = {
+            "tolerance": EXTRA_INFLATION_TOL,
+            "median_vs_best_first": median_extra_first,
+            "detected": extra_hot,
+            "reran": reran_names,
+            "median_vs_best_final": median_vs_anchor(extra, ebest),
+        }
+        # tighten the committed reference with this run's minima (only
+        # ever downward — heat can only inflate, so min is steady-state)
+        erefs[eref_key] = {
+            n: round(min(t, ebest.get(n, t)), 3) for n, t in extra.items()
+        }
+        try:
+            with open(eref_path, "w") as fh:
+                json.dump(erefs, fh)
+        except OSError:
+            pass  # read-only checkout: labels above still apply this run
 
     # cross-RUN reference: the in-run canary only detects heat CHANGES
     # (baseline and observations inflate together on a uniformly hot
@@ -338,6 +415,7 @@ def main() -> None:
     if extra:
         payload["extra_queries"] = extra
         payload["extra_total"] = round(sum(extra.values()), 3)
+        payload["extra_inflation"] = extra_inflation
 
     # Artifact self-containment (round-5 verdict ask #2): the driver
     # records only the LAST ~2000 chars of stdout, and the full payload
@@ -381,6 +459,7 @@ def main() -> None:
             else None
         ),
         "uniform_inflation": uniform_inflation,
+        "extra_inflation": extra_inflation,
     }
     print(json.dumps(summary))
     spark.stop()

@@ -658,53 +658,59 @@ for _name in RETIRED_R7:
     QUERIES.pop(_name, None)
     ORACLES.pop(_name, None)
 
-#: Round-8 window — exactly the obligation the r7 verdict scheduled
+#: Round-9 window — exactly the obligation the r8 verdict scheduled
 #: (ask #1), recomputed from the CORRECTNESS artifacts this round:
-#: set(r05) − set(r06) − set(r07) = 47 r5-stale rows, plus the 3
-#: registrations that have never had a driver row
-#: (dedup_clusters_incremental, doc_chunks, asset_resize).
-#: 3 + 47 = 50 — exactly full, zero headroom, as budgeted.
+#: 46 rows whose latest driver row is r6, plus the 3 export rows
+#: registered late in r8 that have never had a driver row
+#: (corpus_shards, token_budget_mix, global_index), plus 1
+#: changed-code slot = 50 — exactly full.
 #:
-#: Changed-code accounting for r8 (tier (a) must overlap or be bought):
-#: * dedup_clusters_incremental — star-CC convergence-probe fusion +
-#:   phase-2 seeding land this round; the row is already in-window via
-#:   the never-checked tier.  Overlap: free.
-#: * the 4 serving-store rows (panel_price_series_serve + 3 *_sharded
-#:   twins, driver-green r7) — this round only VERSIONS their staging
-#:   marker (_ready.json layout_version, ADVICE r7); the serving query
-#:   plan, oracle, and store layout are byte-identical, the change can
-#:   only force a REWRITE of stale staged data (strictly safer), and all
-#:   4 were driver-sim'd MATCH on final code.  Judged not-material →
-#:   no window slot; they rotate on schedule in r9 as r7-latest rows.
+#: Changed-code accounting for r9 (tier (a) must overlap or be bought):
+#: * token_budget_mix — the per-domain cumsum is rewritten to the
+#:   distributed two-pass offset form (r8 verdict ask #2) and
+#:   global_index gains asc_nulls_last ordering + a reliable pinning
+#:   mode (advice r8): both rows are already in-window via the
+#:   never-checked tier.  Overlap: free.
+#: * connected_components / connected_components_star now drop NULL-id
+#:   pairs identically on every path (advice r8 path-parity fix).  The
+#:   filter is a provable no-op on non-null ids (all driver data —
+#:   LSH pairs inherit non-null doc_id), but the touched rows'
+#:   standing evidence predates the change, so the free headroom slot
+#:   buys dedup_clusters (r7-latest, the older evidence) a fresh row;
+#:   dedup_clusters_incremental (r8-latest, same kernel, byte-identical
+#:   parity pytests incl. the new null-id cases) rotates on schedule
+#:   in r10.
 #:
-#: Post-r8 staleness: r8:50 / r7:50 / r6:46 — no row older than 2
-#: rounds.  Round 8 also registers 3 late rows OUTSIDE this window
-#: (corpus_shards, token_budget_mix, global_index — the export
-#: operators; r7 precedent) and RETIRES 2 r6-tier rows (RETIRED_R8
-#: below), leaving the registry at 149/150.  The r9 obligation is
-#: therefore the 46-row r6 tier + those 3 never-checked rows = 49 —
-#: 1 slot of window headroom and 1 capacity slot for r9.
+#: Post-r9 staleness target: r9:50 / r8:50 / r7:49 — no row older than
+#: 2 rounds; registry stays 149/150 (no r9 registrations, no
+#: retirements needed).  The r10 obligation is the 49-row r7 tier
+#: (50 − dedup_clusters, refreshed here) + the r8 tier ages to r10's
+#: (c)-tier budget as usual.
 _DRIVER_PRIORITY = [
-    # (b) registered round 7 — never driver-checked (the only rows whose
-    # correctness rests solely on the local sweep; r7 verdict finding 1)
-    "dedup_clusters_incremental", "doc_chunks", "asset_resize",
-    # (c) latest driver row is r5 — refresh now or violate the policy
-    # (sorted; 47 rows = CORRECTNESS_r05 minus the r6/r7 windows)
-    "ab_test_welch", "adx_dmi", "atr_keltner", "backtest_equity",
-    "beta_capm", "black_scholes", "bloom_prune_join", "bpe_learn",
-    "calendar_ffill", "countmin_topk", "data_quality_report",
-    "dedup_span_removal", "drift_psi", "event_transitions",
-    "heikin_ashi", "hist_quantiles", "historical_var", "ichimoku",
-    "kfold_split", "kmv_distinct", "lstm_dataset", "mmr_diverse",
-    "nation_customer_orders", "nation_triangles", "orders_upsert",
-    "pairs_spread_z", "panel_avg_gain_pivot", "panel_avg_loss_pivot",
-    "panel_candlestick", "panel_close_stats", "panel_gain_loss",
-    "panel_indicator_series", "panel_latest_signal",
-    "panel_price_series", "perplexity_filter", "pricing_cube",
-    "range_join_pairs", "rolling_corr_pairs", "salted_event_stats",
-    "supplier_scd2", "top_orders", "value_percentiles",
-    "value_quartiles", "vwap_obv", "winsorize", "xsec_momentum",
-    "zorder_index",
+    # (b) registered late in round 8 — never driver-checked (the only
+    # rows whose correctness rests solely on the local sweep; r8
+    # verdict "what's wrong" #1).  token_budget_mix/global_index also
+    # carry this round's distributed-cumsum / nulls-last rework.
+    "corpus_shards", "token_budget_mix", "global_index",
+    # (a) changed-code: NULL-id pair handling in both CC operators
+    # (no-op on driver data; see accounting above)
+    "dedup_clusters",
+    # (c) latest driver row is r6 — refresh now or violate the policy
+    # (sorted; 46 rows = registered ∩ latest==r6)
+    "ann_ivf_pq", "ann_pq", "ann_pq_rerank", "api_avg", "asof_join",
+    "candlestick_feed", "customers_without_orders", "decontaminate",
+    "dedup_span_removal_max", "doc_fingerprints", "downsample_lang",
+    "emb_norms", "emb_project", "enrich_incremental",
+    "enrich_indicators", "event_type_stats", "events_union",
+    "exact_distinct", "feature_windows", "global_stats", "ilp_lines",
+    "lang_id", "large_orders", "last_per_minute", "latest_per_key",
+    "latest_signal", "minmax_scale", "nation_volume_flow",
+    "order_priority_check", "parts_above_avg_price", "pivot_avg",
+    "pricing_rollup", "promo_revenue", "returned_items", "sessionize",
+    "sharpe_rolling", "signal_rule", "summarize", "text_repetition",
+    "text_token_stats", "time_functions", "top_orders_per_customer",
+    "trailing_time_avg", "tumbling_window_stats", "volume_profile",
+    "winnow_fingerprints",
 ]
 
 #: RETIRED round 8 — proactive capacity relief, not retire-to-grow: the

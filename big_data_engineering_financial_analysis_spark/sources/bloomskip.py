@@ -605,7 +605,12 @@ def prune_files_combined(
     partition values first (zero IO), THEN the zone manifest, and the
     per-partition Bloom shards are opened only for files that survive
     both — so a query carrying a partition predicate loads a handful of
-    shard manifests regardless of total dataset size."""
+    shard manifests regardless of total dataset size.
+
+    The returned total counts files ENUMERATED after walk-level
+    partition pruning (same contract as ``zonemap.prune_files_multi``);
+    for a dataset-wide skip-ratio denominator use
+    ``zonemap.count_data_files``."""
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
 
     ranges = ranges or []

@@ -143,7 +143,7 @@ def dataset_sink(
         # the full update (never to a wrong manifest — an unmaintained
         # shard's files are simply kept by the prune).
         touched: list[str] | None = None
-        if (zonemap_cols is not None or bloom_cols is not None) and partition_cols:
+        if (zonemap_cols or bloom_cols) and partition_cols:
             from big_data_engineering_financial_analysis_spark.sources.zonemap import _hive_escape
 
             touched = [
@@ -160,8 +160,14 @@ def dataset_sink(
             ]
             if any(not os.path.isdir(os.path.join(path, d)) for d in touched):
                 touched = None  # escaping mismatch: full update instead
+        # dirs-bounded maintenance requires explicit cols (the updaters
+        # reject dirs with cols=[] — a new partition's shard can't infer
+        # coverage); cols=[] keeps its historical meaning of "maintain
+        # whatever the existing manifest covers" via the full update.
         if zonemap_cols is not None:
-            zm.update_zonemap(path, zonemap_cols, dirs=touched)
+            zm.update_zonemap(
+                path, zonemap_cols, dirs=touched if zonemap_cols else None
+            )
         if bloom_cols is not None:
             # equality-skipping twin of the zone-map update: O(new files)
             # column-projected scans extend the Bloom sidecar so serving-
@@ -170,7 +176,10 @@ def dataset_sink(
             # format-bump or manifest-loss full rebuild) must not stall a
             # micro-batch behind a driver-sequential corpus scan
             bs.update_bloom_index(
-                path, bloom_cols, spark=batch_df.sparkSession, dirs=touched
+                path,
+                bloom_cols,
+                spark=batch_df.sparkSession,
+                dirs=touched if bloom_cols else None,
             )
         os.makedirs(marker, exist_ok=True)
         if snapshot_every is not None:

@@ -63,6 +63,26 @@ def test_unanchored_queries_ignored():
     assert bench.median_vs_anchor(t, a) == 1.0
 
 
+def test_worst_anchored_picks_highest_ratios_and_skips_unanchored():
+    """Extra-tier defense (round 9): the bounded re-run set is the k
+    worst timing/anchor ratios; queries without a committed best-known
+    (first appearance) can't be ranked and are excluded."""
+    t = {"a": 3.0, "b": 1.1, "c": 2.0, "d": 0.9, "new": 50.0}
+    a = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    assert bench.worst_anchored(t, a, 2) == ["a", "c"]
+    assert bench.worst_anchored(t, a, 10) == ["a", "c", "b", "d"]
+    assert bench.worst_anchored(t, {}, 3) == []
+
+
+def test_extra_tolerance_sits_above_best_known_bias():
+    """The extra tier anchors on per-query BEST-KNOWNs (ratios biased
+    >= 1 by construction), so its tolerance must exceed the headline's
+    r01-anchored one — equal tolerances would false-positive on every
+    clean run."""
+    assert bench.EXTRA_INFLATION_TOL > bench.UNIFORM_INFLATION_TOL
+    assert bench.EXTRA_RERUN_WORST > 0
+
+
 def test_r01_anchor_artifact_is_loadable_at_its_own_sf():
     """The committed BENCH_r01.json must keep parsing into the anchor
     dict the detector depends on — a format drift here silently turns

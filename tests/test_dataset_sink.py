@@ -32,6 +32,49 @@ def _chunk(spark, lo, hi):
     )
 
 
+def test_empty_cols_index_falls_back_to_full_update(spark, tmp_path):
+    """Advice r8 regression: ``zonemap_cols=["doc_id"]`` +
+    ``bloom_cols=[]`` + partition_cols raised ValueError in EVERY
+    micro-batch — ``touched`` was computed whenever either index was
+    configured and passed to both updaters, and the updaters reject
+    ``dirs=...`` with empty cols.  ``cols=[]`` keeps its historical
+    meaning ("maintain whatever the manifest already covers", a no-op
+    when no manifest exists) by taking the full-update path; the
+    explicit-cols index still gets dirs-bounded maintenance."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    for lo, hi in [(0, 80), (80, 160)]:
+        _chunk(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dataset_sink(
+                out,
+                partition_cols=["lang"],
+                sort_cols=["doc_id"],
+                zonemap_cols=["doc_id"],
+                bloom_cols=[],  # maintain-existing: must not raise
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 160
+    # the explicit-cols zone map is still fully maintained
+    manifest = zm.load_zonemap(out)
+    assert sorted(manifest) == sorted(
+        os.path.relpath(f, out) for f in zm._data_files(out)
+    )
+    keep, total = zm.prune_files(out, "doc_id", lo=150)
+    assert 0 < len(keep) < total
+
+
 def test_streaming_appends_keep_zonemap_current(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "ds")

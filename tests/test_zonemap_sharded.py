@@ -177,6 +177,10 @@ def test_walk_prunes_failing_partition_directories(spark, tmp_path):
     # no partition predicate -> full enumeration, unchanged semantics
     _, total = zm.prune_files_multi(path, [("score", 0.0, 1e9)])
     assert total == all_files
+    # the dataset-wide denominator for skip ratios is count_data_files —
+    # NOT the partition-constrained total (advice r8: a ratio against
+    # the post-walk count over-reports pruning effectiveness)
+    assert zm.count_data_files(path) == all_files > per_lang
 
 
 def test_update_rewrites_only_dirty_shards(spark, tmp_path):

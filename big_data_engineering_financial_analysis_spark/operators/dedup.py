@@ -1398,6 +1398,14 @@ def merge_component_labels(
     size; ``driver_threshold=0``/``None`` pins the distributed path.
     Both paths are pytest-proven equal, including ``changed_col``.
     """
+    # NULL-id pairs dropped whole — the same contract as both CC
+    # operators (see connected_components).  Applied BEFORE the batch
+    # collect: the driver fast-path's union-find would otherwise raise
+    # TypeError on None<int comparisons, and the distributed path would
+    # silently diverge from it.
+    new_pairs = new_pairs.filter(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
+    )
     local_label_rows = (
         _local_relation_rows(labels) if driver_threshold else None
     )

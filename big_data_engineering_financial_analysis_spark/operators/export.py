@@ -52,7 +52,13 @@ from pyspark.sql import functions as F
 def _shuffle_key(id_col: Column, seed: int) -> Column:
     """The seeded per-row order key: md5 over ``seed:id``.  A function
     of the ROW alone — independent of partition layout, task retries,
-    and cluster size — which is what makes the shuffle reproducible."""
+    and cluster size — which is what makes the shuffle reproducible.
+
+    ``id_col`` must be NON-NULL (it is a document/example id): Spark's
+    ``concat_ws`` skips NULL args (every null id collapses to
+    ``md5("seed:")``) while SQL's ``||`` nulls the whole key, so a null
+    id has no oracle-consistent order.  The ties-broken-by-id order is
+    only total when ids are unique, which a null id also violates."""
     return F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
 
 

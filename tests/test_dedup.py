@@ -647,6 +647,28 @@ def test_connected_components_star_self_loop_only_nodes(spark):
         assert got == expect, f"threshold={threshold}"
 
 
+def test_merge_component_labels_null_id_pairs_dropped(spark):
+    """Batch pairs with a NULL id are dropped whole on BOTH merge paths
+    — the same contract as the CC operators (advice-r8 follow-through).
+    Before the fix the driver fast-path CRASHED (TypeError: None < int
+    in the union-find root comparison) and the distributed path silently
+    diverged from it."""
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, component long")
+    batch = spark.createDataFrame(
+        [(None, 9), (2, None), (None, None), (2, 5)], "id_a long, id_b long"
+    )
+    expect = [(1, 1), (2, 1), (5, 1)]
+    for threshold in (dedup.TINY_GRAPH_EDGES, 0):
+        got = sorted(
+            (r.node, r.component)
+            for r in dedup.merge_component_labels(
+                labels, batch, driver_threshold=threshold
+            ).collect()
+        )
+        assert got == expect, f"threshold={threshold}"
+    spark.catalog.clearCache()
+
+
 def test_merge_component_labels_self_pair_new_node(spark):
     """A batch self-pair for a brand-new node registers the node as a
     singleton on both merge paths (distributed branch routes through

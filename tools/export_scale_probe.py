@@ -29,8 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark import get_spark
-from big_data_engineering_financial_analysis_spark.functions import text
-from big_data_engineering_financial_analysis_spark.operators import export
+from big_data_engineering_financial_analysis_spark.operators import export, text
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3

@@ -164,6 +164,51 @@ def test_token_budget_mix_cumsum_is_distributed(spark):
     assert got == expect
 
 
+def test_token_budget_mix_zero_token_rows_at_budget_boundary(spark):
+    """The offset prefilter must be ``offset <= budget``, not ``<``: a
+    partition whose offset EQUALS the budget can still legally keep
+    leading ZERO-token rows (cum == budget satisfies the oracle's
+    ``cum_tokens <= budget``).  Built so that domain '0' has exactly
+    budget-many tokens in its hash-order prefix followed by zero-token
+    docs — every zero-token doc anywhere after the cut point must
+    survive, exactly as the naive per-domain cumsum keeps it."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("0").alias("lang"),
+        F.when(F.col("id") % 2 == 0, 0).otherwise(3).cast("long").alias("n_tokens"),
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    out = export.token_budget_mix(
+        docs, {"0": int(total)}, domain_col="lang", num_partitions=7
+    ).collect()
+    # budget == total mass: EVERY doc survives, including zero-token
+    # rows whose cum equals a partition-offset boundary
+    assert len(out) == 200
+    assert max(r.cum_tokens for r in out) == total
+    # hard-ceiling twin: budget one below total drops exactly the docs
+    # at/after the last 3-token doc in hash order (zero-token stragglers
+    # BEFORE it survive)
+    import hashlib
+
+    keyed = sorted(
+        (hashlib.md5(f"0:{i}".encode()).hexdigest(), i, 0 if i % 2 == 0 else 3)
+        for i in range(200)
+    )
+    cum, expect = 0, set()
+    for _k, i, n in keyed:
+        cum += n
+        if cum > total - 1:
+            break
+        expect.add(i)
+    got = {
+        r.doc_id
+        for r in export.token_budget_mix(
+            docs, {"0": int(total) - 1}, domain_col="lang", num_partitions=7
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_export_reliable_pinning_mode(spark, tmp_path):
     """reliable=True pins range boundaries via a checkpoint-dir-backed
     checkpoint (survives executor loss) and yields byte-identical output

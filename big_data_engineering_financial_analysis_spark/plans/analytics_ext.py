@@ -193,11 +193,53 @@ def trailing_time_avg(events: DataFrame, window_s: int = 3600) -> DataFrame:
 
 
 def value_quartiles(events: DataFrame) -> DataFrame:
-    """ntile ranking: quartile assignment per event_type with a unique-key
-    tiebreak (value ties otherwise make ntile nondeterministic)."""
-    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    """ntile(4) per event_type WITHOUT the per-type single-reducer sort.
+
+    The literal spelling — ``ntile(4) OVER (PARTITION BY event_type
+    ORDER BY value, event_id)`` — moves each type's FULL input to one
+    reducer chain and sorts it there: with ~10 types at 100 TB that is
+    ten tasks sorting ~10 TB each (the same funnel the token-budget
+    mixture had before its two-pass rewrite).  Distributed form:
+
+    1. :func:`~..operators.export.global_index` over
+       ``(event_type, value)`` with the ``event_id`` tiebreak — the
+       range-partitioned two-pass rank, where every partition sorts only
+       its own slice and types are contiguous in index order.
+    2. Per-type ``(start, n)`` from a types-sized aggregate, broadcast
+       back; the 1-based within-type rank is ``idx − start + 1``.
+    3. ntile's bucket arithmetic recovers the quartile exactly: the
+       first ``n % 4`` buckets hold ``n DIV 4 + 1`` rows, the rest
+       ``n DIV 4`` — all integer ``DIV``, no float drift at 1e12 rows.
+
+    The unique-key tiebreak keeps ntile deterministic under value ties;
+    ordering is nulls-last on every key (global_index pins it), which is
+    the oracle's ANSI default — the old window form was only
+    nulls-compatible because testdata has none.  Parity with the literal
+    ntile window is pytest-pinned (tests/test_export.py)."""
+    from ..operators.export import global_index
+
+    idx = global_index(
+        events.select("event_type", "value", "event_id"),
+        order_cols=["event_type", "value"],
+        id_col="event_id",
+        index_col="_gidx",
+    )
+    spans = idx.groupBy("event_type").agg(
+        F.min("_gidx").alias("_start"), F.count(F.lit(1)).alias("_n")
+    )
     return (
-        events.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        idx.join(F.broadcast(spans), "event_type")
+        .withColumn("_r", F.col("_gidx") - F.col("_start") + F.lit(1))
+        .withColumn(
+            "quartile",
+            F.expr(
+                "CAST(CASE WHEN _r <= (_n DIV 4 + 1) * (_n % 4)"
+                "  THEN (_r - 1) DIV (_n DIV 4 + 1) + 1"
+                "  ELSE (_n % 4)"
+                "    + (_r - (_n DIV 4 + 1) * (_n % 4) - 1) DIV (_n DIV 4)"
+                "    + 1 END AS BIGINT)"
+            ),
+        )
         .groupBy("event_type", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

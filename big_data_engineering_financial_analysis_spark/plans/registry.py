@@ -680,6 +680,12 @@ for _name in RETIRED_R7:
 #:   dedup_clusters_incremental (r8-latest, same kernel, byte-identical
 #:   parity pytests incl. the new null-id cases) rotates on schedule
 #:   in r10.
+#: * value_quartiles — the per-type ntile window is rewritten to the
+#:   global_index two-pass form (same funnel class as the
+#:   token_budget_mix ask).  r8-latest with the window full, so it takes
+#:   the dedup_clusters_incremental treatment: literal-ntile parity +
+#:   plan-shape pytests (tests/test_export.py) pin it now, the driver
+#:   row lands on its scheduled r10 rotation.
 #:
 #: Post-r9 staleness target: r9:50 / r8:50 / r7:49 — no row older than
 #: 2 rounds; registry stays 149/150 (no r9 registrations, no

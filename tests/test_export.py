@@ -310,3 +310,64 @@ def test_global_index_skewed_order_column(spark):
     out = export.global_index(df, ["k"], num_partitions=6)
     rows = sorted(out.select("doc_id", "example_id").collect(), key=lambda r: r.doc_id)
     assert [r.example_id for r in rows] == list(range(300))
+
+
+def test_value_quartiles_matches_literal_ntile_window(spark):
+    """The distributed quartile form (global_index + bucket arithmetic,
+    plans/analytics_ext.py) equals the literal per-type ntile window on
+    every bucket-size regime: n % 4 in {0,1,2,3}, ties on value, and a
+    type with n < 4 (every row its own bucket)."""
+    from pyspark.sql import Window
+
+    from big_data_engineering_financial_analysis_spark.plans import analytics_ext
+
+    # type sizes 3 (n<4 edge), 16 (n%4==0), 17, 18, 19 — covers both
+    # CASE branches and the degenerate base==0 regime; value = id % 5
+    # forces heavy ties so the event_id tiebreak is load-bearing.
+    sizes = {"a": 3, "b": 16, "c": 17, "d": 18, "e": 19}
+    rows = []
+    i = 0
+    for t, n in sizes.items():
+        for _ in range(n):
+            rows.append((f"e{i:04d}", t, float(i % 5)))
+            i += 1
+    events = spark.createDataFrame(rows, "event_id string, event_type string, value double").repartition(7)
+
+    got = {
+        (r.event_type, r.quartile): (r.n, r.min_value, r.max_value)
+        for r in analytics_ext.value_quartiles(events).collect()
+    }
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), F.asc_nulls_last("event_id")
+    )
+    want = {
+        (r.event_type, r.quartile): (r.n, r.min_value, r.max_value)
+        for r in events.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert {q for (t, q) in got if t == "a"} == {1, 2, 3}  # n<4: no 4th bucket
+
+
+def test_value_quartiles_plan_has_no_per_type_global_sort(spark):
+    """The quartile plan must not contain a window partitioned only by
+    event_type (the per-type single-reducer funnel): every Window in the
+    plan rides the _pid range partitioning."""
+    from big_data_engineering_financial_analysis_spark.plans import analytics_ext
+
+    events = spark.createDataFrame(
+        [(f"e{i}", str(i % 3), float(i)) for i in range(60)],
+        "event_id string, event_type string, value double",
+    )
+    plan = analytics_ext.value_quartiles(events)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line

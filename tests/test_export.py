@@ -371,3 +371,41 @@ def test_value_quartiles_plan_has_no_per_type_global_sort(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, line
+
+
+def test_value_quartiles_bucket_arithmetic_exhaustive_small_n(spark):
+    """One type per size n = 1..40 in a single pass: the integer bucket
+    arithmetic equals the literal ntile window for EVERY n % 4 regime
+    and every n < 4 degenerate (driver data only ever shows one n)."""
+    from pyspark.sql import Window
+
+    from big_data_engineering_financial_analysis_spark.plans import analytics_ext
+
+    rows, i = [], 0
+    for n in range(1, 41):
+        for _ in range(n):
+            rows.append((f"e{i:05d}", f"t{n:02d}", float(i % 3)))
+            i += 1
+    events = spark.createDataFrame(
+        rows, "event_id string, event_type string, value double"
+    ).repartition(11)
+
+    got = {
+        (r.event_type, r.quartile): (r.n, r.min_value, r.max_value)
+        for r in analytics_ext.value_quartiles(events).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), F.asc_nulls_last("event_id")
+    )
+    want = {
+        (r.event_type, r.quartile): (r.n, r.min_value, r.max_value)
+        for r in events.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want

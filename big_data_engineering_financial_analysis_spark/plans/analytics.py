@@ -100,10 +100,11 @@ def local_supplier_volume(
     """TPC-H Q5 shape: 6-table join, true dims broadcast, facts shuffled once.
 
     customer ⋈ supplier on nationkey enforces the "local supplier" rule.
-    region/nation/supplier are genuinely small -> explicit broadcast;
-    ``customer`` is fact-scale (1.5M rows/SF), so it carries no hint — the
-    optimizer broadcasts it while small and AQE shuffles on ``o_custkey``
-    at scale instead of OOMing executors.
+    region/nation are genuinely small (5/25 rows) -> explicit broadcast;
+    ``supplier`` (10k rows/SF — ~1e9 at 100 TB, still GB-sized after the
+    region cut) and ``customer`` (150k rows/SF) are SF-scaled, so they
+    carry no hint — the optimizer broadcasts them while small and AQE
+    shuffles at scale instead of OOMing executors.
     """
     r = tables["region"].filter(F.col("r_name") == region)
     n = tables["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -118,7 +119,7 @@ def local_supplier_volume(
     li = tables["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey", "n_name")), li.l_suppkey == F.col("s_suppkey"))
+        .join(s.select("s_suppkey", "s_nationkey", "n_name"), li.l_suppkey == F.col("s_suppkey"))
         .join(c, (F.col("o_custkey") == c.c_custkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
     )
     return joined.groupBy("n_name").agg(

@@ -65,11 +65,17 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
 
 
 def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
-    """TPC-H Q14 shape: conditional-sum ratio over a broadcast dim join."""
+    """TPC-H Q14 shape: conditional-sum ratio over a pruned dim join.
+
+    ``part`` is SF-scaled (200k rows/SF — ~2e10 at 100 TB), so it
+    carries NO broadcast hint: the planner broadcasts the 2-column
+    projection while it is under the size threshold and AQE falls back
+    to a shuffled join at scale instead of forcing an OOM-sized
+    broadcast.  The month filter on lineitem is pushed to the scan."""
     li = lineitem.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-02-01"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
-    joined = li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+    joined = li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.agg(
         F.round(
@@ -82,7 +88,10 @@ def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 def returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20) -> DataFrame:
-    """TPC-H Q10 shape: revenue lost to returns, top-k customers."""
+    """TPC-H Q10 shape: revenue lost to returns, top-k customers.
+
+    ``customer`` is fact-scale (150k rows/SF), so no broadcast hint —
+    small-side broadcast is the planner's call, shuffled join at SF."""
     li = lineitem.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -92,7 +101,7 @@ def returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, 
     rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer.select("c_custkey", "c_name", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_nationkey")
         .agg(rev.alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

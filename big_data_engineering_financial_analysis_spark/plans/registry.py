@@ -686,6 +686,15 @@ for _name in RETIRED_R7:
 #:   the dedup_clusters_incremental treatment: literal-ntile parity +
 #:   plan-shape pytests (tests/test_export.py) pin it now, the driver
 #:   row lands on its scheduled r10 rotation.
+#: * forced-broadcast sweep: F.broadcast hints dropped from SF-scaled
+#:   frames (part in promo_revenue, customer in returned_items,
+#:   supplier in local_supplier_volume / nation_volume_flow / the
+#:   shared trade-edge aggregation) — hint-only, results identical
+#:   (driver-sim MATCH re-run on all six queries; the planner still
+#:   broadcasts at test scale from parquet stats).  promo_revenue /
+#:   returned_items / nation_volume_flow are in-window; the r7-latest
+#:   rows (local_supplier_volume, nation_pagerank) rotate in r10 on
+#:   schedule.
 #:
 #: Post-r9 staleness target: r9:50 / r8:50 / r7:49 — no row older than
 #: 2 rounds; registry stays 149/150 (no r9 registrations, no

@@ -167,7 +167,8 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        # supplier is SF-scaled — no hint; planner broadcasts while small
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -242,7 +243,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        # supplier is SF-scaled — no hint; planner broadcasts while small
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )

@@ -165,7 +165,9 @@ def q_nation_volume_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") <= F.lit("1999-12-31"))
     )
     joined = (
-        line.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supp is SF-scaled (supplier ⋈ 2 nations) — no broadcast hint;
+        # the planner broadcasts while small, AQE shuffles at 100 TB
+        line.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))

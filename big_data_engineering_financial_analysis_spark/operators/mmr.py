@@ -27,7 +27,7 @@ bit-identical to the DuckDB oracle built by :func:`mmr_oracle_sql`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.operators.similarity import (
@@ -63,10 +63,14 @@ def mmr_select(
             "rel", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm"))
         )
     )
-    w = Window.orderBy(F.col("rel").desc(), F.col(id_col))
+    # Top-shortlist via orderBy+limit — compiles to TakeOrderedAndProject
+    # (per-partition top-k, then a k-per-partition merge), NOT the
+    # row_number-over-global-window form, which would move the whole
+    # scored corpus to one reducer just to rank it.  Deterministic under
+    # ties via the id tiebreak, so the shortlist set is identical.
     cand_df = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= shortlist)
+        scored.orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(shortlist)
         .select(id_col, "vec", "norm", "rel")
     )
 

@@ -203,6 +203,28 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _ref_key(sf) -> str:
+    """Committed-reference key: references only compare within one
+    (scale factor, cpu budget) configuration."""
+    return f"sf={sf},cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+
+
+def _load_refs(path: str) -> dict:
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_refs(path: str, refs: dict) -> None:
+    try:
+        with open(path, "w") as fh:
+            json.dump(refs, fh)
+    except OSError:
+        pass  # read-only checkout: the in-run labels still apply
+
+
 def main() -> None:
     from big_data_engineering_financial_analysis_spark import get_spark
     from big_data_engineering_financial_analysis_spark.plans.registry import QUERIES
@@ -326,13 +348,8 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)),
             ".bench_extra_ref.json",
         )
-        eref_key = f"sf={sf},cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
-        try:
-            with open(eref_path) as fh:
-                erefs = json.load(fh)
-        except (OSError, ValueError):
-            erefs = {}
-        ebest: dict[str, float] = erefs.get(eref_key, {})
+        erefs = _load_refs(eref_path)
+        ebest: dict[str, float] = erefs.get(_ref_key(sf), {})
         median_extra_first = median_vs_anchor(extra, ebest)
         extra_hot = (
             median_extra_first is not None
@@ -343,7 +360,16 @@ def main() -> None:
             reran_names = worst_anchored(extra, ebest, EXTRA_RERUN_WORST)
             spark.catalog.clearCache()
             time.sleep(INFLATION_COOLDOWN_SEC)
-            canary_check("pre:extra-rerun")
+            # gate the re-run on a CLEAN canary (bounded wait, same
+            # discipline as run_families) — re-measuring while still hot
+            # would record inflated minima and defeat the recovery
+            waited = 0
+            while (
+                not canary_check(f"pre:extra-rerun#{waited}")
+                and waited < MAX_COOLDOWNS
+            ):
+                waited += 1
+                time.sleep(COOLDOWN_SEC * waited)
             for name in reran_names:
                 t = min(timed(name) for _ in range(2))
                 extra[name] = round(min(t, extra[name]), 3)
@@ -355,16 +381,34 @@ def main() -> None:
             "reran": reran_names,
             "median_vs_best_final": median_vs_anchor(extra, ebest),
         }
-        # tighten the committed reference with this run's minima (only
-        # ever downward — heat can only inflate, so min is steady-state)
-        erefs[eref_key] = {
-            n: round(min(t, ebest.get(n, t)), 3) for n, t in extra.items()
+        # tighten the committed reference with this run's minima —
+        # EXISTING entries only ever move downward (heat only inflates,
+        # so min is steady-state).  ABSENT entries seed only from a run
+        # with no hot signal: a first run on a uniformly hot machine
+        # would otherwise bake ~1.5x-inflated timings in as "best known"
+        # and blind the median detector to exactly the state it labels.
+        cref = _load_refs(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".bench_canary.json",
+            )
+        ).get(_ref_key(sf))
+        run_hot = (
+            extra_hot
+            or inflated
+            or (cref is not None and canary_base > cref * CANARY_TOL)
+        )
+        merged = {
+            n: round(min(t, ebest[n]), 3)
+            for n, t in extra.items()
+            if n in ebest
         }
-        try:
-            with open(eref_path, "w") as fh:
-                json.dump(erefs, fh)
-        except OSError:
-            pass  # read-only checkout: labels above still apply this run
+        if not run_hot:
+            merged.update(
+                {n: t for n, t in extra.items() if n not in ebest}
+            )
+        erefs[_ref_key(sf)] = merged
+        _store_refs(eref_path, erefs)
 
     # cross-RUN reference: the in-run canary only detects heat CHANGES
     # (baseline and observations inflate together on a uniformly hot
@@ -378,22 +422,14 @@ def main() -> None:
     # together with canary_vs_best, which carries the raw ratio.
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_canary.json")
-    ref_key = f"sf={sf},cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
-    try:
-        with open(ref_path) as fh:
-            refs = json.load(fh)
-    except (OSError, ValueError):
-        refs = {}
+    ref_key = _ref_key(sf)
+    refs = _load_refs(ref_path)
     best_known = refs.get(ref_key)
     machine_hot = (
         best_known is not None and canary_base > best_known * CANARY_TOL
     )
     refs[ref_key] = round(min(canary_base, best_known or canary_base), 3)
-    try:
-        with open(ref_path, "w") as fh:
-            json.dump(refs, fh)
-    except OSError:
-        pass  # read-only checkout: the label below still works this run
+    _store_refs(ref_path, refs)
 
     payload = {
         "metric": "headline_queries_total",

@@ -225,7 +225,15 @@ def token_budget_mix(
     ``partitions`` (non-empty), ``window_input_rows`` (rows in
     (partition, domain) groups surviving the offset prefilter — what the
     window exchange actually moves and sorts) and ``max_task_rows`` (the
-    largest such group — the per-task sort bound the SCALE probe pins)."""
+    largest single surviving GROUP).  Precisely: each (partition,
+    domain) group is bounded by the range-partition size, but the window
+    exchange hash-places groups onto reducer tasks, so one task may
+    receive several groups — a task's sort input is the SUM of its
+    groups (uniform in expectation: ~window_input_rows / tasks), while
+    ``max_task_rows`` bounds each group individually.  The funnel claim
+    this rewrite removes is the per-GROUP one (a whole domain on one
+    reducer); multiple small groups per task is normal balanced
+    throughput, not a funnel."""
     from pyspark.sql import Window
 
     spark = df.sparkSession

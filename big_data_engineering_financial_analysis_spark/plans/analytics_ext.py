@@ -236,8 +236,17 @@ def value_quartiles(events: DataFrame) -> DataFrame:
     spans = idx.groupBy("event_type").agg(
         F.min("_gidx").alias("_start"), F.count(F.lit(1)).alias("_n")
     )
+    # Null-SAFE join key: groupBy keeps a NULL event_type as its own
+    # group (so does the oracle's PARTITION BY), but a plain equi-join
+    # would never match it back — NULL-type rows would silently vanish.
+    # eqNullSafe is still a hash-joinable equi-key (no BNLJ).
+    spans = spans.withColumnRenamed("event_type", "_span_type")
     return (
-        idx.join(F.broadcast(spans), "event_type")
+        idx.join(
+            F.broadcast(spans),
+            F.col("event_type").eqNullSafe(F.col("_span_type")),
+        )
+        .drop("_span_type")
         .withColumn("_r", F.col("_gidx") - F.col("_start") + F.lit(1))
         .withColumn(
             "quartile",

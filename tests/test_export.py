@@ -209,20 +209,31 @@ def test_token_budget_mix_zero_token_rows_at_budget_boundary(spark):
     assert got == expect
 
 
-def test_export_reliable_pinning_mode(spark, tmp_path):
+def test_export_reliable_fails_fast_without_checkpoint_dir(spark, monkeypatch):
+    """Without a checkpoint dir, reliable=True fails fast with a clear
+    error rather than falling back to the executor-resident pin.
+    getCheckpointDir is patched to None so the branch runs regardless of
+    what earlier tests set on the shared session."""
+    docs = _docs(spark, 50)
+    monkeypatch.setattr(
+        spark.sparkContext, "getCheckpointDir", lambda: None
+    )
+    with pytest.raises(ValueError, match="checkpoint directory"):
+        export.global_index(
+            docs, ["lang", "n_tokens"], num_partitions=4, reliable=True
+        )
+
+
+def test_export_reliable_pinning_mode(spark, tmp_path_factory):
     """reliable=True pins range boundaries via a checkpoint-dir-backed
     checkpoint (survives executor loss) and yields byte-identical output
-    to the localCheckpoint default; without a checkpoint dir it fails
-    fast with a clear error rather than falling back to the
-    executor-resident pin."""
+    to the localCheckpoint default.  The checkpoint dir is session-scoped
+    (tmp_path_factory): setCheckpointDir has no unset, so a per-test
+    tmp_path would leave later tests pointing at a deleted directory."""
     docs = _docs(spark, 300)
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        with pytest.raises(ValueError, match="checkpoint directory"):
-            export.global_index(
-                docs, ["lang", "n_tokens"], num_partitions=4, reliable=True
-            )
-        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        sc.setCheckpointDir(str(tmp_path_factory.mktemp("export-ckpt")))
     gi_fast = {
         r.doc_id: r.example_id
         for r in export.global_index(docs, ["lang", "n_tokens"], num_partitions=4)
@@ -324,7 +335,9 @@ def test_value_quartiles_matches_literal_ntile_window(spark):
     # type sizes 3 (n<4 edge), 16 (n%4==0), 17, 18, 19 — covers both
     # CASE branches and the degenerate base==0 regime; value = id % 5
     # forces heavy ties so the event_id tiebreak is load-bearing.
-    sizes = {"a": 3, "b": 16, "c": 17, "d": 18, "e": 19}
+    # None is a real group: PARTITION BY keeps NULL as its own partition
+    # (both engines), so the spans join-back must be null-safe.
+    sizes = {"a": 3, "b": 16, "c": 17, "d": 18, "e": 19, None: 6}
     rows = []
     i = 0
     for t, n in sizes.items():

@@ -42,9 +42,10 @@ out = {"sf_dir": sf_dir, "rows": n}
 def best(fn):
     obs = []
     for _ in range(runs):
-        t0 = time.time()
+        spark.catalog.clearCache()  # sibling-probe hygiene (export_scale_probe)
+        t0 = time.perf_counter()
         fn()
-        obs.append(time.time() - t0)
+        obs.append(time.perf_counter() - t0)
     return round(min(obs), 3)
 
 

@@ -142,3 +142,51 @@ def test_span_islands_match_python_model(spark, texts):
         for r in span_removal_spans(df, span_n=n).collect()
     )
     assert got == _span_model(docs, n)
+
+
+def _budget_model(rows, budgets):
+    """Pure-Python token_budget_mix: per-domain md5(seed:id)-ordered
+    prefix under a hard cumulative-token ceiling."""
+    import hashlib
+
+    out = {}
+    by_dom: dict = {}
+    for doc_id, dom, nt in rows:
+        if dom in budgets:
+            by_dom.setdefault(dom, []).append((doc_id, nt))
+    for dom, docs in by_dom.items():
+        docs.sort(
+            key=lambda d: (hashlib.md5(f"0:{d[0]}".encode()).hexdigest(), d[0])
+        )
+        cum = 0
+        for doc_id, nt in docs:
+            cum += nt
+            if cum > budgets[dom]:
+                break
+            out[doc_id] = cum
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    nts=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    b0=st.integers(min_value=0, max_value=60),
+    b1=st.integers(min_value=0, max_value=60),
+)
+def test_token_budget_mix_matches_python_model(spark, nts, b0, b1):
+    """The distributed two-pass cumsum (operators/export.py) equals the
+    naive per-domain ordered-prefix model on random token counts and
+    budgets — including zero budgets, zero-token docs, and domains
+    missing from the recipe."""
+    from big_data_engineering_financial_analysis_spark.operators import export
+
+    rows = [(i, ["x", "y", "z"][i % 3], nt) for i, nt in enumerate(nts)]
+    budgets = {"x": b0, "y": b1}  # "z" deliberately unbudgeted
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in export.token_budget_mix(
+            df.repartition(5), budgets, num_partitions=4
+        ).collect()
+    }
+    assert got == _budget_model(rows, budgets)

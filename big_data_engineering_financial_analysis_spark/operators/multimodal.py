@@ -3,14 +3,21 @@
 Policy: media travel as opaque ``binary`` payload columns with typed
 metadata (schemas.ASSET_SCHEMA), and every media transformation is an
 Arrow-batched ``mapInPandas`` operator — binary never round-trips through
-Python row objects.  The container has no image/audio libraries, so the
-*decode* step is stubbed (TESTDATA has no media either): real codecs plug
-into ``_decode_payload`` behind the import-try; everything around it —
-schema, batch iteration, partitioning, row fan-out for frame sampling — is
-real and tested.
+Python row objects.
 
-Fake payload format (deterministic, self-describing) so plumbing tests are
-meaningful without codecs:
+Codec dispatch is on payload magic:
+
+* ``BM`` (24-bit uncompressed BMP) and ``RIFF..WAVE`` (PCM WAV) take
+  REAL paths — stdlib/numpy codecs in :mod:`.codecs`, no external
+  libraries: decode → transform pixels/samples → re-encode, and
+  features are genuine content features (block-mean luma pooling /
+  RMS energy envelope), so a resized image embeds NEAR its original.
+* The deterministic FAKE format below keeps its original byte-exact
+  path — the ``asset_resize`` oracle and plumbing tests depend on it.
+* Compressed/container formats (JPEG/PNG/MP3/MP4) remain the documented
+  external-codec boundary: PIL/ffmpeg plug into the same dispatch.
+
+Fake payload format (deterministic, self-describing):
 
     b"FAKE" + modality[0] + width(2B big-endian) + height(2B) +
     n_frames(2B) + md5-derived filler bytes
@@ -66,14 +73,34 @@ def make_fake_assets(spark: SparkSession, n: int = 64) -> DataFrame:
 def _decode_payload(payload: bytes) -> tuple[int, int, int]:
     """Parse (width, height, n_frames) from a payload header.
 
-    Real image decoding would go here (PIL etc.); this container has no
-    codecs, so only the deterministic fake format is supported.
+    Real formats are read HEADER-ONLY here (no pixel/sample IO):
+
+    * BMP → (width, height, 1)
+    * WAV → (sample_rate, n_channels, n_sample_frames) — the audio
+      reading of the (width, height, frames) triple; "frames" is the
+      wave module's own term for per-channel sample rows.
+
+    Compressed formats (JPEG/PNG/MP3/...) raise: those genuinely need
+    external codecs (PIL/ffmpeg), which plug in here.
     """
-    if payload[:4] == MAGIC:
-        return struct.unpack(">HHH", payload[5:11])
+    b = bytes(payload)
+    if b[:4] == MAGIC:
+        return struct.unpack(">HHH", b[5:11])
+    if b[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", b, 18)
+        return abs(w), abs(h), 1
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(b), "rb") as wf:
+            return wf.getframerate(), wf.getnchannels(), wf.getnframes()
     if HAVE_PIL:
         raise NotImplementedError("real codec path not wired up in this build")
-    raise NotImplementedError("no codec available for non-FAKE payloads")
+    raise NotImplementedError(
+        "no codec available for this payload format (compressed formats "
+        "need PIL/ffmpeg; BMP/WAV/FAKE are supported natively)"
+    )
 
 
 def extract_metadata(assets: DataFrame) -> DataFrame:
@@ -175,17 +202,20 @@ def resize_assets(assets: DataFrame, max_dim: int = 224) -> DataFrame:
 
     Payload-in → payload-out with the SAME ASSET_SCHEMA columns, so the
     operator composes with :func:`extract_metadata` / :func:`sample_frames`
-    downstream exactly like a real preprocessing stage.  A real build
-    decodes → resamples → re-encodes inside this Arrow batch loop; this
-    container has no codecs, so resampled pixels are stood in by the fake
-    format with the new header dims and filler derived from (source
-    payload, target dims) — the output is a pure deterministic function of
-    the input, which is what the plumbing tests assert.  Audio rows and
+    downstream exactly like a real preprocessing stage.  BMP payloads
+    take the REAL path — decode → nearest-neighbor resample → re-encode,
+    all inside this Arrow batch loop (:mod:`.codecs`, stdlib+numpy).
+    FAKE payloads keep the original byte-exact stand-in (new header dims
+    + filler derived from (source payload, target dims)) — the
+    ``asset_resize`` oracle pins those bytes.  Either way the output is
+    a pure deterministic function of the input.  Audio rows and
     already-small images pass through byte-identical; frame counts are
     preserved.  Row-local, no shuffle: parallelism is input splits.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from big_data_engineering_financial_analysis_spark.operators import codecs
+
         for pdf in batches:
             out_payload = []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
@@ -197,6 +227,13 @@ def resize_assets(assets: DataFrame, max_dim: int = 224) -> DataFrame:
                 new_w, new_h = _resized_dims(width, height, max_dim)
                 if (new_w, new_h) == (width, height):
                     out_payload.append(b)
+                    continue
+                if b[:2] == b"BM":  # REAL path: pixels in, pixels out
+                    out_payload.append(
+                        codecs.encode_bmp(
+                            codecs.resize_rgb(codecs.decode_bmp(b), new_w, new_h)
+                        )
+                    )
                     continue
                 filler = hashlib.md5(b + struct.pack(">HH", new_w, new_h)).digest() * 4
                 out_payload.append(
@@ -241,13 +278,16 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Per-asset feature vectors — the ENCODER stage of a multimodal
     pipeline (CLIP image tower, wav2vec audio, mean-pooled video frames).
 
-    A real build decodes the payload and runs a model forward pass inside
-    this Arrow batch loop; this container has neither codecs nor model
-    weights, so features are stood in by :func:`_fake_features` — still a
-    pure deterministic function of the payload, which is the contract
-    everything downstream needs: fixed ``dim``, ``array<float>``,
-    unit L2 norm, identical payloads ⇒ identical vectors.  The output
-    column is drop-in for the embedding operators
+    BMP and WAV payloads get REAL content features inside this Arrow
+    batch loop (:mod:`.codecs`): block-mean luma pooling for images (the
+    average-hash family — a resized copy embeds NEAR its original, the
+    property near-dup search needs) and RMS energy envelopes for audio.
+    No model weights live in this container, so these are the classical
+    non-learned baselines; a CLIP/wav2vec forward pass drops into the
+    same dispatch.  FAKE payloads keep :func:`_fake_features`.  Every
+    path honors the downstream contract: fixed ``dim``,
+    ``array<float>``, unit L2 norm, identical payloads ⇒ identical
+    vectors.  The output column is drop-in for the embedding operators
     (`operators.similarity.cosine_topk`, `embedding_dedup`, IVF/PQ):
     multimodal ingest → encode → similarity search with no schema
     adapter.  Row-local mapInPandas, no shuffle — parallelism is input
@@ -255,14 +295,21 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from big_data_engineering_financial_analysis_spark.operators import codecs
+
+        def feat(p: bytes) -> list[float]:
+            if p[:2] == b"BM":
+                return codecs.image_features(codecs.decode_bmp(p), dim)
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                return codecs.audio_features(codecs.decode_wav(p)[0], dim)
+            return _fake_features(p, dim)
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "feature": [
-                        _fake_features(bytes(p), dim) for p in pdf["payload"]
-                    ],
+                    "feature": [feat(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

@@ -8,6 +8,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.operators import codecs, multimodal
 from big_data_engineering_financial_analysis_spark.schemas import ASSET_SCHEMA
@@ -185,3 +186,36 @@ def test_extract_features_real_content(spark):
     assert np.allclose(
         feats[7], multimodal._fake_features(fake, multimodal.FEATURE_DIM), atol=1e-6
     )
+
+
+def test_real_image_ingest_to_near_dup_e2e(spark):
+    """The full multimodal claim, on ACTUAL pixels: BMP ingest →
+    extract_features → embedding near-dup.  Resized copies of the same
+    smooth image pair up above threshold; distinct images do not."""
+    from big_data_engineering_financial_analysis_spark.operators.similarity import (
+        embedding_dedup_pairs,
+    )
+
+    imgs = {
+        1: _smooth_img(80, 60, phase=0.0),
+        2: codecs.resize_rgb(_smooth_img(80, 60, phase=0.0), 30, 40),  # copy of 1
+        3: _smooth_img(80, 60, phase=2.0),
+        4: _smooth_img(80, 60, phase=4.0),
+    }
+    assets = spark.createDataFrame(
+        [
+            (aid, "image", "image/bmp", codecs.encode_bmp(img), {})
+            for aid, img in imgs.items()
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = multimodal.extract_features(assets).select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(feats, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs), pairs

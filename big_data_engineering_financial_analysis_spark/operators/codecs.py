@@ -120,34 +120,47 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s.reshape(-1, ch), rate
 
 
-def image_features(rgb: np.ndarray, dim: int) -> list[float]:
-    """REAL content features for an image: luma → ``g x g`` block-mean
-    pooling (g² = dim) → mean-centered → L2-normalized.  The classical
-    average-hash family: identical images embed identically, and a
-    resized copy embeds NEARBY (the property near-dup search needs),
-    because block means are stable under resampling."""
-    g = int(round(dim**0.5))
-    if g * g != dim:
-        raise ValueError(f"dim must be a perfect square for image pooling, got {dim}")
-    luma = (
-        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-    )
-    pooled = resize_rgb(
-        np.repeat(luma[:, :, None], 3, axis=2).astype(np.uint8), g * 8, g * 8
-    )[:, :, 0].astype(np.float64)
-    blocks = pooled.reshape(g, 8, g, 8).mean(axis=(1, 3)).ravel()
+def image_features(rgb: np.ndarray, dim: int) -> list[float] | None:
+    """REAL content features for an image: ``g x g`` block-mean luma
+    pooling (g = ceil(sqrt(dim)), truncated to ``dim``) → mean-centered
+    → L2-normalized.  The classical average-hash family: identical
+    images embed identically, and a resized copy embeds NEARBY (the
+    property near-dup search needs), because block means are stable
+    under resampling.
+
+    Returns ``None`` for DEGENERATE flat content (a solid-color image
+    centers to the zero vector, which has no direction) — the caller
+    decides the fallback (multimodal uses the payload-hash features, so
+    byte-identical flat duplicates still pair at cosine 1.0).
+
+    Luma is computed AFTER nearest-neighbor subsampling to the g*8 grid
+    — identical values (indexing commutes with the per-pixel luma), a
+    fraction of the float work on large frames."""
+    g = int(np.ceil(dim**0.5))
+    small = resize_rgb(rgb, g * 8, g * 8).astype(np.float64)
+    luma = 0.299 * small[:, :, 0] + 0.587 * small[:, :, 1] + 0.114 * small[:, :, 2]
+    blocks = luma.reshape(g, 8, g, 8).mean(axis=(1, 3)).ravel()[:dim]
     centered = blocks - blocks.mean()
-    norm = float(np.sqrt((centered**2).sum())) or 1.0
+    norm = float(np.sqrt((centered**2).sum()))
+    if norm < 1e-9:
+        return None
     return [float(v) for v in centered / norm]
 
 
-def audio_features(samples: np.ndarray, dim: int) -> list[float]:
+def audio_features(samples: np.ndarray, dim: int) -> list[float] | None:
     """REAL content features for audio: channel-mean → ``dim`` equal
     time bins → per-bin RMS energy → log1p → mean-centered →
     L2-normalized.  The classical energy-envelope baseline: trim/pad
-    stable, identical payloads embed identically."""
-    mono = np.asarray(samples, dtype=np.float64).reshape(samples.shape[0], -1).mean(axis=1)
-    n = max(len(mono), 1)
+    stable, identical payloads embed identically.
+
+    Returns ``None`` for DEGENERATE content — empty or constant-energy
+    (e.g. silent) audio centers to the zero vector; the caller picks the
+    fallback (multimodal: payload-hash features)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0:
+        return None
+    mono = s.reshape(s.shape[0], -1).mean(axis=1)
+    n = len(mono)
     edges = (np.arange(dim + 1) * (n / dim)).astype(np.int64)
     rms = np.array(
         [
@@ -157,5 +170,7 @@ def audio_features(samples: np.ndarray, dim: int) -> list[float]:
     )
     vals = np.log1p(rms)
     centered = vals - vals.mean()
-    norm = float(np.sqrt((centered**2).sum())) or 1.0
+    norm = float(np.sqrt((centered**2).sum()))
+    if norm < 1e-9:
+        return None
     return [float(v) for v in centered / norm]

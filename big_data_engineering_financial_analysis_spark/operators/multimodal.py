@@ -70,36 +70,70 @@ def make_fake_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def _bmp_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """Conservative BMP sniff: (width, height, bpp, compression) when
+    ``b`` carries a plausible complete BMP header, else None.  A 2-byte
+    magic alone misroutes ~1/65k of arbitrary blobs and a truncated
+    header would raise raw struct.error — so require full header length
+    and sane fields before trusting the parse."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    w, h, planes, bpp, comp = struct.unpack_from("<iiHHI", b, 18)
+    if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32) or comp > 3 or w == 0 or h == 0:
+        return None
+    return abs(w), abs(h), bpp, comp
+
+
+def _wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """Conservative WAV sniff: (sample_rate, channels, n_frames,
+    sample_width) for PCM payloads the stdlib ``wave`` module accepts,
+    else None (compressed/float WAV raises wave.Error inside)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b), "rb") as wf:
+            return (
+                wf.getframerate(),
+                wf.getnchannels(),
+                wf.getnframes(),
+                wf.getsampwidth(),
+            )
+    except (wave.Error, EOFError):
+        return None
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, int]:
     """Parse (width, height, n_frames) from a payload header.
 
     Real formats are read HEADER-ONLY here (no pixel/sample IO):
 
-    * BMP → (width, height, 1)
-    * WAV → (sample_rate, n_channels, n_sample_frames) — the audio
+    * BMP (any plausible header, metadata needs no pixel codec)
+      → (width, height, 1)
+    * PCM WAV → (sample_rate, n_channels, n_sample_frames) — the audio
       reading of the (width, height, frames) triple; "frames" is the
       wave module's own term for per-channel sample rows.
 
-    Compressed formats (JPEG/PNG/MP3/...) raise: those genuinely need
-    external codecs (PIL/ffmpeg), which plug in here.
+    Anything else raises a CLEAN NotImplementedError (never a raw
+    struct/wave error): compressed formats genuinely need external
+    codecs (PIL/ffmpeg), which plug in here.
     """
     b = bytes(payload)
     if b[:4] == MAGIC:
         return struct.unpack(">HHH", b[5:11])
-    if b[:2] == b"BM":
-        w, h = struct.unpack_from("<ii", b, 18)
-        return abs(w), abs(h), 1
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        import io
-        import wave
-
-        with wave.open(io.BytesIO(b), "rb") as wf:
-            return wf.getframerate(), wf.getnchannels(), wf.getnframes()
+    bmp = _bmp_header(b)
+    if bmp is not None:
+        return bmp[0], bmp[1], 1
+    wav = _wav_header(b)
+    if wav is not None:
+        return wav[0], wav[1], wav[2]
     if HAVE_PIL:
         raise NotImplementedError("real codec path not wired up in this build")
     raise NotImplementedError(
         "no codec available for this payload format (compressed formats "
-        "need PIL/ffmpeg; BMP/WAV/FAKE are supported natively)"
+        "need PIL/ffmpeg; 24-bit BMP / PCM WAV / FAKE are supported natively)"
     )
 
 
@@ -228,13 +262,28 @@ def resize_assets(assets: DataFrame, max_dim: int = 224) -> DataFrame:
                 if (new_w, new_h) == (width, height):
                     out_payload.append(b)
                     continue
-                if b[:2] == b"BM":  # REAL path: pixels in, pixels out
-                    out_payload.append(
+                bmp = _bmp_header(b)
+                if bmp is not None:
+                    if bmp[2:] != (24, 0):  # pixels we cannot decode:
+                        # fail CLEAN — silently passing an over-size
+                        # image or swapping in fake bytes would both
+                        # violate the resize contract
+                        raise NotImplementedError(
+                            f"resize needs a pixel codec: BMP bpp={bmp[2]} "
+                            f"compression={bmp[3]} is not 24-bit uncompressed"
+                        )
+                    out_payload.append(  # REAL path: pixels in, pixels out
                         codecs.encode_bmp(
                             codecs.resize_rgb(codecs.decode_bmp(b), new_w, new_h)
                         )
                     )
                     continue
+                if b[:4] != MAGIC:  # e.g. a WAV labeled image/video —
+                    # the filler stand-in is FAKE-format-only; writing it
+                    # over a real payload would corrupt the asset
+                    raise NotImplementedError(
+                        "resize needs a pixel codec for this payload format"
+                    )
                 filler = hashlib.md5(b + struct.pack(">HH", new_w, new_h)).digest() * 4
                 out_payload.append(
                     MAGIC + b[4:5] + struct.pack(">HHH", new_w, new_h, n_frames) + filler
@@ -284,8 +333,11 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     property near-dup search needs) and RMS energy envelopes for audio.
     No model weights live in this container, so these are the classical
     non-learned baselines; a CLIP/wav2vec forward pass drops into the
-    same dispatch.  FAKE payloads keep :func:`_fake_features`.  Every
-    path honors the downstream contract: fixed ``dim``,
+    same dispatch.  FAKE payloads keep :func:`_fake_features`, and so do
+    payloads the codecs can't STRICTLY decode (unsupported BMP variants,
+    non-PCM WAV, unknown formats) and degenerate flat/empty content —
+    the operator is total by design: one stray asset never kills a
+    corpus-scale encode job.  Every path honors the downstream contract: fixed ``dim``,
     ``array<float>``, unit L2 norm, identical payloads ⇒ identical
     vectors.  The output column is drop-in for the embedding operators
     (`operators.similarity.cosine_topk`, `embedding_dedup`, IVF/PQ):
@@ -298,11 +350,22 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         from big_data_engineering_financial_analysis_spark.operators import codecs
 
         def feat(p: bytes) -> list[float]:
-            if p[:2] == b"BM":
-                return codecs.image_features(codecs.decode_bmp(p), dim)
-            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                return codecs.audio_features(codecs.decode_wav(p)[0], dim)
-            return _fake_features(p, dim)
+            # Conservative dispatch, TOTAL function: only payloads the
+            # codecs strictly decode take the real path; everything else
+            # (unsupported BMP variants, non-PCM WAV, degenerate flat /
+            # empty content where block-mean/RMS features have no
+            # direction) falls back to the payload-hash features — one
+            # stray asset must never kill a corpus-scale encode job, and
+            # byte-identical payloads still embed identically.
+            real: list[float] | None = None
+            bmp = _bmp_header(p)
+            if bmp is not None and bmp[2:] == (24, 0):
+                real = codecs.image_features(codecs.decode_bmp(p), dim)
+            else:
+                wav = _wav_header(p)
+                if wav is not None and wav[3] in (1, 2):
+                    real = codecs.audio_features(codecs.decode_wav(p)[0], dim)
+            return real if real is not None else _fake_features(p, dim)
 
         for pdf in batches:
             yield pd.DataFrame(

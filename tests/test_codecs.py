@@ -119,9 +119,67 @@ def test_audio_features_contract():
     assert f == codecs.audio_features(s, 64)
 
 
-def test_image_features_requires_square_dim():
-    with pytest.raises(ValueError):
-        codecs.image_features(_rng_img(4, 4), 60)
+def test_image_features_any_dim_and_flat_degenerate():
+    """Non-square dims pool to ceil(sqrt(dim))² then truncate; flat
+    content returns None (no direction) for the caller's fallback."""
+    f = codecs.image_features(_rng_img(16, 16, seed=4), 32)
+    assert len(f) == 32 and abs(sum(v * v for v in f) - 1.0) < 1e-9
+    assert codecs.image_features(np.full((64, 64, 3), 128, np.uint8), 64) is None
+
+
+def test_audio_features_degenerate_empty_and_silent():
+    assert codecs.audio_features(np.zeros((0, 1), np.int16), 64) is None
+    assert codecs.audio_features(np.zeros((500, 1), np.int16), 64) is None
+
+
+def test_feature_dispatch_is_total(spark):
+    """One corpus with every awkward payload: empty WAV, silent WAV,
+    solid-color BMP, a 32-bit BMP (undecodable pixels), a truncated
+    'BM' blob, an IEEE-float WAV shell — extract_features never crashes
+    and every row gets a unit-norm vector; byte-identical flat payloads
+    embed identically (hash fallback)."""
+    solid = codecs.encode_bmp(np.full((20, 20, 3), 77, np.uint8))
+    bmp32 = bytearray(codecs.encode_bmp(_rng_img(4, 4)))
+    struct.pack_into("<H", bmp32, 28, 32)
+    rows = [
+        (1, "audio", "audio/wav", codecs.encode_wav(np.zeros((0, 1), np.int16)), {}),
+        (2, "audio", "audio/wav", codecs.encode_wav(np.zeros((400, 1), np.int16)), {}),
+        (3, "image", "image/bmp", solid, {}),
+        (4, "image", "image/bmp", solid, {}),  # byte-identical twin of 3
+        (5, "image", "image/bmp", bytes(bmp32), {}),
+        (6, "image", "image/bmp", b"BMshort", {}),
+        (7, "audio", "audio/wav", b"RIFF\x04\x00\x00\x00WAVE", {}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = {
+        r.asset_id: np.array(r.feature)
+        for r in multimodal.extract_features(assets).collect()
+    }
+    assert set(feats) == {1, 2, 3, 4, 5, 6, 7}
+    for aid, f in feats.items():
+        assert abs(float(f @ f) - 1.0) < 1e-6, aid
+    assert np.allclose(feats[3], feats[4])  # identical flat bytes pair up
+
+
+def test_resize_unsupported_formats_fail_clean(spark):
+    """A 32-bit BMP (pixels we cannot decode) fails the resize with a
+    CLEAN NotImplementedError, not a raw struct error, and never gets
+    fake bytes written over it."""
+    bmp32 = bytearray(codecs.encode_bmp(_rng_img(80, 400)))
+    struct.pack_into("<H", bmp32, 28, 32)
+    assets = spark.createDataFrame(
+        [(1, "image", "image/bmp", bytes(bmp32), {})], ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="resize needs a pixel codec"):
+        multimodal.resize_assets(assets, max_dim=100).collect()
+
+
+def test_decode_payload_clean_errors():
+    """Truncated/garbage payloads raise the documented NotImplementedError
+    (pre-codec behavior), never raw struct/wave errors."""
+    for junk in (b"BMshort", b"RIFF\x00\x00\x00\x00WAVEjunk", b"\x89PNG\r\n"):
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_payload(junk)
 
 
 # ----------------------------------------------- Spark operator dispatch

@@ -84,7 +84,7 @@ DEFAULT_N_HASHES = 7
 #: mismatch (including legacy untagged manifests) as "no manifest":
 #: full scan until the next build/update rewrites it — slower, never
 #: wrong.
-KEY_FORMAT = 2  # 2 = value-canonical numeric + temporal hashing (r7)
+KEY_FORMAT = 3  # 3 = r9: + double-shadow keys for integers beyond 2^53
 
 
 def _num_bytes(f: float) -> bytes:
@@ -160,12 +160,43 @@ def _key_bytes(v: Any) -> bytes:
         return b"s:" + str(v).encode()
 
 
-def _positions(v: Any, n_bits: int, n_hashes: int) -> list[int]:
+def _positions_of(key: bytes, n_bits: int, n_hashes: int) -> list[int]:
     """Kirsch–Mitzenmacher double hashing off one md5: h1 + i*h2 mod m."""
-    d = hashlib.md5(_key_bytes(v)).digest()
+    d = hashlib.md5(key).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1  # odd: full cycle for power-of-2 m
     return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+def _positions(v: Any, n_bits: int, n_hashes: int) -> list[int]:
+    return _positions_of(_key_bytes(v), n_bits, n_hashes)
+
+
+def _shadow_bytes(v: Any) -> bytes | None:
+    """The DOUBLE-SPACE twin key for exact integers beyond 2^53, where
+    int and float canonical forms diverge: Spark compares a bigint
+    column against a double literal by widening the COLUMN to double, so
+    data ``2^53+1`` equals probe ``float(2^53)`` in the scan — but their
+    exact canonical keys differ, a Bloom FALSE NEGATIVE.  Builds add
+    (and probes also check) the key of ``int(float(v))`` whenever the
+    round-trip moves the value; extra false POSITIVES only, and only in
+    the >2^53 tail."""
+    import decimal
+
+    try:
+        i = operator.index(v)
+    except TypeError:
+        if isinstance(v, decimal.Decimal) and v.is_finite() and v == v.to_integral_value():
+            i = int(v)
+        else:
+            return None
+    try:
+        f = float(i)
+    except OverflowError:
+        return None
+    if f in (float("inf"), float("-inf")) or int(f) == i:
+        return None
+    return b"i:" + str(int(f)).encode()
 
 
 class _Bloom:
@@ -174,16 +205,29 @@ class _Bloom:
     def __init__(self, n_bits: int, n_hashes: int, bits: bytearray | None = None):
         self.n_bits = n_bits
         self.n_hashes = n_hashes
-        self.bits = bits if bits is not None else bytearray(n_bits // 8)
+        # ceil-div: n_bits not divisible by 8 must still cover the last
+        # positions (p in [8*(n//8), n) indexed past a floor-div buffer)
+        self.bits = bits if bits is not None else bytearray((n_bits + 7) // 8)
 
     def add(self, v: Any) -> None:
         for p in _positions(v, self.n_bits, self.n_hashes):
             self.bits[p >> 3] |= 1 << (p & 7)
+        shadow = _shadow_bytes(v)  # double-space twin for ints > 2^53
+        if shadow is not None:
+            for p in _positions_of(shadow, self.n_bits, self.n_hashes):
+                self.bits[p >> 3] |= 1 << (p & 7)
+
+    def _hit(self, positions: list[int]) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
     def might_contain(self, v: Any) -> bool:
-        return all(
-            self.bits[p >> 3] & (1 << (p & 7))
-            for p in _positions(v, self.n_bits, self.n_hashes)
+        if self._hit(_positions(v, self.n_bits, self.n_hashes)):
+            return True
+        # an int probe beyond 2^53 can match DOUBLE-column data that was
+        # stored under the rounded key — check the shadow before skipping
+        shadow = _shadow_bytes(v)
+        return shadow is not None and self._hit(
+            _positions_of(shadow, self.n_bits, self.n_hashes)
         )
 
     def encode(self) -> dict:
@@ -395,11 +439,12 @@ def update_bloom_index(
                     by_leaf.setdefault(os.path.dirname(rel), {})[rel] = f
             for leaf in sorted(by_leaf):
                 existing = _shard_files(path, leaf, format_gated=True)
-                sizing = {c: (n_bits, n_hashes) for c in cols} | {
-                    c: (enc["m"], enc["k"])
-                    for blooms in existing.values()
-                    for c, enc in blooms.items()
-                }
+                # max-m per column (the _sizing_from_manifest rule), NOT
+                # last-file-wins: a shard mixing pre- and post-upsize
+                # files must give new files the upsized filter
+                sizing = {
+                    c: (n_bits, n_hashes) for c in cols
+                } | _sizing_from_manifest(existing)
                 current = by_leaf[leaf]
                 shard = {rel: b for rel, b in existing.items() if rel in current}
                 todo = [
@@ -420,14 +465,15 @@ def update_bloom_index(
                 out |= shard
             return out
         # not sharded (legacy flat / missing): full update below
-    manifest = load_bloom_index(path) or {}
+    walk = _data_files(path)  # ONE listing, shared by all three consumers
+    manifest = load_bloom_index(path, files_walk=walk) or {}
     # sizing comes from the RAW manifest (any format): per-column (m, k)
     # is hash-scheme independent, so an upsized hot column survives even
     # the format-bump rebuild where the filters themselves cannot
     sizing = {c: (n_bits, n_hashes) for c in (cols or [])} | _sizing_from_manifest(
-        _raw_manifest_files(path) or manifest
+        _raw_manifest_files(path, files_walk=walk) or manifest
     )
-    current = {os.path.relpath(f, path): f for f in _data_files(path)}
+    current = {os.path.relpath(f, path): f for f in walk}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}
     todo = [(rel, fpath) for rel, fpath in current.items() if rel not in manifest]
     manifest.update(_scan_blooms(todo, sizing, spark))
@@ -457,12 +503,14 @@ def _shard_files(path: str, d: str, format_gated: bool) -> dict:
     return {os.path.join(d, base): blooms for base, blooms in files.items()}
 
 
-def _raw_manifest_files(path: str) -> dict | None:
+def _raw_manifest_files(path: str, files_walk: list[str] | None = None) -> dict | None:
     """The file->blooms map from ANY manifest shape (tagged, legacy
     untagged, or partition-sharded), with no format gate — for metadata
     that is hash-scheme independent, like per-column (m, k) sizing.
     NEVER use for pruning: a format-mismatched manifest probes wrong bit
-    positions."""
+    positions.  ``files_walk`` reuses a caller's directory walk (the
+    full-update path otherwise pays the O(all files) listing three
+    times per call)."""
     obj = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
     if obj is None:
         return None
@@ -476,14 +524,17 @@ def _raw_manifest_files(path: str) -> dict | None:
     # a rebuild must preserve — and sizing is safe to read from any
     # format, unlike the filters themselves
     for d in sorted(
-        {os.path.dirname(os.path.relpath(f, path)) for f in _data_files(path)}
+        {
+            os.path.dirname(os.path.relpath(f, path))
+            for f in (files_walk if files_walk is not None else _data_files(path))
+        }
         - {""}
     ):
         out = _shard_files(path, d, format_gated=False) | out
     return out
 
 
-def load_bloom_index(path: str) -> dict | None:
+def load_bloom_index(path: str, files_walk: list[str] | None = None) -> dict | None:
     """Returns the FULL file->blooms map (merging partition shards), or
     None for a missing, unparseable, malformed, or FORMAT-MISMATCHED
     root manifest (legacy untagged ones included) — a sidecar hashed
@@ -500,7 +551,10 @@ def load_bloom_index(path: str) -> dict | None:
     out = dict(files)
     if obj.get("sharded"):
         for d in sorted(
-            {os.path.dirname(os.path.relpath(f, path)) for f in _data_files(path)}
+            {
+                os.path.dirname(os.path.relpath(f, path))
+                for f in (files_walk if files_walk is not None else _data_files(path))
+            }
             - {""}
         ):
             out |= _shard_files(path, d, format_gated=True)

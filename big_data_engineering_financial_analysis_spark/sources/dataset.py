@@ -36,33 +36,35 @@ def write_sharded(
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as a Hive-partitioned, within-file-sorted parquet
-    dataset.  One shuffle (on the partition columns) + a per-task sort.
+    dataset.  One shuffle (on the partition columns) + a per-task sort;
+    ``partition_cols=[]`` writes the FLAT (unpartitioned) layout the
+    sidecar/prune layers already support.
 
     Timestamps are written as TIMESTAMP_MICROS, not Spark's default
     legacy INT96: INT96 columns carry NO parquet min/max statistics, so
     a time-sorted layout would be unprunable — no row-group skipping
     inside files and nothing for the zone-map manifest to read.  (Found
-    when the round-6 skip-and-serve test saw empty footer zones.)  The
-    conf override is scoped to this write — any caller-chosen session
-    value (e.g. deliberate INT96 for legacy-reader compat) is restored
-    afterwards."""
-    conf = df.sparkSession.conf
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = conf.get(key, None)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try:
-        out = df.repartition(*partition_cols).sortWithinPartitions(
-            *partition_cols, *sort_cols
-        )
-        writer = out.write.mode(mode)
-        if max_records_per_file is not None:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.partitionBy(*partition_cols).parquet(path)
-    finally:
-        if prev is None:
-            conf.unset(key)
-        else:
-            conf.set(key, prev)
+    when the round-6 skip-and-serve test saw empty footer zones.)
+
+    The conf override is SET-AND-KEEP, deliberately not save/restore: a
+    try/finally restore is a session-global race when two streaming
+    queries share one SparkSession (A's finally unsets the key while B's
+    write runs → B silently emits INT96 files whose time columns vanish
+    from zone-map and row-group pruning — the exact trap the override
+    exists to prevent).  ``get_spark`` pins MICROS session-wide anyway;
+    a caller who truly needs INT96 sets it back after the write."""
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    out = df.repartition(*partition_cols) if partition_cols else df
+    if partition_cols or sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
 
 
 def compact_dataset(

@@ -233,8 +233,13 @@ def commit_snapshot(
     }
     with open(os.path.join(tmp, "_meta.json"), "w") as fh:
         json.dump(meta, fh)
-    os.rename(tmp, os.path.join(root, vname))
+    # hwm BEFORE the rename: a crash between the two leaves a gap (hwm
+    # advanced, version dir absent) which is harmless — the reverse
+    # order left a window where a committed-then-expired version id
+    # could be REUSED for different data, breaking external pins ("train
+    # on v5"), the one thing _read_hwm exists to prevent.
     _write_hwm(root, version)
+    os.rename(tmp, os.path.join(root, vname))
     return version
 
 

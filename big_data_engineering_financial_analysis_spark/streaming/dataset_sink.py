@@ -70,6 +70,7 @@ def dataset_sink(
     table format when genuine transactional appends are required.
     """
     from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+    from big_data_engineering_financial_analysis_spark.sources import dataset as ds
     from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
 
     if snapshot_every is not None and snapshot_every < 1:
@@ -114,28 +115,21 @@ def dataset_sink(
             return  # replayed batch: already committed, idempotent skip
         if snapshot_every is not None:
             _n_committed()  # initialize BEFORE this batch's marker exists
-        # TIMESTAMP_MICROS, not legacy INT96: INT96 carries no parquet
-        # min/max statistics, which would leave every time column in the
-        # appended files invisible to the zone map AND to row-group
-        # pruning (same fix as sources/dataset.write_sharded).  Scoped to
-        # this append — a caller-chosen session value is restored after.
-        conf = batch_df.sparkSession.conf
-        key = "spark.sql.parquet.outputTimestampType"
-        prev = conf.get(key, None)
-        conf.set(key, "TIMESTAMP_MICROS")
-        try:
-            out = batch_df.repartition(*partition_cols).sortWithinPartitions(
-                *partition_cols, *sort_cols
-            )
-            writer = out.write.mode("append")
-            if max_records_per_file is not None:
-                writer = writer.option("maxRecordsPerFile", max_records_per_file)
-            writer.partitionBy(*partition_cols).parquet(path)
-        finally:
-            if prev is None:
-                conf.unset(key)
-            else:
-                conf.set(key, prev)
+        # ONE write path with the batch API: write_sharded owns the
+        # layout (shuffle + per-task sort + maxRecordsPerFile), the flat
+        # partition_cols=[] case, and the TIMESTAMP_MICROS pin — whose
+        # set-and-keep form is specifically what makes CONCURRENT
+        # streaming queries on one session safe (a save/restore here
+        # raced: one sink's finally unset the key mid-write of another,
+        # silently emitting stats-less INT96 files).
+        ds.write_sharded(
+            batch_df,
+            path,
+            partition_cols,
+            sort_cols,
+            max_records_per_file=max_records_per_file,
+            mode="append",
+        )
         # bound sidecar maintenance to the partitions THIS batch touched
         # (one tiny distinct job over the batch's partition columns):
         # O(touched) shard reads+writes instead of O(partitions).  Any

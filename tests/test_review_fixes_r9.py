@@ -1,0 +1,129 @@
+"""Regression tests for the round-9 storage-layer review findings:
+snapshot version-reuse window, Bloom bit-array/canonicalization edges,
+the write-path consolidation, and sizing inheritance."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+
+def _write(spark, path, partition_cols=("lang",), n=60):
+    df = spark.createDataFrame(
+        [
+            {"doc_id": i, "lang": "en" if i % 2 else "de", "score": float(i)}
+            for i in range(n)
+        ]
+    )
+    write_sharded(df, path, list(partition_cols), ["score"], max_records_per_file=20)
+    return df
+
+
+def test_snapshot_version_never_reused_across_crash_window(spark, tmp_path, monkeypatch):
+    """hwm is written BEFORE the version dir becomes visible: a crash
+    between the two leaves a GAP, never a reusable id — an expired
+    version number must not come back pinning different data."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    v1 = sn.commit_snapshot(path, note="first")
+    assert v1 == 1
+
+    real_rename = os.rename
+    def crash_rename(src, dst):
+        if "v0000" in os.path.basename(dst):
+            raise OSError("simulated crash at publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        sn.commit_snapshot(path, note="crashed")
+    monkeypatch.undo()
+
+    # the crashed commit consumed id 2 (hwm advanced, dir absent);
+    # expiry of everything must still not resurrect any id
+    sn.expire_snapshots(path, keep_last=0)
+    v_next = sn.commit_snapshot(path, note="after crash+expiry")
+    assert v_next == 3  # gap where the crash was, no reuse of 1 or 2
+
+
+def test_bloom_non_multiple_of_8_bits():
+    """n_bits not divisible by 8 must cover the tail positions."""
+    b = bs._Bloom(n_bits=6500, n_hashes=5)
+    for v in range(200):
+        b.add(v)
+    assert all(b.might_contain(v) for v in range(200))
+
+
+def test_bloom_int_beyond_2_53_double_space_no_false_negative(spark, tmp_path):
+    """Spark widens a bigint column to double against a float probe, so
+    2^53+1 == float(2^53) in the scan; the Bloom must not skip the file
+    (double-shadow keys, KEY_FORMAT 3)."""
+    big = 2**53 + 1
+    # unit level, both directions of the widening
+    b = bs._Bloom(n_bits=1 << 12, n_hashes=5)
+    b.add(big)  # bigint data, float probe
+    assert b.might_contain(float(2**53))
+    b2 = bs._Bloom(n_bits=1 << 12, n_hashes=5)
+    b2.add(float(2**53))  # double data, bigint probe
+    assert b2.might_contain(big)
+
+    # end to end: the probe that matches in double space returns the row
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(big, "x"), (7, "y")], "doc_id long, lang string"
+    )
+    write_sharded(df, path, ["lang"], ["doc_id"])
+    bs.build_bloom_index(path, ["doc_id"])
+    got = bs.read_point(spark, path, "doc_id", [float(2**53)])
+    exp = spark.read.parquet(path).filter(F.col("doc_id").isin([float(2**53)]))
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in exp.collect()
+    )
+    assert got.count() == 1  # the widened match is really there
+
+
+def test_write_sharded_flat_layout(spark, tmp_path):
+    """partition_cols=[] writes the flat layout (no repartition/
+    partitionBy crash) and sidecars still build over it."""
+    path = str(tmp_path / "flat")
+    df = _write(spark, path, partition_cols=())
+    assert sorted(r.doc_id for r in spark.read.parquet(path).collect()) == sorted(
+        r.doc_id for r in df.collect()
+    )
+    bs.build_bloom_index(path, ["doc_id"])
+    assert bs.read_point(spark, path, "doc_id", [3]).count() == 1
+
+
+def test_write_sharded_pins_timestamp_micros_set_and_keep(spark, tmp_path):
+    """The INT96 override is set-and-keep: restoring it raced between
+    concurrent streaming queries on one session (stats-less INT96 files,
+    invisible to pruning)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(key, "INT96")
+    _write(spark, str(tmp_path / "ds"))
+    assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+
+
+def test_dirs_update_sizing_uses_max_m_per_column(spark, tmp_path):
+    """A shard mixing filter sizes gives NEW files the max observed m
+    (the _sizing_from_manifest rule), not whichever file iterates last."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"], n_bits=1 << 15)  # upsized
+    # append new files into one partition, then dirs-bounded update with
+    # the DEFAULT sizing — inheritance must keep the upsized m
+    extra = spark.createDataFrame(
+        [{"doc_id": 1000 + i, "lang": "en", "score": 1.0} for i in range(5)]
+    )
+    write_sharded(extra, path, ["lang"], ["score"], mode="append")
+    bs.update_bloom_index(path, ["doc_id"], dirs=["lang=en"])
+    manifest = bs.load_bloom_index(path)
+    new_rel = [r for r in manifest if "lang=en" in r]
+    assert new_rel
+    assert all(manifest[r]["doc_id"]["m"] == 1 << 15 for r in new_rel)

@@ -87,6 +87,7 @@ def mmr_select(
         (r[id_col], list(r["vec"]), r["norm"], r["rel"])
         for r in cand_df.collect()
     ]
+    c.unpersist()  # collect-terminated: the cache is dead from here on
 
     def dot(a: list, b: list) -> float:
         acc = 0.0
@@ -94,27 +95,44 @@ def mmr_select(
             acc = acc + x * y
         return acc
 
+    # NULL contract mirrors the oracle exactly: a NULL rel/mmr (zero-norm
+    # query or all-zero-norm selected pairs) sorts LAST (DuckDB DESC
+    # default) but stays PICKABLE — the oracle's ORDER BY ... LIMIT 1
+    # still emits a row when only NULL-score candidates remain, so
+    # skipping them here would return fewer picks than the oracle.
+    def desc_nulls_last(score, cid):
+        return (score is None, -(score if score is not None else 0.0), cid)
+
     selected: list[tuple] = []  # (pick_order, id, vec, norm, rel, mmr)
-    remaining = sorted(cand, key=lambda c: (-c[3], c[0]))
-    first = remaining.pop(0)
-    selected.append((1, first[0], first[1], first[2], first[3], lam * first[3]))
-    for step in range(2, min(k, len(cand)) + 1):
-        best = None
-        for cid, cvec, cnorm, crel in remaining:
-            sims = [
-                dot(cvec, svec) / (cnorm * snorm)
-                for _, _, svec, snorm, _, _ in selected
-                if cnorm * snorm != 0.0
-            ]
-            if not sims:  # degenerate zero-norm pair: NULL mmr sorts last
-                continue
-            mmr = lam * crel - (1.0 - lam) * max(sims)
-            if best is None or (mmr, -cid) > (best[5], -best[1]):
-                best = (step, cid, cvec, cnorm, crel, mmr)
-        if best is None:
-            break
-        remaining = [c for c in remaining if c[0] != best[1]]
-        selected.append(best)
+    if cand:
+        remaining = sorted(cand, key=lambda c: desc_nulls_last(c[3], c[0]))
+        first = remaining.pop(0)
+        selected.append(
+            (1, first[0], first[1], first[2], first[3],
+             lam * first[3] if first[3] is not None else None)
+        )
+        for step in range(2, min(k, len(cand)) + 1):
+            best = None
+            for cid, cvec, cnorm, crel in remaining:
+                sims = [
+                    dot(cvec, svec) / (cnorm * snorm)
+                    for _, _, svec, snorm, _, _ in selected
+                    if cnorm is not None and snorm is not None
+                    and cnorm * snorm != 0.0
+                ]
+                mmr = (
+                    lam * crel - (1.0 - lam) * max(sims)
+                    if sims and crel is not None
+                    else None
+                )
+                if best is None or desc_nulls_last(mmr, cid) < desc_nulls_last(
+                    best[5], best[1]
+                ):
+                    best = (step, cid, cvec, cnorm, crel, mmr)
+            if best is None:
+                break
+            remaining = [c for c in remaining if c[0] != best[1]]
+            selected.append(best)
 
     spark = corpus.sparkSession
     out = spark.createDataFrame(

@@ -44,6 +44,10 @@ from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import pq_codebooks
 from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
+from big_data_engineering_financial_analysis_spark.operators.similarity import (
+    DEFAULT_IVF_CELLS,
+    DEFAULT_IVF_PROBE,
+)
 
 DEFAULT_M = 8        #: subspaces
 DEFAULT_CODES = 16   #: centroids per subspace (4-bit codes)
@@ -249,8 +253,11 @@ def ivf_pq_topk(
     k: int = DEFAULT_K,
     m: int = DEFAULT_M,
     n_codes: int = DEFAULT_CODES,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    # SHARED constants with similarity.ivf_ann_topk — the oracle SQL is
+    # generated from them, so a hardcoded local default silently drifts
+    # (caught by the r9 driver-sim when DEFAULT_IVF_PROBE moved 4 -> 8)
+    n_cells: int = DEFAULT_IVF_CELLS,
+    n_probe: int = DEFAULT_IVF_PROBE,
     codebooks: list[list[list[float]]] | None = None,
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
@@ -336,7 +343,12 @@ def ivf_pq_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        # asc_nulls_last: Spark ASC default is NULLS FIRST, so a zero-norm
+        # embedding (NULL codes -> NULL adc) would take rank 1 for EVERY
+        # query; DuckDB's ASC (the oracle) is NULLS LAST
+        F.asc_nulls_last("adc"), F.col(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -406,7 +418,12 @@ def pq_adc_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        # asc_nulls_last: Spark ASC default is NULLS FIRST, so a zero-norm
+        # embedding (NULL codes -> NULL adc) would take rank 1 for EVERY
+        # query; DuckDB's ASC (the oracle) is NULLS LAST
+        F.asc_nulls_last("adc"), F.col(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -27,7 +27,6 @@ from big_data_engineering_financial_analysis_spark.functions.hashing import hype
 from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
 
 DEFAULT_K = 10
-DEFAULT_PLANES = 8
 
 #: Per-(table, bucket) membership cap for the sign-LSH dedup join — same
 #: rationale and semantics as operators/dedup.DEFAULT_BUCKET_CAP: a hot
@@ -219,7 +218,17 @@ def lsh_ann_topk(
 
 
 DEFAULT_IVF_CELLS = 16
-DEFAULT_IVF_PROBE = 4
+#: 8 of 16 cells (r9): with SHELL-SCALED centroids the cells are honestly
+#: balanced (max cell 17% of corpus, was 82% — see ivf_centroids), so
+#: recall is governed by probed mass: the synthetic embeddings are
+#: largely unstructured, and 8/16 probes measure 0.86 where 4/16 gave
+#: 0.46.  The old 0.9@4-probes was an artifact of the mega-cell (probing
+#: it = scanning 82% of the corpus — no pruning at all).  At production
+#: scale n_cells grows with the corpus (sqrt(n) rule) and the probe
+#: FRACTION shrinks; clustered real-world embeddings recover recall at
+#: far lower fractions, and ivf_refit_centroids measurably improves
+#: recall at equal probes (0.58 vs 0.46 at 4/16 on this data).
+DEFAULT_IVF_PROBE = 8
 
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
@@ -599,21 +608,32 @@ def cosine_topk_pandas(
     from the sequential fold, so cosines can differ in the last ulp from
     :func:`cosine_topk` (ranking ties near equality may swap) — use the
     fold variant when bit-stable cross-engine output is required.
+
+    Degenerate-row caveat: zero-norm corpus rows are EXCLUDED here (only
+    real neighbors are returned), while the fold variant emits them with
+    NULL cos_sim in trailing ranks when fewer than k valid neighbors
+    exist — so row counts can differ on degenerate corpora.
     """
     import numpy as np
     import pandas as pd
 
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
     q_rows = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
         .filter(F.col(id_col).isin(query_ids))
         .collect()
     )
+    if not q_rows:  # no query id present: empty result, like cosine_topk
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], out_schema + ", rank int")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf["vec"].to_numpy())
             norms = np.linalg.norm(mat, axis=1)

@@ -686,6 +686,15 @@ for _name in RETIRED_R7:
 #:   the dedup_clusters_incremental treatment: literal-ntile parity +
 #:   plan-shape pytests (tests/test_export.py) pin it now, the driver
 #:   row lands on its scheduled r10 rotation.
+#: * ANN review sweep (r9): ivf_centroids shell-scaled (82%-in-one-cell
+#:   skew fixed) + DEFAULT_IVF_PROBE 4→8 + NULL-adc nulls-last ordering
+#:   + pq.py now imports the shared IVF constants (a hardcoded local
+#:   n_probe default drifted from the oracle the moment the constant
+#:   moved — caught by driver-sim).  Changed rows ann_ivf / ann_ivf_pq /
+#:   ann_pq / ann_pq_rerank are all IN the r9 window; dedup_semantic and
+#:   mmr_diverse (r8-latest, driver-sim MATCH re-run + degenerate-input
+#:   pytests) rotate on schedule in r10 — same precedent as
+#:   value_quartiles above.
 #: * forced-broadcast sweep: F.broadcast hints dropped from SF-scaled
 #:   frames (part in promo_revenue, customer in returned_items,
 #:   supplier in local_supplier_volume / nation_volume_flow / the

@@ -127,3 +127,48 @@ def test_dirs_update_sizing_uses_max_m_per_column(spark, tmp_path):
     new_rel = [r for r in manifest if "lang=en" in r]
     assert new_rel
     assert all(manifest[r]["doc_id"]["m"] == 1 << 15 for r in new_rel)
+
+
+def test_pq_null_adc_ranks_last(spark):
+    """A zero-norm embedding (NULL codes -> NULL adc) must not take
+    rank 1: NULL distances sort LAST like the oracle's ASC default."""
+    from big_data_engineering_financial_analysis_spark.operators import pq
+
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(64)]) for i in range(20)]
+    rows.append((99, [0.0] * 64))  # zero-norm: NULL everywhere downstream
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq.pq_adc_topk(emb, [1], k=5).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.adc_dist) for r in out}
+    assert by_rank[1][1] is not None  # rank 1 is a REAL distance
+    assert all(
+        r.adc_dist is not None or r.rank == max(by_rank) for r in out
+    )  # a NULL row can only be the trailing rank
+
+
+def test_mmr_degenerate_inputs_no_crash(spark):
+    """Absent query id -> empty result (was IndexError); zero-norm query
+    -> rel NULL rows still picked deterministically (was TypeError)."""
+    from big_data_engineering_financial_analysis_spark.operators import mmr
+
+    rows = [(i, [float((i + d) % 3 - 1) for d in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert mmr.mmr_select(emb, query_id=999, k=3).count() == 0
+
+    rows_z = rows + [(50, [0.0] * 8)]
+    emb_z = spark.createDataFrame(rows_z, "vec_id long, embedding array<double>")
+    out = mmr.mmr_select(emb_z, query_id=50, k=3).collect()
+    assert len(out) == 3  # all rels NULL: picked by id order, rel/mmr NULL
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert all(r.rel is None and r.mmr is None for r in out)
+
+
+def test_cosine_topk_pandas_absent_query_ids(spark):
+    """No query id in the corpus -> empty frame, same as cosine_topk
+    (was a driver-side numpy AxisError)."""
+    from big_data_engineering_financial_analysis_spark.operators import similarity
+
+    rows = [(i, [float(i + d) for d in range(8)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_pandas(emb, [777], k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]

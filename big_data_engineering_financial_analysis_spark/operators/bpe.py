@@ -78,7 +78,12 @@ def duck_bpe_pieces(expr: str, merges: list[tuple[str, str]] | None = None) -> s
         merges = BPE_MERGES
     s = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
     for x, y in merges:
-        pat, rep = f" {x} {y} ", f" {x}{y} "
+        # single quotes in learned symbols (a corpus containing "don't"
+        # yields symbols like "'t") must double for the SQL literal, or
+        # the generated oracle is a syntax error exactly where the
+        # docstring promises it cannot drift
+        qx, qy = x.replace("'", "''"), y.replace("'", "''")
+        pat, rep = f" {qx} {qy} ", f" {qx}{qy} "
         s = f"replace({s}, '{pat}', '{rep}')"
         s = f"replace({s}, '{pat}', '{rep}')"
     return (

@@ -66,42 +66,61 @@ def perplexity_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 30.0,
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram perplexity + keep flag (ppl <= threshold).
 
+    ``model_df`` is the corpus the counts are trained on; the default
+    (None) self-scores ``df`` — the oracle-checked mode.  Production use
+    passes the REFERENCE corpus here and the candidate corpus as ``df``.
+
+    The scoring join is TOTAL: add-one smoothing means every bigram has
+    a probability, so unseen pairs must score ln(1/(c1+V)) and unseen
+    prefixes ln(1/V) — an inner join would silently drop exactly the
+    disfluent bigrams the CCNet filter exists to punish, biasing their
+    documents' perplexity LOW (invisible when self-scoring, where every
+    stream bigram is in the model by construction).
+
     Output: (id, n_bigrams, avg_logp, ppl, keep).  Documents with fewer
     than two tokens have no bigrams and report NULL metrics with
-    keep = 0 (nothing to attest fluency)."""
-    # the bigram stream feeds four aggregations + the scoring join; it is
-    # row-local (no Exchange) but persisting it still saves four scans +
-    # explodes of the corpus
+    keep = 0 (nothing to attest fluency).
+
+    The bigram persist is caller-owned (the returned lazy frame
+    references it several times within one action), same lifetime rule
+    as ``similarity.cosine_topk``'s normed-corpus cache."""
+    # the bigram stream feeds the scoring joins (and, when self-scoring,
+    # four model aggregations); it is row-local (no Exchange) but
+    # persisting it still saves the repeated scans + explodes
     bg = doc_bigrams(df, id_col, text_col).persist()
+    mbg = bg if model_df is None else doc_bigrams(model_df, id_col, text_col)
     unigrams = (
-        bg.select(F.col("w1").alias("w"))
-        .union(bg.select(F.col("w2").alias("w")))
+        mbg.select(F.col("w1").alias("w"))
+        .union(mbg.select(F.col("w2").alias("w")))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     # c(w1) as bigram-PREFIX count keeps the conditional distribution
     # properly normalized: sum_w2 P(w2|w1) = 1 under add-one smoothing
-    prefix = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    prefix = mbg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pairs = mbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
 
-    # fold the model to ONE distinct-bigram-sized table first, so the
-    # fact-scale stream joins once, not once per model component
-    model = (
-        pairs.join(prefix, "w1")
+    # left joins keyed on the distinct-bigram / distinct-prefix tables;
+    # unseen counts coalesce to 0 so the add-one formula covers the
+    # whole stream (bit-identical to the folded inner-join form whenever
+    # every stream bigram is in the model, i.e. self-scoring)
+    scored = (
+        bg.join(pairs, ["w1", "w2"], "left")
+        .join(prefix, "w1", "left")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "w1",
-            "w2",
+        .withColumn(
+            "logp",
             F.log(
-                (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
-            ).alias("logp"),
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ),
         )
     )
-    scored = bg.join(model, ["w1", "w2"])
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.aggregate(

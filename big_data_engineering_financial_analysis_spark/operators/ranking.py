@@ -111,7 +111,10 @@ def bm25_topk(
     Only documents containing at least one query term appear (standard
     inverted-index semantics).  Ties break on id.
     """
-    qts = sorted(set(query_terms))
+    # posting terms are lowercased by _term_rows, so query terms must
+    # normalize the same way — an uppercase query term would otherwise
+    # silently match nothing
+    qts = sorted({t.lower() for t in query_terms})
     with_dl = df.select(
         F.col(id_col),
         F.size(

@@ -51,6 +51,11 @@ def with_classifier_score(
     names = list(weights)
     ws = [float(weights[n]) for n in names]
     b = float(bias)
+    if not names:  # zero features: the constant sigmoid_rational(bias),
+        # matching duck_classifier_score({}) (a zero-arg pandas UDF
+        # cannot even size its output batch)
+        const = 0.5 + 0.5 * (b / (1.0 + abs(b)))
+        return df.withColumn(out_col, F.round(F.lit(const), 6))
 
     @pandas_udf("double")
     def _score(*cols):

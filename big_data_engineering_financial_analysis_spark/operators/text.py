@@ -87,6 +87,11 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("stopword_ratio", F.round(stop_ratio, 6))
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        # emitted (not just folded into quality_score): the classifier
+        # scorer's DEFAULT_WEIGHTS name length_score, and hiding it
+        # forced callers to re-derive the formula by hand (it drifted
+        # into two registry copies before this column existed)
+        .withColumn("length_score", length_score)
         .withColumn(
             "quality_score",
             F.round(
@@ -106,19 +111,25 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     arg-max decodes back to the language.  Integer arithmetic only, so the
     SQL oracle agrees exactly.
     """
+    # bind each language's encoded score to a REAL column: HOF arguments
+    # are not common-subexpression-eliminated (the with_repetition rule),
+    # so inlining _marker_count into both greatest() and every decode
+    # branch re-tokenizes and re-filters the text 2x per language
     t = tokens(F.col(text_col))
-    encoded = [
-        (_marker_count(t, markers) * 8 + F.lit(prio)).alias(lang)
-        for lang, (prio, markers) in LANG_MARKERS.items()
-    ]
-    best = F.greatest(*encoded)
+    score_of = {lang: f"_lg_{lang}" for lang in LANG_MARKERS}
+    out = df
+    for lang, (prio, markers) in LANG_MARKERS.items():
+        out = out.withColumn(
+            score_of[lang], _marker_count(t, markers) * 8 + F.lit(prio)
+        )
+    best = F.greatest(*[F.col(c) for c in score_of.values()])
     expr = None
-    for lang, (prio, markers) in sorted(
-        LANG_MARKERS.items(), key=lambda kv: -kv[1][0]
-    ):
-        cond = best == _marker_count(t, markers) * 8 + F.lit(prio)
+    for lang, _ in sorted(LANG_MARKERS.items(), key=lambda kv: -kv[1][0]):
+        cond = best == F.col(score_of[lang])
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return df.withColumn("lang_guess", expr.otherwise(F.lit("und")))
+    return out.withColumn("lang_guess", expr.otherwise(F.lit("und"))).drop(
+        *score_of.values()
+    )
 
 
 def _run_starts(arr: Column, n: Column) -> Column:
@@ -167,8 +178,11 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
       most frequent word 2-gram / total characters (ties keep the
       lexicographically smallest bigram: first maximum of the ascending
       sorted runs, matching the oracle's ``ORDER BY c DESC, g``);
-    * ``dup_trigram_char_ratio`` — characters inside word 3-grams that
-      occur more than once / total characters.
+    * ``dup_trigram_char_ratio`` — characters covered by the UNION of all
+      duplicated word-3-gram occurrences / total characters (each char
+      once, the Gopher char-mask rule — bounded by 1.0; top-n-gram above
+      deliberately keeps the count*len convention of the public
+      Gopher-repro implementations, which CAN double-count overlaps).
 
     Each metric sorts the token/shingle array once and run-length-encodes
     it with primitive index arrays (O(n log n) row-local) — no explode, no
@@ -230,22 +244,91 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
 
-    # --- duplicated trigram characters ---
-    d = d.withColumn("_tg", F.array_sort(shingles(t, 3))).withColumn(
-        "_tn", F.size("_tg")
-    )
+    # --- duplicated trigram characters (UNION of covered spans) ---
+    # Gopher's duplicated-n-gram family counts each character ONCE even
+    # when occurrences overlap (the datatrove/Gopher-repro char mask);
+    # the count*len form double-counts shared words and exceeds 1.0 on
+    # repetitive text ("x x x x" -> 10/7), mis-calibrating gates tuned
+    # to the published [0,1] thresholds.  Form here: duplicated trigram
+    # START positions -> overlap-merged islands (starts within 2 share a
+    # word) -> per island, token chars over [a, e] plus its e-a interior
+    # separators (all inside some occurrence by the merge invariant).
+    d = d.withColumn("_tk", t).withColumn(
+        "_tgu", shingles(F.col("_tk"), 3)
+    ).withColumn("_tn", F.size("_tgu"))
+    d = d.withColumn("_tg", F.array_sort(F.col("_tgu")))
     d = d.withColumn("_ts", _run_starts(F.col("_tg"), F.col("_tn")))
     d = d.withColumn(
         "_trl", _run_lengths(F.col("_ts"), F.size("_ts"), F.col("_tn"))
     )
+    # values occurring more than once (distinct-dup-trigram-sized)
+    d = d.withColumn(
+        "_dv",
+        F.filter(
+            F.zip_with(
+                F.col("_trl"),
+                F.col("_ts"),
+                lambda rl, st: F.when(rl > 1, F.element_at(F.col("_tg"), st)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    # their start positions in text order (ascending by construction);
+    # the sequence(1, 0)-counts-DOWN quirk needs the same >= 1 guard as
+    # _run_starts on both position scans
+    d = d.withColumn(
+        "_dp",
+        F.when(
+            F.col("_tn") >= 1,
+            F.filter(
+                F.sequence(F.lit(1), F.col("_tn")),
+                lambda p: F.array_contains(
+                    F.col("_dv"), F.element_at(F.col("_tgu"), p)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    # island OPEN indices into _dp: first member, or gap > 2 from the
+    # previous start (<= 2 means the occurrences share at least a word)
+    d = d.withColumn(
+        "_do",
+        F.when(
+            F.size("_dp") >= 1,
+            F.filter(
+                F.sequence(F.lit(1), F.size("_dp")),
+                lambda j: F.when(j == 1, F.lit(True)).otherwise(
+                    F.element_at(F.col("_dp"), j)
+                    - F.element_at(F.col("_dp"), (j - 1).cast("int"))
+                    > 2
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    # chars per island [a, e]: sum of token lengths + (e - a) separators
+    island_next = F.concat(
+        F.slice(F.col("_do"), 2, F.greatest(F.size("_do") - 1, F.lit(0))),
+        F.when(F.size("_do") >= 1, F.array(F.size("_dp") + 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+    )
     dup_chars = F.aggregate(
         F.zip_with(
-            F.col("_trl"),
-            F.col("_ts"),
-            lambda rl, st: F.when(
-                rl > 1,
-                rl.cast("long") * F.length(F.element_at(F.col("_tg"), st)),
-            ).otherwise(F.lit(0).cast("long")),
+            F.col("_do"),
+            island_next,
+            lambda o, nxt: F.aggregate(
+                F.sequence(
+                    F.element_at(F.col("_dp"), o.cast("int")),
+                    F.element_at(F.col("_dp"), (nxt - 1).cast("int")) + 2,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.length(F.element_at(F.col("_tk"), i.cast("int"))),
+            )
+            + (
+                F.element_at(F.col("_dp"), (nxt - 1).cast("int"))
+                + 2
+                - F.element_at(F.col("_dp"), o.cast("int"))
+            ),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -257,7 +340,10 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(dup_chars.cast("double") / F.nullif(n_chars, F.lit(0.0)), 6),
         ),
     )
-    return d.drop("_rt", "_rn", "_rs", "_bg", "_bn", "_bs", "_brl", "_tg", "_tn", "_ts", "_trl")
+    return d.drop(
+        "_rt", "_rn", "_rs", "_bg", "_bn", "_bs", "_brl",
+        "_tk", "_tgu", "_tg", "_tn", "_ts", "_trl", "_dv", "_dp", "_do",
+    )
 
 
 def max_token_ratio_agg(

@@ -380,15 +380,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational sigmoid over with_quality features via an Arrow-batched
     pandas UDF (broadcast weights) — the fasttext-style corpus-filter
     shape, with a cell-exact SQL oracle."""
-    from big_data_engineering_financial_analysis_spark.functions.hashing import tokens
     from big_data_engineering_financial_analysis_spark.operators.scoring import with_classifier_score
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = text.with_quality(docs).withColumn(
-        "length_score",
-        F.least(F.lit(1.0), F.size(tokens(F.col("text"))).cast("double") / F.lit(100.0)),
+    # with_quality emits length_score itself (r9) — no hand re-derivation
+    return with_classifier_score(text.with_quality(docs)).select(
+        "doc_id", "clf_score"
     )
-    return with_classifier_score(feats).select("doc_id", "clf_score")
 
 
 def q_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1672,20 +1670,53 @@ ORACLES["text_repetition"] = """
       )
       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1
     ),
-    tgagg AS (
-      SELECT doc_id,
-             sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupc
+    -- duplicated-trigram chars: UNION of covered spans (each character
+    -- once, the Gopher char-mask rule) — duplicated START positions ->
+    -- overlap-merged islands (starts within 2 share a word) -> token
+    -- chars over [a, e] plus the e - a interior separators
+    tgpos AS (
+      SELECT doc_id, p
       FROM (
-        SELECT doc_id, g, count(*) AS c
+        SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, g) AS c
         FROM (
           SELECT doc_id,
                  unnest(list_transform(generate_series(1, len(toks) - 2),
-                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g,
+                 unnest(generate_series(1, len(toks) - 2)) AS p
           FROM base
         )
-        GROUP BY doc_id, g
       )
-      GROUP BY doc_id
+      WHERE c > 1
+    ),
+    tgisl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 2
+                  THEN 0 ELSE 1 END AS opens
+      FROM tgpos
+    ),
+    tgspan AS (
+      SELECT doc_id, min(p) AS a, max(p) + 2 AS e
+      FROM (
+        SELECT doc_id, p,
+               sum(coalesce(opens, 1)) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM tgisl
+      )
+      GROUP BY doc_id, grp
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM base
+    ),
+    tgagg AS (
+      SELECT sp.doc_id,
+             sum(length(tk.w)) + arbitrary(sp.seps) AS dupc
+      FROM (
+        SELECT doc_id, a, e, sum(e - a) OVER (PARTITION BY doc_id) AS seps
+        FROM tgspan
+      ) sp
+      JOIN tok tk ON tk.doc_id = sp.doc_id AND tk.i BETWEEN sp.a AND sp.e
+      GROUP BY sp.doc_id
     )
     SELECT b.doc_id,
            round(tokc.mx / tokc.nt, 6) AS max_token_ratio,

@@ -34,8 +34,17 @@ def _model(text: str):
         out["top_bigram_char_ratio"] = None
     trigrams = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
     if trigrams:
+        # UNION of covered spans (each char once — the Gopher char-mask
+        # rule): formulation-independent set model, cross-checking the
+        # engines' island arithmetic
         c = Counter(trigrams)
-        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        words: set[int] = set()
+        gaps: set[int] = set()  # gap i = the space between word i, i+1
+        for p, g in enumerate(trigrams):
+            if c[g] > 1:
+                words |= {p, p + 1, p + 2}
+                gaps |= {p, p + 1}
+        dup = sum(len(toks[i]) for i in words) + len(gaps)
         out["dup_trigram_char_ratio"] = round(dup / nc, 6)
     else:
         out["dup_trigram_char_ratio"] = None

@@ -172,3 +172,55 @@ def test_cosine_topk_pandas_absent_query_ids(spark):
     out = similarity.cosine_topk_pandas(emb, [777], k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
+def test_perplexity_reference_model_smooths_unseen_bigrams(spark):
+    """Scoring a candidate corpus against a REFERENCE model must apply
+    add-one smoothing to unseen bigrams, not drop them (an inner join
+    biased disfluent documents' perplexity LOW)."""
+    from big_data_engineering_financial_analysis_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq yy")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in lm.perplexity_score(
+            cand, model_df=ref, threshold=1e9
+        ).collect()
+    }
+    # the all-unseen document keeps BOTH its bigrams, scored at the
+    # smoothed floor ln(1/V) each — not silently reduced to zero
+    assert out[11].n_bigrams == 2
+    assert out[11].ppl is not None
+    assert out[11].ppl > out[10].ppl  # disfluent really scores worse
+    # self-scoring default unchanged: model_df=None == model_df=df
+    a = sorted(map(tuple, lm.perplexity_score(cand).collect()))
+    b = sorted(map(tuple, lm.perplexity_score(cand, model_df=cand).collect()))
+    assert a == b
+
+
+def test_classifier_score_empty_weights_constant(spark):
+    """weights={} -> the constant sigmoid_rational(bias), matching the
+    SQL twin (was an IndexError inside a zero-arg pandas UDF)."""
+    from big_data_engineering_financial_analysis_spark.operators import scoring
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = scoring.with_classifier_score(df, weights={}, bias=1.0)
+    vals = {r.clf_score for r in out.collect()}
+    assert vals == {round(0.5 + 0.5 * (1.0 / 2.0), 6)}
+
+
+def test_bm25_query_terms_case_normalized(spark):
+    """Uppercase query terms match the lowercased postings (were
+    silently dropped)."""
+    from big_data_engineering_financial_analysis_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(1, "Spark joins data"), (2, "pandas frames")], "doc_id long, text string"
+    )
+    upper = ranking.bm25_topk(df, ["SPARK"]).collect()
+    lower = ranking.bm25_topk(df, ["spark"]).collect()
+    assert [r.doc_id for r in upper] == [r.doc_id for r in lower] == [1]

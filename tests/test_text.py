@@ -48,8 +48,11 @@ def test_max_token_and_top_bigram(rep):
 
 def test_all_trigrams_duplicated(rep):
     r = rep[3]
-    # trigrams: "x y z" x3, "y z x" x2, "z x y" x2 -> 7*5=35 chars of 17
-    assert r["dup_trigram_char_ratio"] == round(35 / 17, 6)
+    # every trigram duplicated -> the UNION of covered spans is the whole
+    # text: exactly 1.0, never above (the pre-r9 count*len form reported
+    # 35/17 = 2.06 by counting shared characters once per occurrence —
+    # the double-counting the Gopher char-mask rule forbids)
+    assert r["dup_trigram_char_ratio"] == 1.0
 
 
 def test_bigram_tie_breaks_lexicographically(rep):

@@ -57,10 +57,19 @@ def pack_chunks(
     stream length, and the DuckDB oracle (``//``) agrees bit-for-bit.
     """
     b = int(chunk_tokens)
+    if b < 1:
+        raise ValueError(f"pack_chunks: chunk_tokens must be >= 1, got {chunk_tokens}")
+    # filter the split('') = [''] artifact: an empty/whitespace-only doc
+    # must count 0 tokens, or it occupies a phantom stream position and
+    # shifts every later document's span (the docstring's "zero-token
+    # documents are dropped" contract); callers passing n_tokens_col own
+    # their count's convention
     nt = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col is not None
-        else F.size(tokens(F.col(text_col))).cast("long")
+        else F.size(
+            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+        ).cast("long")
     )
     w = Window.partitionBy("shard").orderBy(id_col)
     # ROWS (not the default RANGE) frame: RANGE gives duplicate (shard, id)
@@ -137,7 +146,12 @@ def sliding_chunks(
     if not 0 < s <= w:
         raise ValueError(f"sliding_chunks: need 0 < stride <= window_tokens, got {s}, {w}")
     d = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+        df.select(
+            F.col(id_col),
+            # same split('') = [''] artifact as pack_chunks: an empty doc
+            # must yield zero chunks, not one chunk of chunk_text ''
+            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")).alias("t"),
+        )
         .withColumn("n", F.size("t").cast("long"))
         .filter(F.col("n") > 0)
         .withColumn(

@@ -47,7 +47,9 @@ def hash_split(
     expr = None
     for name in names[:-1]:
         cum += fractions[name]
-        cond = bucket < int(cum * SPLIT_BUCKETS)
+        # round(), not int(): IEEE makes 0.3 * 10000 = 2999.999...9, and
+        # truncation silently moves the cut one bucket low
+        cond = bucket < round(cum * SPLIT_BUCKETS)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
@@ -96,10 +98,10 @@ def downsample_groups(
     frac = None
     for name, f in fractions.items():
         cond = F.col(group_col) == name
-        thr = F.lit(int(f * SPLIT_BUCKETS))
+        thr = F.lit(round(f * SPLIT_BUCKETS))  # round, not int: see hash_split
         frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
-    thr_col = F.lit(int(default * SPLIT_BUCKETS)) if frac is None else frac.otherwise(
-        F.lit(int(default * SPLIT_BUCKETS))
+    thr_col = F.lit(round(default * SPLIT_BUCKETS)) if frac is None else frac.otherwise(
+        F.lit(round(default * SPLIT_BUCKETS))
     )
     return df.filter(bucket < thr_col)
 
@@ -129,6 +131,7 @@ def weighted_sample(
     weight_col: str,
     key_col: str = "doc_id",
     salt: str = "wsample",
+    u_col: str = "u",
 ) -> DataFrame:
     """Deterministic importance sampling: keep each row with probability
     equal to ``weight_col`` (in [0, 1]) — the corpus-balancing primitive
@@ -141,7 +144,7 @@ def weighted_sample(
     RNG state: reproducible across runs, appends, and repartitions, and
     monotone in the weight (raising a doc's weight can only keep it)."""
     u = hash64(F.col(key_col).cast("string"), salt, 13) / F.lit(float(16**13))
-    return df.withColumn("u", u).filter(F.col("u") < F.col(weight_col))
+    return df.withColumn(u_col, u).filter(F.col(u_col) < F.col(weight_col))
 
 
 def kfold_assign(

@@ -908,12 +908,12 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
     """,
     # deterministic split: same Python-computed bucket boundaries as
-    # sampling.hash_split (int(cum * 10000)); md5 bucket identical in both
+    # sampling.hash_split (round(cum * 10000)); md5 bucket identical in both
     # engines
     "train_val_split": f"""
         SELECT doc_id,
-               CASE WHEN b < {int(SPLIT_FRACTIONS["train"] * 10000)} THEN 'train'
-                    WHEN b < {int((SPLIT_FRACTIONS["train"] + SPLIT_FRACTIONS["val"]) * 10000)} THEN 'val'
+               CASE WHEN b < {round(SPLIT_FRACTIONS["train"] * 10000)} THEN 'train'
+                    WHEN b < {round((SPLIT_FRACTIONS["train"] + SPLIT_FRACTIONS["val"]) * 10000)} THEN 'val'
                     ELSE 'test' END AS split
         FROM (
           SELECT doc_id,
@@ -1630,8 +1630,8 @@ ORACLES["downsample_lang"] = f"""
                % 10000 AS b
       FROM documents)
     WHERE b < CASE lang
-              WHEN 'en' THEN {int(MIX_FRACTIONS["en"] * 10000)}
-              WHEN 'fr' THEN {int(MIX_FRACTIONS["fr"] * 10000)}
+              WHEN 'en' THEN {round(MIX_FRACTIONS["en"] * 10000)}
+              WHEN 'fr' THEN {round(MIX_FRACTIONS["fr"] * 10000)}
               ELSE 10000 END
 """
 
@@ -1885,7 +1885,8 @@ ORACLES["bpe_packing"] = f"""
 # stream), overlapping starts every `stride` tokens
 ORACLES["doc_chunks"] = """
     WITH base AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS t
       FROM documents
     ),
     sized AS (
@@ -1908,7 +1909,8 @@ ORACLES["doc_chunks"] = """
 ORACLES["seq_packing"] = """
     WITH base AS (
       SELECT source AS shard, doc_id,
-             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != ''))::BIGINT AS n_tokens
       FROM documents
     ),
     spans AS (

@@ -60,12 +60,23 @@ def enrich_stream(
             st = SymbolState.from_tuple(group_state.get)
         else:
             st = SymbolState()
-        outs = [o for o in (process_group(st, pdf, time_col, close_col) for pdf in pdfs) if len(o)]
+        # CONCATENATE the Arrow chunks before the event-time sort: a key
+        # whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+        # several chunks in arbitrary order, and sorting each alone would
+        # advance the dedup watermark past later-chunk rows (silently
+        # dropped as "late") and feed the EMA/RSI recursion out of order
+        # — the same hazard streaming/packing.pack_stream documents.
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            group_state.update(st.to_tuple())
+            return
+        out = process_group(
+            st, pd.concat(chunks, ignore_index=True), time_col, close_col
+        )
         group_state.update(st.to_tuple())
         # a batch can be entirely late/duplicate rows -> nothing to emit
-        # (pd.concat of an empty list raises, so guard the FILTERED list)
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+        if len(out):
+            yield out
 
     return candles.groupBy(symbol_col).applyInPandasWithState(
         update,
@@ -84,8 +95,19 @@ def dedup_stream(
 ) -> DataFrame:
     """First-writer-wins streaming dedup (reference J1/T5) — state-store
     backed and restart-safe, with an explicit watermark bound instead of
-    the reference's unbounded in-memory key set."""
-    return df.withWatermark(time_col, watermark).dropDuplicates(list(keys))
+    the reference's unbounded in-memory key set.
+
+    ``dropDuplicates`` only EVICTS state when the event-time column is
+    part of the dedup keys — with pure-id keys the watermark is silently
+    ignored and state grows forever (the exact failure mode this
+    operator exists to fix).  Keys without ``time_col`` therefore route
+    to ``dropDuplicatesWithinWatermark``: same first-writer-wins output
+    for events arriving inside the watermark horizon, state bounded by
+    it."""
+    wm = df.withWatermark(time_col, watermark)
+    if time_col in keys:
+        return wm.dropDuplicates(list(keys))
+    return wm.dropDuplicatesWithinWatermark(list(keys))
 
 
 def windowed_stats_stream(
@@ -239,14 +261,17 @@ def enrich_stream_tws(
                 st = SymbolState.from_tuple(self._state.get())
             else:
                 st = SymbolState()
-            outs = [
-                o
-                for o in (process_group(st, pdf, time_col, close_col) for pdf in rows)
-                if len(o)
-            ]
+            # concat-before-sort, same multi-chunk hazard as enrich_stream
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                self._state.update(st.to_tuple())
+                return
+            out = process_group(
+                st, pd.concat(chunks, ignore_index=True), time_col, close_col
+            )
             self._state.update(st.to_tuple())
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            if len(out):
+                yield out
 
         def close(self) -> None:
             pass

@@ -132,8 +132,13 @@ def step(state: SymbolState, close: float, time_us: int) -> dict | None:
     else:
         delta = close - state.last_close
         # "+ 0.0" folds IEEE -0.0 to +0.0, matching the batch paths/oracle.
+        # NaN clip parity with the batch kernel's greatest/least: Spark
+        # treats NaN as LARGER than any numeric, so greatest(NaN, 0) is
+        # NaN (max(delta, 0.0) with delta first reproduces it) while
+        # least(NaN, 0) is 0.0 — which Python's min() gets wrong
+        # (min(nan, 0.0) -> nan), hence the explicit comparison.
         gain = max(delta, 0.0) + 0.0
-        loss = -min(delta, 0.0) + 0.0
+        loss = (-delta if delta < 0.0 else 0.0) + 0.0
         state.n_delta += 1
 
     if not math.isnan(delta):
@@ -182,14 +187,25 @@ def step(state: SymbolState, close: float, time_us: int) -> dict | None:
 
 
 def process_group(state: SymbolState, pdf: pd.DataFrame, time_col: str, close_col: str) -> pd.DataFrame:
-    """Run :func:`step` over one key's micro-batch rows in event-time order."""
+    """Run :func:`step` over one key's micro-batch rows in event-time order.
+
+    Rows with no usable close — NULL (``float(None)`` would kill the
+    whole streaming query for one malformed exchange record; Arrow also
+    surfaces SQL NULL as NaN in float chunks) or NaN (it would poison
+    the EMA recursion permanently) — are QUARANTINED: skipped, never
+    emitted, no state advance.  Iteration uses ``to_dict`` —
+    ``itertuples`` positionally renames column names that are not valid
+    Python identifiers (``24h_vol`` → ``_3``), silently corrupting the
+    output schema."""
     pdf = pdf.sort_values(time_col, kind="stable")
     out_rows = []
-    for row in pdf.itertuples(index=False):
-        d = row._asdict()
+    for d in pdf.to_dict("records"):
+        close = d[close_col]
+        if close is None or (isinstance(close, float) and math.isnan(close)):
+            continue  # no usable price: quarantined
         ts = d[time_col]
         time_us = int(pd.Timestamp(ts).value // 1000)
-        res = step(state, float(d[close_col]), time_us)
+        res = step(state, float(close), time_us)
         if res is not None:
             out_rows.append({**d, **res})
     return pd.DataFrame(out_rows)

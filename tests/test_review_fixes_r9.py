@@ -224,3 +224,164 @@ def test_bm25_query_terms_case_normalized(spark):
     upper = ranking.bm25_topk(df, ["SPARK"]).collect()
     lower = ranking.bm25_topk(df, ["spark"]).collect()
     assert [r.doc_id for r in upper] == [r.doc_id for r in lower] == [1]
+
+
+def test_enrich_stream_multichunk_microbatch_keeps_order(spark, tmp_path):
+    """A key whose micro-batch exceeds arrow.maxRecordsPerBatch arrives
+    as SEVERAL pandas chunks in arbitrary order; the kernel must
+    concatenate before the event-time sort or later-chunk rows are
+    silently dropped as 'late'.  Forced here with a 5-row Arrow batch
+    over one 45-row micro-batch; output must be bit-identical to batch."""
+    import numpy as np
+
+    from big_data_engineering_financial_analysis_spark.functions.indicators import enrich
+    from big_data_engineering_financial_analysis_spark.schemas import CANDLE_SCHEMA
+    from big_data_engineering_financial_analysis_spark.sources import feeder
+    from big_data_engineering_financial_analysis_spark.streaming.pipeline import enrich_stream
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try:
+        src = str(tmp_path / "src")
+        full = feeder.feed_parquet_batches(
+            spark, src, n_batches=1, minutes_per_batch=45
+        )
+        stream = (
+            spark.readStream.schema(CANDLE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            enrich_stream(stream)
+            .writeStream.format("memory")
+            .queryName("chunk_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        streamed = spark.sql("SELECT * FROM chunk_out").toPandas()
+        expected = enrich(full).toPandas()
+        assert len(streamed) == len(expected)  # nothing dropped as late
+        s = streamed.sort_values(["stock_symbol", "local_time"]).reset_index(drop=True)
+        e = expected.sort_values(["stock_symbol", "local_time"]).reset_index(drop=True)
+        np.testing.assert_array_equal(
+            s["ema_10"].to_numpy(dtype=float), e["ema_10"].to_numpy(dtype=float)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_process_group_quarantines_null_and_nan_close(spark):
+    """A malformed record (NULL/NaN close) is skipped — not a TypeError
+    that kills the streaming query, and never a state poison."""
+    import math
+
+    import pandas as pd
+
+    from big_data_engineering_financial_analysis_spark.streaming.state import (
+        SymbolState,
+        process_group,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "local_time": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02"]
+            ),
+            "close": [10.0, float("nan"), 11.0],
+        }
+    )
+    st = SymbolState()
+    out = process_group(st, pdf, "local_time", "close")
+    assert list(out["close"]) == [10.0, 11.0]
+    assert not math.isnan(st.ema)  # NaN never reached the recursion
+    assert st.last_close == 11.0
+
+
+def test_pack_chunks_empty_doc_occupies_no_position(spark):
+    """split('') = [''] must not grant empty documents a phantom token:
+    they are dropped and later spans are unshifted."""
+    from big_data_engineering_financial_analysis_spark.operators.packing import (
+        pack_chunks,
+        sliding_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", ""), (3, "s", "   "), (4, "s", "d e")],
+        "doc_id long, source string, text string",
+    )
+    out = pack_chunks(df, chunk_tokens=4)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 4}
+    # doc 4 starts at stream position 3 (a b c), NOT 4 or 5
+    d4 = [r for r in out.collect() if r.doc_id == 4]
+    assert min(r.seg_start for r in d4) == 0 and len(d4) == 2  # 3+2 split at 4
+    assert sliding_chunks(df).filter("doc_id in (2, 3)").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        pack_chunks(df, chunk_tokens=0)
+
+
+def test_hash_split_rounds_fraction_boundaries(spark):
+    """int() truncation put the 0.29 cut one bucket low (0.29 * 10000 =
+    2899.999...); round() gives the intended boundary."""
+    from big_data_engineering_financial_analysis_spark.operators.sampling import hash_split
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("k"))
+    got = (
+        hash_split(df, "k", {"a": 0.29, "b": 0.71})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    by = {r.split: r["count"] for r in got}
+    # exact-boundary property is deterministic in the hash; just pin that
+    # the cut is the rounded one: re-derive per-bucket assignment
+    from big_data_engineering_financial_analysis_spark.functions.hashing import hash64
+
+    buckets = (
+        df.select((hash64(F.col("k"), "split", 8) % 10000).alias("b"))
+        .filter(F.col("b") == 2899)
+        .count()
+    )
+    assert buckets > 0  # boundary bucket occupied in this draw
+    exact_a = (
+        df.select((hash64(F.col("k"), "split", 8) % 10000).alias("b"))
+        .filter(F.col("b") < 2900)
+        .count()
+    )
+    assert by["a"] == exact_a  # bucket 2899 belongs to 'a' (rounded cut)
+
+
+def test_dedup_stream_non_time_keys_bounded_state(spark, tmp_path):
+    """Pure-id dedup keys route to dropDuplicatesWithinWatermark —
+    dropDuplicates ignores the watermark unless the event-time column is
+    a key, growing state forever.  Semantics stay first-writer-wins for
+    in-horizon duplicates."""
+    from big_data_engineering_financial_analysis_spark.schemas import CANDLE_SCHEMA
+    from big_data_engineering_financial_analysis_spark.sources import feeder
+    from big_data_engineering_financial_analysis_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "src")
+    feeder.feed_parquet_batches(spark, src, n_batches=2, minutes_per_batch=5)
+    stream = (
+        spark.readStream.schema(CANDLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, keys=["stock_symbol"])
+        .writeStream.format("memory")
+        .queryName("dedup_sym_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT stock_symbol, count(*) AS n FROM dedup_sym_out GROUP BY 1")
+    assert all(r.n == 1 for r in out.collect())  # one row per symbol

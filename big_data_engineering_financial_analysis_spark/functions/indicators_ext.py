@@ -35,6 +35,8 @@ Indicators (all standard public formulas):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -125,15 +127,21 @@ def macd_pandas(
     def compute(pdf):
         pdf = pdf.sort_values(sort_keys, kind="stable").reset_index(drop=True)
         close = pdf[close_col]
+        # ignore_na=True mirrors the fold path: collect_list SKIPS nulls,
+        # so the fold reduces the null-free prefix with ADJACENT weights;
+        # pandas' default (ignore_na=False) decays by absolute position
+        # across a gap, breaking macd_auto's bit-identical switch the
+        # moment a series has an interior NULL (adx_pandas already does
+        # this).  macd_signal inherits interior NaNs from min_periods.
         pdf[f"ema_{fast}"] = close.ewm(
-            span=fast, adjust=False, min_periods=fast
+            span=fast, adjust=False, min_periods=fast, ignore_na=True
         ).mean()
         pdf[f"ema_{slow}"] = close.ewm(
-            span=slow, adjust=False, min_periods=slow
+            span=slow, adjust=False, min_periods=slow, ignore_na=True
         ).mean()
         pdf["macd"] = pdf[f"ema_{fast}"] - pdf[f"ema_{slow}"]
         pdf["macd_signal"] = pdf["macd"].ewm(
-            span=signal, adjust=False, min_periods=signal
+            span=signal, adjust=False, min_periods=signal, ignore_na=True
         ).mean()
         pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
         return pdf
@@ -283,8 +291,11 @@ def with_volatility(
         F.count("log_return").over(frame) >= window,
         F.stddev_samp("log_return").over(frame),
     )
+    # math.sqrt, not ** 0.5: correctly-rounded IEEE, bit-identical to
+    # SQL sqrt() (the indicators_ta convention)
+    ann = math.sqrt(float(periods_per_year))
     return df.withColumn("roll_vol", vol).withColumn(
-        "ann_vol", F.col("roll_vol") * F.lit(float(periods_per_year) ** 0.5)
+        "ann_vol", F.col("roll_vol") * F.lit(ann)
     )
 
 
@@ -354,11 +365,18 @@ def rolling_corr(
     y = bars_y.select(time_col, F.col(close_col).alias("y"))
     j = x.join(y, time_col)
     w = Window.orderBy(time_col).rowsBetween(-(window - 1), 0)
-    n = F.count("x").over(w)
-    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
-    sxx = F.sum(F.col("x") * F.col("x")).over(w)
-    syy = F.sum(F.col("y") * F.col("y")).over(w)
-    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    # PAIRWISE null gate: a row where either side is NULL must vanish
+    # from EVERY sum and the count — gating on count(x) alone mixes a
+    # 19-row Sy with a 20-row Sxx and emits a plausible wrong corr
+    # (rolling_beta / pairs_spread_z already defend this way); output
+    # x/y stay raw, only the window inputs are shadowed
+    both = F.col("x").isNotNull() & F.col("y").isNotNull()
+    xv, yv = F.when(both, F.col("x")), F.when(both, F.col("y"))
+    n = F.count(xv).over(w)
+    sx, sy = F.sum(xv).over(w), F.sum(yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return j.withColumn(
@@ -404,11 +422,14 @@ def rolling_corr_pairs(
         .orderBy(time_col)
         .rowsBetween(-(window - 1), 0)
     )
-    n = F.count("x").over(w)
-    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
-    sxx = F.sum(F.col("x") * F.col("x")).over(w)
-    syy = F.sum(F.col("y") * F.col("y")).over(w)
-    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    # pairwise null gate — same rationale as rolling_corr
+    both = F.col("x").isNotNull() & F.col("y").isNotNull()
+    xv, yv = F.when(both, F.col("x")), F.when(both, F.col("y"))
+    n = F.count(xv).over(w)
+    sx, sy = F.sum(xv).over(w), F.sum(yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return j.withColumn(

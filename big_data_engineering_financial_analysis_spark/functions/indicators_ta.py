@@ -356,18 +356,25 @@ def xsec_momentum(
 
     xw = Window.partitionBy(time_col).orderBy(F.col("mom_ret").desc(), symbol_col)
     xp = Window.partitionBy(time_col)
+    # EFFECTIVE buckets = min(n_buckets, universe): with fewer symbols
+    # than buckets the top bucket is unreachable (floor((n-1)*b/n)+1 == b
+    # needs n >= b), so the SHORT leg silently vanished for any bar whose
+    # universe was smaller than n_buckets — 5 symbols at the default 10
+    # never shorted.  Capping degrades deciles to quantiles-of-the-
+    # universe, keeping both legs populated at every universe size.
+    b_eff = F.least(F.lit(n_buckets), F.col("n_universe"))
     scored = (
         scored.withColumn("mom_rank", F.row_number().over(xw))
         .withColumn("n_universe", F.count(F.lit(1)).over(xp))
         .withColumn(
             "mom_bucket",
-            F.floor((F.col("mom_rank") - 1) * n_buckets / F.col("n_universe")) + 1,
+            F.floor((F.col("mom_rank") - 1) * b_eff / F.col("n_universe")) + 1,
         )
     )
     return scored.withColumn(
         "position",
         F.when(F.col("mom_bucket") == 1, F.lit("LONG"))
-        .when(F.col("mom_bucket") == n_buckets, F.lit("SHORT"))
+        .when(F.col("mom_bucket") == b_eff, F.lit("SHORT"))
         .otherwise(F.lit("FLAT")),
     )
 

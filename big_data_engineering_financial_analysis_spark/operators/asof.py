@@ -100,13 +100,10 @@ def asof_join(
     still one shuffle, no join explosion.
     """
     rtypes = dict(right.dtypes)
-    payload_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_value_cols) + ">"
+    fields = [f"{c}:{rtypes[c]}" for c in right_value_cols]
     if tolerance_seconds is not None:
-        payload_ddl = (
-            "struct<"
-            + ",".join(f"{c}:{rtypes[c]}" for c in right_value_cols)
-            + f",__rt:{rtypes[time_col]}>"
-        )
+        fields.append(f"__rt:{rtypes[time_col]}")
+    payload_ddl = "struct<" + ",".join(fields) + ">"
     marked_left = left.withColumn("__side", F.lit(1)).withColumn(
         "__payload", F.lit(None).cast(payload_ddl)
     )
@@ -118,9 +115,10 @@ def asof_join(
         time_col,
         F.struct(*payload_fields).alias("__payload"),
     ).withColumn("__side", F.lit(0))
+    ltypes = dict(left.dtypes)
     for c in left.columns:
         if c not in (key, time_col):
-            marked_right = marked_right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+            marked_right = marked_right.withColumn(c, F.lit(None).cast(ltypes[c]))
 
     unioned = marked_left.unionByName(marked_right)
     # right rows (side 0) sort before left rows at equal timestamps ->
@@ -137,7 +135,9 @@ def asof_join(
     if tolerance_seconds is not None:
         stale = (
             F.unix_micros(F.col(time_col)) - F.unix_micros(F.col("__payload")["__rt"])
-        ) > int(tolerance_seconds * 1_000_000)
+        ) > round(tolerance_seconds * 1_000_000)  # round, not int: FP
+        # truncation (0.3 * 1e6 = 299999.99...) made an exactly-at-
+        # tolerance match stale, violating merge_asof's INCLUSIVE bound
         out = out.withColumn(
             "__payload", F.when(stale, F.lit(None)).otherwise(F.col("__payload"))
         )

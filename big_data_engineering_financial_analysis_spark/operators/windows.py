@@ -17,13 +17,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def last_per_group(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """Keep the row with the max ``order_col`` per key group (W8).
+def last_per_group(
+    df: DataFrame, keys: list[str], order_col: str, ascending: bool = False
+) -> DataFrame:
+    """Keep the row with the max (or min, ``ascending=True``) ``order_col``
+    per key group (W8).
 
     One shuffle on ``keys``; ``row_number`` over a per-group sort — at scale
     this is the standard dedup-by-rank pattern and AQE handles skewed keys.
+    ``ascending`` spares min-per-group callers a synthesized negated
+    helper column (which risks colliding with or leaking into schemas).
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(order)
     return (
         df.withColumn("__lpg_rn", F.row_number().over(w))
         .filter(F.col("__lpg_rn") == 1)

@@ -175,10 +175,12 @@ def q_enrich_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         process_group,
     )
 
-    candles = candles_from_events(spark, sf_dir).withColumn(
-        "__neg_id", -F.col("event_id")
+    candles = last_per_group(
+        candles_from_events(spark, sf_dir),
+        ["stock_symbol", "local_time"],
+        "event_id",
+        ascending=True,  # min-event_id row, no negated helper column
     )
-    candles = last_per_group(candles, ["stock_symbol", "local_time"], "__neg_id").drop("__neg_id")
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in candles.schema.fields)
     out_schema = f"{fields}, {enriched_ddl_suffix()}"
 

@@ -137,10 +137,11 @@ def q_nation_volume_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between two nations by
     ship year.
 
-    The supplier side reduces lineitem first: nation (25 rows) filters
-    supplier, and that filtered dim is broadcast onto the fact scan —
-    at 100 TB supplier is ~1/7000 of lineitem and the two-nation filter
-    keeps 2/25 of it, comfortably inside the broadcast threshold.  The
+    The supplier side reduces lineitem first: nation (25 rows, explicit
+    broadcast) filters supplier; the filtered supplier dim carries NO
+    hint — the planner broadcasts it while under threshold and AQE
+    shuffles at scale (2/25 of supplier is still SF-scaled: ~1e8 rows
+    at 100 TB, far past any broadcast budget).  The
     customer side carries no hint (fact-scale in TPC-H, same reasoning
     as ``shipping_priority``): the optimizer broadcasts while it fits
     and AQE shuffles on ``o_custkey`` beyond that.  One fact shuffle on
@@ -365,13 +366,13 @@ m2 AS (
 ),
 m3 AS (
   SELECT m2.*,
-    CAST(floor((mom_rank - 1) * 10 / n_universe) AS BIGINT) + 1 AS mom_bucket
+    CAST(floor((mom_rank - 1) * least(10, n_universe) / n_universe) AS BIGINT) + 1 AS mom_bucket
   FROM m2
 )
 SELECT stock_symbol, bucket, round(mom_ret, 6) AS mom_ret,
        mom_rank, n_universe, mom_bucket,
        CASE WHEN mom_bucket = 1 THEN 'LONG'
-            WHEN mom_bucket = 10 THEN 'SHORT'
+            WHEN mom_bucket = least(10, n_universe) THEN 'SHORT'
             ELSE 'FLAT' END AS position
 FROM m3
 """,

@@ -387,15 +387,17 @@ FROM c
     + """,
 j AS (
   SELECT a.stock_symbol AS sym_x, b.stock_symbol AS sym_y,
-         a.bucket, a.close AS x, b.close AS y
+         a.bucket, a.close AS x, b.close AS y,
+         CASE WHEN a.close IS NULL OR b.close IS NULL THEN NULL ELSE a.close END AS xv,
+         CASE WHEN a.close IS NULL OR b.close IS NULL THEN NULL ELSE b.close END AS yv
   FROM bars a JOIN bars b USING (bucket)
   WHERE a.stock_symbol < b.stock_symbol
 ),
 c AS (
   SELECT sym_x, sym_y, bucket, x, y,
-    count(x) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
-    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
-    sum(x * y) OVER w AS sxy
+    count(xv) OVER w AS n, sum(xv) OVER w AS sx, sum(yv) OVER w AS sy,
+    sum(xv * xv) OVER w AS sxx, sum(yv * yv) OVER w AS syy,
+    sum(xv * yv) OVER w AS sxy
   FROM j
   WINDOW w AS (PARTITION BY sym_x, sym_y ORDER BY bucket
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)

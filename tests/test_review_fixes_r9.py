@@ -385,3 +385,93 @@ def test_dedup_stream_non_time_keys_bounded_state(spark, tmp_path):
     q.stop()
     out = spark.sql("SELECT stock_symbol, count(*) AS n FROM dedup_sym_out GROUP BY 1")
     assert all(r.n == 1 for r in out.collect())  # one row per symbol
+
+
+def test_rolling_corr_null_pair_gated(spark):
+    """A NULL on either side inside a full window must NULL the window's
+    contribution consistently — not mix a 19-row Sy with a 20-row Sxx
+    and emit a plausible wrong correlation."""
+    import math
+
+    from big_data_engineering_financial_analysis_spark.functions import indicators_ext as ix
+
+    n = 14
+    rows_x = [(f"2024-01-01 00:{i:02d}", float(i + 1)) for i in range(n)]
+    rows_y = [
+        (f"2024-01-01 00:{i:02d}", None if i == 8 else float(2 * i + 3))
+        for i in range(n)
+    ]
+    bx = spark.createDataFrame(rows_x, "bucket string, close double")
+    by = spark.createDataFrame(rows_y, "bucket string, close double")
+    out = {r.bucket: r.corr for r in ix.rolling_corr(bx, by, window=4).collect()}
+    # window fully PAST the null (10..13): exactly linear pair -> corr 1
+    assert abs(out["2024-01-01 00:13"] - 1.0) < 1e-9
+    # windows CONTAINING the null have only 3 valid pairs < window gate:
+    # NULL, never a 19-vs-20-row mixed-sums artifact
+    for t in ("2024-01-01 00:08", "2024-01-01 00:09", "2024-01-01 00:11"):
+        assert out[t] is None or math.isnan(out[t])
+
+
+def test_asof_tolerance_is_inclusive_at_fractional_seconds(spark):
+    """merge_asof semantics: diff == tolerance is a MATCH.  int()
+    truncation of 0.3s (299999.99... us) made the exact boundary stale."""
+    from big_data_engineering_financial_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01.300")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01.000", 42.0)], "k long, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, key="k", time_col="ts",
+                    right_value_cols=["v"], tolerance_seconds=0.3).collect()
+    assert out[0]["v_asof"] == 42.0  # exactly-at-tolerance matches
+
+
+def test_macd_fold_and_pandas_agree_with_interior_null(spark):
+    """macd_auto's bit-identical switch must hold when a series has an
+    interior NULL close: the fold skips NULLs with adjacent weights
+    (collect_list), so pandas needs ignore_na=True."""
+    import numpy as np
+
+    from big_data_engineering_financial_analysis_spark.functions import indicators_ext as ix
+
+    rows = [
+        ("S", f"2024-01-01 00:{i:02d}", i, None if i == 20 else 100.0 + i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_symbol string, local_time string, event_id long, close double"
+    )
+    a = (
+        ix.with_macd(df)
+        .select("event_id", "macd_signal")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    b = (
+        ix.macd_pandas(df)
+        .select("event_id", "macd_signal")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    np.testing.assert_array_equal(
+        a["macd_signal"].to_numpy(dtype=float),
+        b["macd_signal"].to_numpy(dtype=float),
+    )
+
+
+def test_xsec_momentum_small_universe_has_short_leg(spark):
+    """Fewer symbols than n_buckets: effective buckets cap at the
+    universe so the bottom bucket (SHORT) is reachable — 5 symbols at
+    the default 10 previously never shorted."""
+    from big_data_engineering_financial_analysis_spark.functions import indicators_ta as ta
+
+    rows = []
+    for i in range(8):
+        for s in range(5):
+            rows.append((f"SYM{s}", i, 100.0 + i * (s + 1)))
+    bars = spark.createDataFrame(rows, "stock_symbol string, bucket long, close double")
+    out = ta.xsec_momentum(bars, lookback=2, n_buckets=10)
+    positions = {r.position for r in out.select("position").distinct().collect()}
+    assert "SHORT" in positions and "LONG" in positions

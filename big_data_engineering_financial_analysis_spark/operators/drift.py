@@ -43,11 +43,19 @@ def psi_report(
     stats = df.agg(
         F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
     )
-    d = df.select(
-        F.col(group_col).alias("grp"),
-        period_col.alias("period"),
-        F.col(value_col).alias("v"),
-    ).crossJoin(F.broadcast(stats))
+    d = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            period_col.alias("period"),
+            F.col(value_col).alias("v"),
+        )
+        # NULL values drop before binning (F.least skips nulls, so they
+        # would count as TOP-BIN mass — a null-rate change between
+        # periods must not masquerade as top-of-range value drift);
+        # monitor null rates with validation.check_not_null instead
+        .filter(F.col("v").isNotNull())
+        .crossJoin(F.broadcast(stats))
+    )
     width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(N_BINS))
     bin_ = F.least(
         F.floor((F.col("v") - F.col("__vmin")) / width), F.lit(N_BINS - 1)

@@ -139,11 +139,26 @@ def scd2_apply(
     kept = joined.filter(c_present & (~u_present | ~diff)).select(
         [F.col(f"c.{c}") for c in out_cols]
     )
+    # in-plan guard (the pack_chunks assert pattern): a change batch
+    # whose effective_ts PREDATES an open version's valid_from would
+    # close that row with valid_to < valid_from and back-date the new
+    # version — silently inverted validity intervals that pit_join can
+    # never match.  Fail the job loudly instead.
+    eff_guarded = F.coalesce(
+        F.assert_true(
+            eff >= F.col(f"c.{from_col}"),
+            F.lit(
+                "scd2_apply: effective_ts predates an open version's "
+                "valid_from (late/out-of-order change batch)"
+            ),
+        ).cast("timestamp"),
+        eff,
+    )
     closed_now = joined.filter(matched & diff).select(
         F.col(f"c.{key}"),
         *[F.col(f"c.{t}") for t in tracked],
         F.col(f"c.{from_col}"),
-        eff.alias(to_col),
+        eff_guarded.alias(to_col),
     )
     new_versions = joined.filter(matched & diff).select(
         F.col(f"u.{key}"),

@@ -80,7 +80,13 @@ def kmv_distinct(
     from pyspark.sql import Window
 
     gcols = [group_col] if group_col else []
-    hashed = df.select(*gcols, hash48(F.col(key_col)).alias("h"))
+    # NULL keys drop up front: md5(NULL) -> NULL hash arrives in pandas
+    # as float64 NaN, crashing the bigint Arrow schema (and a NULL never
+    # counts as a distinct VALUE); NULL GROUPS are kept via
+    # dropna=False below — Spark's groupBy reports them
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
+        *gcols, hash48(F.col(key_col)).alias("h")
+    )
 
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields]
@@ -92,7 +98,7 @@ def kmv_distinct(
                 yield (
                     pdf.drop_duplicates()
                     .sort_values("h", kind="stable")
-                    .groupby(group_col, sort=False)
+                    .groupby(group_col, sort=False, dropna=False)
                     .head(k)
                 )
             else:
@@ -136,7 +142,10 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     always broadcastable."""
     pos = F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos")
     words = (
-        keys.select(pos)
+        # NULL keys filter out: md5(NULL) -> NULL positions -> NULL map
+        # key ("Cannot use null as map key" kills the job), and a NULL
+        # key can never match the residual semijoin anyway
+        keys.filter(F.col(key_col).isNotNull()).select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
             F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
@@ -227,7 +236,12 @@ def countmin_build(df: DataFrame, key_col: str) -> DataFrame:
         )
     ).alias("cell")
     return (
-        df.select(cells)
+        # NULL keys are excluded from the sketch (md5(NULL) -> NULL pos
+        # would later become a NULL map key in countmin_estimate and
+        # kill the job); count NULL occurrences with a plain conditional
+        # aggregate if needed — a sketch cell cannot address them
+        df.filter(F.col(key_col).isNotNull())
+        .select(cells)
         .select("cell.d", "cell.pos")
         .groupBy("d", "pos")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -309,9 +323,15 @@ def hist_quantiles(
     stats = df.agg(
         F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
     )
-    d = df.select(
-        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
-    ).crossJoin(F.broadcast(stats))
+    d = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        # drop NULLs BEFORE binning: F.least SKIPS nulls, so a NULL value
+        # would bin as least(NULL, max_bin) = max_bin — every NULL row
+        # counted as a top-of-range observation, skewing the quantiles
+        # where the exact percentile (and the oracle) ignore NULLs
+        .filter(F.col("v").isNotNull())
+        .crossJoin(F.broadcast(stats))
+    )
     width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(HIST_BINS))
     bin_ = F.least(
         F.floor((F.col("v") - F.col("__vmin")) / width), F.lit(HIST_BINS - 1)

@@ -78,11 +78,16 @@ def check_ref_integrity(
 ) -> DataFrame:
     """Orphan children: anti-join on the parent key.  The orphan count and
     the checked count ride one aggregate over the anti-join output plus a
-    count of the child — two jobs only because they scan different frames."""
-    orphans = child.join(
+    count of the child — two jobs only because they scan different frames.
+
+    NULL foreign keys are NOT violations (SQL MATCH SIMPLE semantics) and
+    are excluded from both counts — the module convention polices NULL
+    keys separately via ``check_not_null`` (see ``check_unique``)."""
+    non_null = child.filter(F.col(fk).isNotNull())
+    orphans = non_null.join(
         parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
     )
-    n_checked = child.select(F.count(F.lit(1)).alias("n"))
+    n_checked = non_null.select(F.count(F.lit(1)).alias("n"))
     return (
         orphans.agg(F.count(F.lit(1)).alias("n_violations"))
         .crossJoin(F.broadcast(n_checked))

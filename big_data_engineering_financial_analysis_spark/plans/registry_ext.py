@@ -564,13 +564,15 @@ ORACLES: dict[str, str] = {
         SELECT 'ref:l_orderkey',
                count(*) FILTER (o_orderkey IS NULL),
                count(*)
-        FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
           ON l_orderkey = o_orderkey
         UNION ALL
         SELECT 'ref:o_custkey',
                count(*) FILTER (c IS NULL),
                count(*)
-        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS c FROM customer) cu
+        FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) od
+        LEFT JOIN (SELECT DISTINCT c_custkey AS c FROM customer) cu
           ON o_custkey = c
     """,
 

@@ -475,3 +475,68 @@ def test_xsec_momentum_small_universe_has_short_leg(spark):
     out = ta.xsec_momentum(bars, lookback=2, n_buckets=10)
     positions = {r.position for r in out.select("position").distinct().collect()}
     assert "SHORT" in positions and "LONG" in positions
+
+
+def test_hist_quantiles_and_psi_ignore_nulls(spark):
+    """NULL values must not bin as TOP-BIN mass (F.least skips nulls):
+    quantile estimates and PSI stay NULL-free like the exact forms."""
+    from big_data_engineering_financial_analysis_spark.operators.drift import psi_report
+    from big_data_engineering_financial_analysis_spark.operators.sketch import hist_quantiles
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", None)] * 40
+    df = spark.createDataFrame(rows, "grp string, v double")
+    est = {r.q: r.est for r in hist_quantiles(df, "v", "grp", qs=[0.5, 0.99]).collect()}
+    assert est[0.5] < 60  # 40 phantom top-bin rows would drag p50 up
+    n = {r.q: r.n for r in hist_quantiles(df, "v", "grp", qs=[0.5]).collect()}
+    assert n[0.5] == 100  # NULLs not counted
+
+    pr = [("g", "ref", float(v % 50)) for v in range(500)]
+    cu = [("g", "cur", float(v % 50)) for v in range(500)] + [("g", "cur", None)] * 400
+    pdf = spark.createDataFrame(pr + cu, "grp string, period string, v double")
+    rep = psi_report(pdf, "v", F.col("period"), "grp").collect()[0]
+    assert rep.psi < 0.01  # identical value dists: a null-rate delta is NOT drift
+    assert rep.n_cur == 500
+
+
+def test_sketches_tolerate_null_keys(spark):
+    """NULL keys must not kill the job with a NULL map key: bloom,
+    count-min, and KMV all exclude them (a NULL never matches/counts)."""
+    from big_data_engineering_financial_analysis_spark.operators import sketch
+
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "k int")
+    fact = spark.createDataFrame([(1, "a"), (3, "b"), (None, "c")], "k int, p string")
+    got = sorted(r.p for r in sketch.bloom_semi_join(fact, keys, "k", "k").collect())
+    exp = sorted(r.p for r in fact.join(keys.distinct(), "k", "left_semi").collect())
+    assert got == exp == ["a"]
+
+    ev = spark.createDataFrame([("u1",), (None,), ("u1",), ("u2",)], "u string")
+    sk = sketch.countmin_build(ev, "u")
+    est = {
+        r.u: r.est_count
+        for r in sketch.countmin_estimate(sk, ev.filter("u IS NOT NULL").distinct(), "u").collect()
+    }
+    assert est["u1"] >= 2 and est["u2"] >= 1
+
+    out = sketch.kmv_distinct(ev.withColumn("g", F.lit("x")), "u", k=8, group_col="g").collect()
+    assert out[0].est_distinct == 2  # NULL key not a distinct value
+
+
+def test_scd2_apply_rejects_backdated_changes(spark):
+    """A change batch whose effective_ts predates an open version's
+    valid_from must fail LOUDLY, not write inverted validity intervals."""
+    from big_data_engineering_financial_analysis_spark.operators.merge import scd2_apply
+
+    cur = spark.createDataFrame(
+        [(1, "x", "2024-02-01", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame([(1, "y")], "k long, attr string")
+    with pytest.raises(Exception, match="predates"):
+        scd2_apply(
+            cur, changes, key="k", tracked=["attr"],
+            effective_ts="2024-01-15 00:00:00",
+        ).collect()

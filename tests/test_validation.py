@@ -37,8 +37,10 @@ def test_checks_fire_on_dirty_data(spark):
     assert rep["accepted:status"] == (1, 5)
     # id 3 appears twice -> one excess row
     assert rep["unique:id"] == (1, 5)
-    # fk=30 orphan; fk NULL also has no parent (anti-join keeps it)
-    assert rep["ref:fk"] == (2, 5)
+    # fk=30 is the one orphan; the NULL fk is NOT a referential
+    # violation (SQL MATCH SIMPLE) and is excluded from both counts —
+    # it is the not_null:fk check's finding above, not a double-count
+    assert rep["ref:fk"] == (1, 4)
 
 
 def test_clean_data_zero_violations(spark):

@@ -697,6 +697,19 @@ for _name in RETIRED_R7:
 #:   mmr_diverse (r8-latest, driver-sim MATCH re-run + degenerate-input
 #:   pytests) rotate on schedule in r10 — same precedent as
 #:   value_quartiles above.
+#: * r9 review campaign (rounds of /code-review over storage, ANN, text,
+#:   streaming/sampling, TA, sketch/validation/merge): ~45 findings
+#:   fixed, touching both in-window rows (checked by this round's driver
+#:   run as scheduled) and out-of-window rows (all re-verified MATCH via
+#:   the driver-sim harness in-session, plus the full 149-row local
+#:   oracle sweep in pytest; they rotate on their normal r10/r11
+#:   schedule).  Semantic changes synced into their oracles in the same
+#:   commits: xsec_momentum (effective buckets), text_repetition (dup-
+#:   trigram char-mask union), value_quartiles (NULL groups), ref-
+#:   integrity (MATCH SIMPLE), rolling_corr_pairs (pairwise null gate),
+#:   hash-split boundaries (round), packing token counts (empty docs),
+#:   ANN probe/centroids (shell scale).  Every fix carries a regression
+#:   test in tests/test_review_fixes_r9.py (24 tests).
 #: * forced-broadcast sweep: F.broadcast hints dropped from SF-scaled
 #:   frames (part in promo_revenue, customer in returned_items,
 #:   supplier in local_supplier_volume / nation_volume_flow / the

@@ -745,7 +745,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_candidate_pairs(
-    sketches: DataFrame, id_col: str = "doc_id", max_hamming: int = 2
+    sketches: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Chunk-blocked simhash near-dup pairs with exact hamming verify.
 
@@ -755,6 +758,18 @@ def simhash_candidate_pairs(
     tight (2) because frequency-weighted sketches of same-domain documents
     legitimately cluster — a loose cutoff floods the result with
     topical-similarity pairs rather than near-duplicates.
+
+    ``bucket_cap`` bounds hot (chunk, chunk_key) buckets exactly as the
+    minhash-LSH path's :data:`DEFAULT_BUCKET_CAP` does (r9 review): a
+    chunk key is only 15 bits, and degenerate corpora concentrate — every
+    empty/whitespace document sketches to the SAME 60-bit value (one ""
+    token), boilerplate families cluster likewise — so one bucket of m
+    docs would emit O(m²) candidate rows from a single reducer.  Within
+    an over-full bucket only the ``bucket_cap`` smallest ids pair up
+    (map-side via WindowGroupLimit, deterministic, QUALIFY-mirrored in
+    the oracle); duplicates that large belong to exact dedup first, and
+    a capped bucket still links its survivors into one component.
+    ``None`` disables the cap.
     """
     chunk_size = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = F.explode(
@@ -774,6 +789,7 @@ def simhash_candidate_pairs(
     blocked = sketches.select(F.col(id_col), chunks.alias("ck")).select(
         id_col, "ck.chunk", "ck.chunk_key"
     )
+    blocked = _cap_buckets(blocked, ["chunk", "chunk_key"], id_col, bucket_cap)
     a, b = blocked.alias("a"), blocked.alias("b")
     # candidates FIRST (distinct pair ids), verify ONCE per pair: a pair
     # sharing k chunks would otherwise be hamming-verified k times, and

@@ -1316,6 +1316,7 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, j AS chunk,
                  list_reduce(bits[j*15+1:j*15+15], (acc, bit) -> acc * 2 + bit) AS chunk_key
           FROM packed CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_CHUNKS})) AS j) u
+          QUALIFY row_number() OVER (PARTITION BY chunk, chunk_key ORDER BY doc_id) <= {dedup.DEFAULT_BUCKET_CAP}
         ),
         cands AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -68,6 +68,21 @@ def test_simhash_hamming_ordering(docs):
         assert ham[(1, 4)] < ham[(1, 5)]
 
 
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    """Degenerate corpora (empty/boilerplate docs) all sketch to the same
+    60-bit value, so one (chunk, chunk_key) bucket would go quadratic —
+    the cap keeps only the smallest ids per bucket (r9 review finding,
+    same contract as the minhash-LSH DEFAULT_BUCKET_CAP)."""
+    rows = [(i, "identical boilerplate text body") for i in range(1, 9)]
+    sk = dedup.simhash(spark.createDataFrame(rows, "doc_id long, text string"))
+    capped = dedup.simhash_candidate_pairs(sk, max_hamming=0, bucket_cap=5).toPandas()
+    uncapped = dedup.simhash_candidate_pairs(sk, max_hamming=0, bucket_cap=None).toPandas()
+    assert len(uncapped) == 28  # C(8,2): every pair, hamming 0
+    assert len(capped) == 10  # C(5,2): only the 5 smallest ids pair up
+    assert set(capped["id_a"]) | set(capped["id_b"]) == {1, 2, 3, 4, 5}
+    spark.catalog.clearCache()
+
+
 def test_minhash_signature_null_for_tiny_docs(spark):
     tiny = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     sigs = dedup.minhash_signatures(tiny).toPandas()

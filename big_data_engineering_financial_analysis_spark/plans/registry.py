@@ -710,6 +710,12 @@ for _name in RETIRED_R7:
 #:   hash-split boundaries (round), packing token counts (empty docs),
 #:   ANN probe/centroids (shell scale).  Every fix carries a regression
 #:   test in tests/test_review_fixes_r9.py (24 tests).
+#: * dedup_simhash — chunk buckets gain the minhash-LSH bucket cap
+#:   (QUALIFY-mirrored in the oracle; degenerate corpora collapse to one
+#:   15-bit bucket and went quadratic).  r7-latest with the window full,
+#:   so it takes the value_quartiles treatment: driver-sim MATCH re-run
+#:   in-session + a hot-bucket regression pytest (tests/test_dedup.py)
+#:   pin it now; the driver row lands on its scheduled r10 rotation.
 #: * forced-broadcast sweep: F.broadcast hints dropped from SF-scaled
 #:   frames (part in promo_revenue, customer in returned_items,
 #:   supplier in local_supplier_volume / nation_volume_flow / the

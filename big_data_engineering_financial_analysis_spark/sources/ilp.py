@@ -81,6 +81,14 @@ def _partition_sender(
         try:
             for row in rows:
                 ln = row[line_col_idx]
+                if ln is None:
+                    # fail CLEAN: a NULL line means a NULL reached the ILP
+                    # formatter's inputs — sending "None" would corrupt the
+                    # downstream table, and skipping would silently drop rows
+                    raise ValueError(
+                        "NULL ILP line value — the line column must be "
+                        "non-null (check the ilp_lines expression inputs)"
+                    )
                 batch.append(ln if ln.endswith("\n") else ln + "\n")
                 if len(batch) >= 10_000:
                     sent += _flush(batch)

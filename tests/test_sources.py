@@ -231,6 +231,20 @@ def test_write_ilp_distributed_roundtrip(spark, tcp_sink):
     assert len(received) == 2  # one connection per partition
 
 
+def test_write_ilp_null_line_fails_clean(spark, tcp_sink):
+    """A NULL line value must fail the task with a clear ValueError (r9
+    review): sending the string 'None' would corrupt the downstream
+    table and silently skipping would drop rows."""
+    import pytest as _pytest
+
+    from big_data_engineering_financial_analysis_spark.sources import ilp
+
+    host, port, _received = tcp_sink
+    df = spark.createDataFrame([("a b 1",), (None,)], "line string")
+    with _pytest.raises(Exception, match="NULL ILP line"):
+        ilp.write_ilp(df, host, port)
+
+
 def test_ilp_stream_writer_foreachbatch(spark, tcp_sink, tmp_path):
     """Streaming path: foreachBatch ships each micro-batch over the socket."""
     import time as _t

@@ -150,6 +150,28 @@ def write_corpus_jsonl(
     w.json(path)
 
 
+def stream_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ingest of a JSONL drop directory — the crawl-landing
+    pattern: files appear, micro-batches pick them up, and the frame
+    feeds ``streaming/corpus.py``'s gate → dedup chain unchanged (the
+    gates are stateless projections; the dedup state is keyed on the
+    content hash).  Malformed lines are dropped by the datasource
+    (DROPMALFORMED — same contract as the batch documents view).
+    ``max_files_per_trigger`` bounds per-batch ingest for replay tests
+    and backpressure."""
+    schema = T.StructType(
+        [f for f in DOCUMENTS_JSONL_SCHEMA.fields if f.name != "_corrupt_record"]
+    )
+    r = spark.readStream.schema(schema).option("mode", "DROPMALFORMED")
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.json(path)
+
+
 def jsonl_to_parquet(
     spark: SparkSession,
     jsonl_path: str,

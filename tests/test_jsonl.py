@@ -112,6 +112,50 @@ def test_write_corpus_jsonl_gzip(spark, docs, tmp_path):
     assert back.count() == docs.count()
 
 
+def test_stream_documents_jsonl_feeds_corpus_pipeline(spark, tmp_path):
+    """Streaming JSONL drop directory -> gate+dedup chain: malformed
+    lines dropped by the source, duplicate content suppressed by state."""
+    from big_data_engineering_financial_analysis_spark.streaming import corpus
+
+    # the proven gate-passing fixture text (test_streaming_corpus.py):
+    # mostly-stopword tokens -> quality ~0.55, lang_guess 'en'
+    body = "the and of the and of the and of the"
+    src = tmp_path / "drop"
+    _write_jsonl(
+        str(src / "b0.jsonl"),
+        [
+            json.dumps({"doc_id": 1, "text": body, "lang": "en",
+                        "source": "web", "n_chars": len(body)}),
+            "{broken",
+        ],
+    )
+    _write_jsonl(
+        str(src / "b1.jsonl"),
+        [
+            json.dumps({"doc_id": 2, "text": body.upper(), "lang": "en",
+                        "source": "web", "n_chars": len(body)}),
+            json.dumps({"doc_id": 3,
+                        "text": "and the of and the of and the of and",
+                        "lang": "en", "source": "web", "n_chars": 36}),
+        ],
+    )
+    stream = jsonl.stream_documents_jsonl(spark, str(src), max_files_per_trigger=1)
+    out = corpus.corpus_ingest_stream(stream).select("doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("jsonl_surv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.sql("SELECT * FROM jsonl_surv").collect())
+    # 1 survives; 2 is a canonical dup (case); 3 is new; the broken line
+    # never reaches the pipeline
+    assert ids == [1, 3]
+
+
 def test_jsonl_to_parquet_bridge(spark, docs, tmp_path):
     src = str(tmp_path / "in")
     dst = str(tmp_path / "out")

@@ -88,17 +88,33 @@ def write_webdataset(
     absent media upstream as an empty payload plus a meta flag if the
     distinction matters).  Returns the shard file paths.
     """
-    from pyspark.sql import functions as F
-
-    from big_data_engineering_financial_analysis_spark.operators.export import _shard_of, _shuffle_key
     from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
 
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     out_dir = check_local(
         out_dir, "write_webdataset",
         why="shard tars are written through local/shared-filesystem IO",
     )
+    return _write_tars(assets, out_dir, n_shards, seed, id_col, prefix="shard-")
+
+
+def _write_tars(
+    assets: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    seed: int,
+    id_col: str,
+    prefix: str,
+) -> list[str]:
+    """Shared tar-writing kernel of the batch writer and the streaming
+    sink: one seeded shard shuffle, whole shards streamed per task as
+    ``{prefix}{shard:05d}.tar``.  Returns the paths written under this
+    prefix (sorted)."""
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.operators.export import _shard_of, _shuffle_key
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     os.makedirs(out_dir, exist_ok=True)
 
     key = _shuffle_key(F.col(id_col), seed)
@@ -121,7 +137,7 @@ def write_webdataset(
                         tar.close()
                     current = shard
                     tar = tarfile.open(
-                        os.path.join(out_dir, f"shard-{shard:05d}.tar"),
+                        os.path.join(out_dir, f"{prefix}{shard:05d}.tar"),
                         "w",
                         format=tarfile.USTAR_FORMAT,
                     )
@@ -150,8 +166,51 @@ def write_webdataset(
     return sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
-        if f.startswith("shard-") and f.endswith(".tar")
+        if f.startswith(prefix) and f.endswith(".tar")
     )
+
+
+def webdataset_sink(
+    out_dir: str,
+    n_shards_per_batch: int = 1,
+    seed: int = 0,
+    id_col: str = "asset_id",
+):
+    """Build a ``foreachBatch`` function appending WebDataset shards per
+    micro-batch — the streaming half of the multimodal export path
+    (asset stream in, ``shard-<epoch>-<k>.tar`` files out).
+
+    Shard naming embeds the epoch id so batches never collide, and the
+    standard ``_batches/<id>`` marker protocol (streaming/dataset_sink.py)
+    makes foreachBatch redelivery a no-op — combined with the canonical
+    tar bytes, a recovered stream produces the exact same files it would
+    have produced uninterrupted.  :func:`read_webdataset` consumes the
+    accumulated directory unchanged (its glob matches both batch and
+    streaming shard names)."""
+    import os as _os
+
+    from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
+
+    out_dir = check_local(
+        out_dir, "webdataset_sink",
+        why="shard tars and replay markers use local/shared-filesystem IO",
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = _os.path.join(out_dir, "_batches", str(epoch_id))
+        if _os.path.exists(marker):
+            return  # redelivered batch: shards already committed
+        _write_tars(
+            batch_df,
+            out_dir,
+            n_shards=n_shards_per_batch,
+            seed=seed,
+            id_col=id_col,
+            prefix=f"shard-{epoch_id:05d}-",
+        )
+        _os.makedirs(marker, exist_ok=True)
+
+    return write_batch
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:

@@ -121,6 +121,46 @@ def test_composes_with_multimodal_operators(spark, assets, tmp_path):
         assert r.feature == direct[r.asset_id]
 
 
+def test_streaming_sink_accumulates_and_replays_idempotent(spark, assets, tmp_path):
+    """Asset stream -> per-batch tar shards via foreachBatch: the
+    accumulated directory reads back as the full input, and a
+    redelivered batch id is a no-op (marker protocol)."""
+    src = str(tmp_path / "src")
+    half = N_ASSETS // 2
+    a1 = assets.filter(f"asset_id < {half}")
+    a2 = assets.filter(f"asset_id >= {half}")
+    a1.coalesce(1).write.mode("append").parquet(src)
+    a2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "wds_stream")
+    sink = webdataset.webdataset_sink(out, n_shards_per_batch=2, seed=4)
+    stream = (
+        spark.readStream.schema(assets.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    files = sorted(os.listdir(out))
+    tars = [f for f in files if f.endswith(".tar")]
+    assert len(tars) == 4  # 2 batches x 2 shards
+    back = webdataset.read_webdataset(spark, out)
+    assert sorted(r.asset_id for r in back.collect()) == list(range(N_ASSETS))
+
+    # replay: re-invoking an already-committed epoch changes nothing
+    before = {f: os.path.getmtime(os.path.join(out, f)) for f in tars}
+    sink(a1, 0)
+    after = {f: os.path.getmtime(os.path.join(out, f)) for f in tars}
+    assert after == before
+    assert sorted(f for f in os.listdir(out) if f.endswith(".tar")) == tars
+
+
 def test_missing_payload_member_fails_clean(spark, tmp_path):
     out = str(tmp_path / "broken")
     os.makedirs(out)

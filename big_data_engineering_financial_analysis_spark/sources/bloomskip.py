@@ -242,16 +242,31 @@ class _Bloom:
         return cls(obj["m"], obj["k"], bytearray(base64.b64decode(obj["bits"])))
 
 
-def _file_blooms(fpath: str, sizing: dict[str, tuple[int, int]]) -> dict:
+def _file_blooms(
+    fpath: str,
+    sizing: dict[str, tuple[int, int]],
+    hive_keys: frozenset[str] = frozenset(),
+) -> dict:
     """One file's column scan: column -> encoded filter / absent (column
     missing from the file — e.g. a Hive partition column — keeps the
     file).  ``sizing`` maps column -> (n_bits, n_hashes), so a hot
-    point-lookup column deliberately upsized stays upsized on rebuild."""
+    point-lookup column deliberately upsized stays upsized on rebuild.
+
+    A sized column absent from the footer that is NOT one of this
+    file's ``hive_keys`` is a schema-evolution gap: a merged read fills
+    it with NULL, and equality can never match NULL — recorded as an
+    EMPTY filter, so point lookups on post-evolution columns prove
+    pre-evolution files skippable instead of scanning them."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(fpath)
-    present = [c for c in sizing if c in pf.schema_arrow.names]
+    names = set(pf.schema_arrow.names)
+    present = [c for c in sizing if c in names]
     out: dict[str, Any] = {}
+    for col in sizing:
+        if col not in names and col not in hive_keys:
+            n_bits, n_hashes = sizing[col]
+            out[col] = _Bloom(n_bits, n_hashes).encode()
     if not present:
         return out
     table = pf.read(columns=present)
@@ -353,10 +368,18 @@ def _scan_blooms(
         n_slices = min(len(pairs), sc.defaultParallelism)
         return dict(
             sc.parallelize(pairs, n_slices)
-            .map(lambda rf: (rf[0], _file_blooms(rf[1], sizing)))
+            .map(
+                lambda rf: (
+                    rf[0],
+                    _file_blooms(rf[1], sizing, frozenset(_hive_parts(rf[0]))),
+                )
+            )
             .collect()
         )
-    return {rel: _file_blooms(fpath, sizing) for rel, fpath in pairs}
+    return {
+        rel: _file_blooms(fpath, sizing, frozenset(_hive_parts(rel)))
+        for rel, fpath in pairs
+    }
 
 
 def build_bloom_index(
@@ -720,21 +743,28 @@ def read_skipped(
     path: str,
     ranges: list[tuple] | None = None,
     eq: list[tuple] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Serving read through both skip indexes with the full residual
     predicate applied — result ALWAYS equals full scan + filters.  This
     is the engine's general point-in-range lookup: e.g. "these doc_ids,
     this month" schedules only files the month's zones AND the ids'
-    blooms both allow."""
+    blooms both allow.
+
+    ``merge_schema=True`` on schema-evolved datasets (see
+    :func:`zonemap.read_pruned`)."""
     ranges = ranges or []
     eq = [(col, list(values)) for col, values in (eq or [])]
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if any(not values for _col, values in eq):
-        return spark.read.parquet(path).limit(0)  # IN () matches nothing
+        return reader.parquet(path).limit(0)  # IN () matches nothing
     keep, _total = prune_files_combined(path, ranges, eq)
     if not keep:
-        df = spark.read.parquet(path).limit(0)
+        df = reader.parquet(path).limit(0)
     else:
-        df = spark.read.option("basePath", path).parquet(*keep)
+        df = reader.option("basePath", path).parquet(*keep)
     for col, lo, hi in ranges:
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
@@ -750,16 +780,23 @@ def read_point(
     path: str,
     col: str,
     values: Iterable,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Point/IN-list read with file-level Bloom skipping.  ALWAYS applies
     the residual ``isin`` filter, so the result equals full scan + filter
-    regardless of manifest staleness or false positives."""
+    regardless of manifest staleness or false positives.
+
+    ``merge_schema=True`` on schema-evolved datasets (see
+    :func:`zonemap.read_pruned`)."""
     values = list(values)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if not values:  # IN () matches nothing; avoid Spark's empty-isin error
-        return spark.read.parquet(path).limit(0)
+        return reader.parquet(path).limit(0)
     keep, _total = prune_files_eq(path, col, values)
     if not keep:
-        return spark.read.parquet(path).limit(0).filter(F.col(col).isin(values))
+        return reader.parquet(path).limit(0).filter(F.col(col).isin(values))
     return (
-        spark.read.option("basePath", path).parquet(*keep).filter(F.col(col).isin(values))
+        reader.option("basePath", path).parquet(*keep).filter(F.col(col).isin(values))
     )

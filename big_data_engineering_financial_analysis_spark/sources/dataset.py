@@ -277,8 +277,18 @@ def describe_dataset(path: str) -> dict:
     }
 
 
-def read_dataset(spark: SparkSession, path: str) -> DataFrame:
+def read_dataset(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Partition-aware scan: equality/IN filters on the partition columns
     prune directories (PartitionFilters), filters on sorted data columns
-    prune row groups via parquet statistics (PushedFilters)."""
-    return spark.read.parquet(path)
+    prune row groups via parquet statistics (PushedFilters).
+
+    ``merge_schema=True`` reads the union schema of a schema-EVOLVED
+    dataset (``sources/evolution.py``): files that predate a column
+    contribute NULL for it.  Off by default — merged schema inference
+    reads every footer, which an un-evolved dataset needn't pay."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)

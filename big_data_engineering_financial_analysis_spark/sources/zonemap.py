@@ -140,9 +140,19 @@ def _range_dir_filter(predicates: list[tuple]):
     return allow
 
 
-def _file_zones(fpath: str, cols: list[str]) -> dict:
+def _file_zones(
+    fpath: str, cols: list[str], hive_keys: frozenset[str] = frozenset()
+) -> dict:
     """One file's footer scan: column -> [min, max] / None (all-NULL) /
-    absent (no statistics — the reader must keep the file)."""
+    absent (no statistics — the reader must keep the file).
+
+    ``hive_keys`` are the partition columns of THIS file's path.  A
+    requested column absent from the footer is one of two things: a
+    partition key (its values come from the directory name — omitted,
+    directory pruning owns it) or a schema-evolution gap (the file
+    predates the column; a merged read fills it with NULL — recorded as
+    the all-NULL zone ``None``, so range queries on post-evolution
+    columns PRUNE pre-evolution files instead of scanning them)."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(fpath).metadata
@@ -151,7 +161,9 @@ def _file_zones(fpath: str, cols: list[str]) -> dict:
     for col in cols:
         idx = names.get(col)
         if idx is None:
-            continue  # e.g. a Hive partition column: not in the file
+            if col not in hive_keys:
+                zones[col] = None  # pre-evolution file: reads all-NULL
+            continue
         lo = hi = None
         have = True
         for rg in range(meta.num_row_groups):
@@ -238,10 +250,10 @@ def build_zonemap(path: str, cols: list[str]) -> dict:
     ``[min, max]`` (a ``None`` zone means the column is all-NULL in that
     file; a missing column key means no statistics were available).
     """
-    manifest = {
-        os.path.relpath(fpath, path): _file_zones(fpath, cols)
-        for fpath in _data_files(path)
-    }
+    manifest = {}
+    for fpath in _data_files(path):
+        rel = os.path.relpath(fpath, path)
+        manifest[rel] = _file_zones(fpath, cols, frozenset(_hive_parts(rel)))
     _write_manifest(path, manifest)
     return manifest
 
@@ -295,7 +307,9 @@ def update_zonemap(
                 shard = {rel: z for rel, z in existing.items() if rel in current}
                 for rel, fpath in current.items():
                     if rel not in shard:
-                        shard[rel] = _file_zones(fpath, want)
+                        shard[rel] = _file_zones(
+                            fpath, want, frozenset(_hive_parts(rel))
+                        )
                 _atomic_json_if_changed(
                     os.path.join(path, leaf, MANIFEST_NAME),
                     {"files": {os.path.basename(r): z for r, z in shard.items()}},
@@ -311,7 +325,7 @@ def update_zonemap(
     manifest = {rel: z for rel, z in manifest.items() if rel in current}
     for rel, fpath in current.items():
         if rel not in manifest:
-            manifest[rel] = _file_zones(fpath, want)
+            manifest[rel] = _file_zones(fpath, want, frozenset(_hive_parts(rel)))
     _write_manifest(path, manifest)
     return manifest
 
@@ -572,25 +586,37 @@ def read_pruned(
     col: str,
     lo=None,
     hi=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Range-read with file-level skipping.  ALWAYS applies the residual
     filter, so the result equals ``read + filter`` regardless of manifest
-    staleness; the manifest only shrinks the file list."""
-    return read_pruned_multi(spark, path, [(col, lo, hi)])
+    staleness; the manifest only shrinks the file list.
+
+    ``merge_schema=True`` is required on schema-EVOLVED datasets (files
+    with different footer schemas): without it Spark types the scan from
+    one sampled footer, and a surviving file set made entirely of
+    pre-evolution files would miss the queried column entirely."""
+    return read_pruned_multi(
+        spark, path, [(col, lo, hi)], merge_schema=merge_schema
+    )
 
 
 def read_pruned_multi(
     spark: SparkSession,
     path: str,
     predicates: list[tuple],
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Conjunctive multi-range read with file-level skipping — same
     result-equals-full-scan contract as :func:`read_pruned`."""
     keep, _total = prune_files_multi(path, predicates)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if not keep:
         # empty relation with the dataset's schema (schema-only read)
-        return spark.read.parquet(path).limit(0)
-    df = spark.read.option("basePath", path).parquet(*keep)
+        return reader.parquet(path).limit(0)
+    df = reader.option("basePath", path).parquet(*keep)
     for col, lo, hi in predicates:
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))

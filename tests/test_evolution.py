@@ -1,0 +1,159 @@
+"""Schema evolution: aligned appends keep one physical type per column,
+merged reads yield the union schema, and BOTH skip indexes prove
+pre-evolution files skippable on post-evolution columns (while partition
+keys and boundless reads stay exempt)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+from big_data_engineering_financial_analysis_spark.sources.dataset import (
+    read_dataset,
+    write_sharded,
+)
+from big_data_engineering_financial_analysis_spark.sources.evolution import (
+    align_to_dataset,
+    append_evolved,
+    dataset_schema,
+    read_evolved,
+)
+
+
+def _v1(spark, path: str) -> None:
+    """Generation-1 dataset: (id long, v double, lang partition)."""
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i) / 10, lang="en" if i % 2 else "de") for i in range(40)]
+    )
+    write_sharded(df, path, partition_cols=["lang"], sort_cols=["id"])
+
+
+def _v2(spark):
+    """Generation-2 frame: drops ``v``, adds ``score``; ``id`` arrives
+    as int (must widen to the dataset's long)."""
+    return spark.createDataFrame(
+        [
+            Row(id=i, score=float(i), lang="en" if i % 2 else "de")
+            for i in range(100, 130)
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        ),
+    )
+
+
+def test_align_widens_fills_and_appends_new(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    target = dataset_schema(spark, path)
+    aligned = align_to_dataset(_v2(spark), target)
+    by_name = {f.name: f.dataType for f in aligned.schema.fields}
+    assert by_name["id"] == T.LongType()  # widened int -> long
+    assert by_name["v"] == T.DoubleType()  # filled with typed NULL
+    assert by_name["score"] == T.DoubleType()  # new column appended
+    assert aligned.filter(F.col("v").isNotNull()).count() == 0
+    # dataset columns first (stable order), new columns after
+    assert aligned.columns[: len(target.fields)] == [f.name for f in target.fields]
+
+
+def test_align_refuses_lossy_narrowing(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    bad = spark.createDataFrame(
+        [Row(id="not-a-number", v=1.0, lang="en")]
+    )  # string id vs long dataset id
+    with pytest.raises(TypeError, match="id"):
+        align_to_dataset(bad, dataset_schema(spark, path))
+    long_v = spark.createDataFrame(
+        [(1, 2, "en")],
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.LongType()),  # long vs double: lossy
+                T.StructField("lang", T.StringType()),
+            ]
+        ),
+    )
+    with pytest.raises(TypeError, match="v"):
+        align_to_dataset(long_v, dataset_schema(spark, path))
+
+
+def test_append_evolved_round_trip(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    back = read_evolved(spark, path)
+    assert back.count() == 70
+    assert set(back.columns) == {"id", "v", "lang", "score"}
+    # pre-evolution rows read NULL score; post-evolution rows NULL v
+    assert back.filter("id < 100 AND score IS NOT NULL").count() == 0
+    assert back.filter("id >= 100 AND v IS NOT NULL").count() == 0
+    assert back.filter("id >= 100 AND score IS NULL").count() == 0
+    # every file keeps a single physical type for id: merged read works
+    # and types are the dataset's
+    by_name = {f.name: f.dataType for f in back.schema.fields}
+    assert by_name["id"] == T.LongType()
+    # read_dataset merge_schema flag is the same read
+    assert read_dataset(spark, path, merge_schema=True).count() == 70
+
+
+def test_zonemap_prunes_pre_evolution_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    zm.build_zonemap(path, ["score", "id", "lang"])
+    total = zm.count_data_files(path)
+    keep, _ = zm.prune_files(path, "score", lo=100.0, hi=120.0)
+    assert keep, "post-evolution files must survive"
+    assert len(keep) < total, "pre-evolution files must be pruned"
+    # the partition column is exempt: lang is never recorded all-NULL
+    # even when explicitly requested (its values live in the path)
+    manifest = zm.load_zonemap(path)
+    assert all("lang" not in zones for zones in manifest.values())
+    # boundless read keeps everything: result == full scan
+    got = zm.read_pruned(
+        spark, path, "score", lo=100.0, hi=120.0, merge_schema=True
+    )
+    expect = read_evolved(spark, path).filter(
+        "score >= 100.0 AND score <= 120.0"
+    )
+    assert got.count() == expect.count() == 21
+
+
+def test_bloom_skips_pre_evolution_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    bs.build_bloom_index(path, ["score"], spark=spark)
+    total = zm.count_data_files(path)
+    keep, _ = bs.prune_files_eq(path, "score", [105.0])
+    assert keep and len(keep) < total
+    got = bs.read_point(spark, path, "score", [105.0], merge_schema=True)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 105
+    # a value that exists nowhere skips every file, including the
+    # empty-filter pre-evolution ones
+    keep_none, _ = bs.prune_files_eq(path, "score", [9999.5])
+    assert keep_none == []
+
+
+def test_update_paths_record_evolution_gaps(spark, tmp_path):
+    """Incremental sidecar maintenance (the streaming-sink path) records
+    the same all-NULL zones / empty filters for pre-evolution files."""
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    zm.update_zonemap(path, ["score"])
+    manifest = zm.load_zonemap(path)
+    gaps = [z for z in manifest.values() if z.get("score", "absent") is None]
+    assert gaps, "pre-evolution files must carry the all-NULL score zone"
+    keep, _ = zm.prune_files(path, "score", lo=0.0, hi=1e9)
+    assert len(keep) < zm.count_data_files(path)

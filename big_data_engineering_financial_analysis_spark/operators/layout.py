@@ -65,6 +65,163 @@ def zvalue_sql(x: str, y: str) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def zvalue_n(cols: list[Column], bits: int) -> Column:
+    """Morton-interleave ``n`` non-negative ints, ``bits`` low bits each
+    (bit *i* of dimension *d* lands at key bit ``i*n + d``).  The caller
+    bounds ``n*bits`` ≤ 60 so the key stays a positive long.  Same pure
+    shift/mask arithmetic as :func:`zvalue` — codegen-able, no Python."""
+    n = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for d, c in enumerate(cols):
+        cm = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(cm, i).bitwiseAND(F.lit(1)), i * n + d)
+            )
+    return reduce(add, terms)
+
+
+#: Quantile-mode resolution: 2**QBITS rank buckets per dimension.
+QBITS = 8
+
+
+def zorder_codes(
+    df: DataFrame, cols: list[str], bits: int, mode: str = "quantile"
+) -> tuple[list[Column], dict]:
+    """Per-column fixed-point codes for Z-ordering.
+
+    ``mode="quantile"`` (default, the skew-robust rank coding lakehouse
+    optimizers use): each value's code is its approximate rank bucket —
+    ``2**QBITS`` equi-DEPTH buckets from one ``percentile_approx`` pass,
+    so every bucket holds ~the same row mass no matter how heavy the
+    tail (measured on sf0.1 events.value: second-dimension file-skip
+    0.16 min-max → 0.66 quantile; a single outlier cannot compress
+    everyone else's codes).  The bucket lookup is a literal-array HOF
+    fold (JVM-side, ~2**QBITS comparisons per row — write-time only).
+
+    ``mode="minmax"``: linear scaling between the global min/max — one
+    cheaper aggregate, full ``bits`` resolution, right for layout keys
+    already near-uniform (ids, bounded timestamps).
+
+    Either way: one aggregate over the frame collecting a model-sized
+    handful of scalars per column; the code expressions are row-local;
+    NULLs code to 0 (they cluster at the curve's origin).  Returns
+    (code columns, per-column stats to re-code consistent incremental
+    appends).  The layout only affects WHERE rows land, never results.
+    """
+    top = (1 << bits) - 1
+    codes: list[Column] = []
+    stats: dict = {"mode": mode}
+    if mode == "quantile":
+        n_buckets = 1 << QBITS
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        prob_sql = ", ".join(repr(p) for p in probs)
+        aggs = [
+            F.expr(
+                f"percentile_approx(cast(`{c}` as double), array({prob_sql}))"
+            ).alias(f"_q_{c}")
+            for c in cols
+        ]
+        row = df.agg(*aggs).first()
+        shift = bits - QBITS
+        for c in cols:
+            bnds = row[f"_q_{c}"]
+            stats[c] = bnds
+            if bnds is None:
+                codes.append(F.lit(0).cast("long"))  # all-NULL dim
+                continue
+            # code = (#boundaries <= v) spread over the full bit width
+            count_le = F.aggregate(
+                F.lit(bnds),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            )
+            spread = (
+                F.shiftleft(count_le, shift)
+                if shift >= 0
+                else F.shiftright(count_le, -shift)  # >7 dims: fewer bits
+            )
+            codes.append(F.coalesce(spread, F.lit(0)).cast("long"))
+        return codes, stats
+    if mode != "minmax":
+        raise ValueError(f"unknown zorder code mode: {mode!r}")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        stats[c] = (lo, hi)
+        if lo is None or hi is None or hi <= lo:
+            codes.append(F.lit(0).cast("long"))  # constant/all-NULL dim
+            continue
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(lo))
+            / F.lit(hi - lo)
+            * F.lit(float(top))
+        )
+        codes.append(
+            F.coalesce(
+                F.greatest(F.lit(0), F.least(F.lit(top), scaled)), F.lit(0)
+            ).cast("long")
+        )
+    return codes, stats
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    zonemap: bool = True,
+    mode: str = "overwrite",
+    code_mode: str = "quantile",
+) -> dict:
+    """The actual multi-dimensional re-layout write — ``OPTIMIZE ZORDER
+    BY`` for the plain-parquet dataset layer.
+
+    Rows are range-partitioned on the Morton key of the coded
+    ``zorder_cols`` (``code_mode``: skew-robust rank buckets by default,
+    ``"minmax"`` for near-uniform keys — :func:`zorder_codes`) and
+    sorted by it within each file, so every file
+    covers a small hyper-rectangle of the key space: per-file min/max
+    statistics are tight on EVERY z-ordered column at once, and both the
+    zone-map sidecar and parquet row-group pruning can skip on any of
+    them — where a linear sort serves only its leading column.  Plan
+    shape: ONE range exchange (boundary sampling included) + local
+    sort; the key is pure shift/mask arithmetic inside codegen.
+
+    Writes with ``maxRecordsPerFile`` unset — ``n_files`` range
+    partitions become n_files files (one per task).  Returns the
+    min/max stats used for coding (persist them to re-code incremental
+    appends consistently).  ``zonemap=True`` builds the zone-map sidecar
+    over ``zorder_cols`` so file-level skipping works immediately."""
+    bits = min(BITS, 60 // max(1, len(zorder_cols)))
+    codes, stats = zorder_codes(df, zorder_cols, bits, mode=code_mode)
+    keyed = df.withColumn("_zkey", zvalue_n(codes, bits))
+    out = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    # same INT96 trap as write_sharded: stats-less timestamps would
+    # defeat the very pruning the layout exists for
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    out.write.mode(mode).parquet(path)
+    if zonemap:
+        from big_data_engineering_financial_analysis_spark.sources.zonemap import build_zonemap
+
+        build_zonemap(path, zorder_cols)
+    return stats
+
+
 def zorder_stats(
     df: DataFrame,
     x_col: str,

@@ -87,7 +87,11 @@ QBITS = 8
 
 
 def zorder_codes(
-    df: DataFrame, cols: list[str], bits: int, mode: str = "quantile"
+    df: DataFrame,
+    cols: list[str],
+    bits: int,
+    mode: str = "quantile",
+    stats: dict | None = None,
 ) -> tuple[list[Column], dict]:
     """Per-column fixed-point codes for Z-ordering.
 
@@ -109,25 +113,33 @@ def zorder_codes(
     NULLs code to 0 (they cluster at the curve's origin).  Returns
     (code columns, per-column stats to re-code consistent incremental
     appends).  The layout only affects WHERE rows land, never results.
+
+    Pass a previous call's ``stats`` back in to FREEZE the coding: the
+    aggregate is skipped and an incremental append lands in the same key
+    space as the standing layout (``mode`` is taken from the stats).
     """
+    if stats is not None:
+        mode = stats["mode"]
     top = (1 << bits) - 1
     codes: list[Column] = []
-    stats: dict = {"mode": mode}
+    out_stats: dict = {"mode": mode}
     if mode == "quantile":
-        n_buckets = 1 << QBITS
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        prob_sql = ", ".join(repr(p) for p in probs)
-        aggs = [
-            F.expr(
-                f"percentile_approx(cast(`{c}` as double), array({prob_sql}))"
-            ).alias(f"_q_{c}")
-            for c in cols
-        ]
-        row = df.agg(*aggs).first()
         shift = bits - QBITS
+        if stats is None:
+            n_buckets = 1 << QBITS
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            prob_sql = ", ".join(repr(p) for p in probs)
+            aggs = [
+                F.expr(
+                    f"percentile_approx(cast(`{c}` as double), array({prob_sql}))"
+                ).alias(f"_q_{c}")
+                for c in cols
+            ]
+            row = df.agg(*aggs).first()
+            stats = {c: row[f"_q_{c}"] for c in cols}
         for c in cols:
-            bnds = row[f"_q_{c}"]
-            stats[c] = bnds
+            bnds = stats[c]
+            out_stats[c] = bnds
             if bnds is None:
                 codes.append(F.lit(0).cast("long"))  # all-NULL dim
                 continue
@@ -144,19 +156,21 @@ def zorder_codes(
                 else F.shiftright(count_le, -shift)  # >7 dims: fewer bits
             )
             codes.append(F.coalesce(spread, F.lit(0)).cast("long"))
-        return codes, stats
+        return codes, out_stats
     if mode != "minmax":
         raise ValueError(f"unknown zorder code mode: {mode!r}")
-    aggs = []
+    if stats is None:
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            ]
+        row = df.agg(*aggs).first()
+        stats = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
     for c in cols:
-        aggs += [
-            F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
-        ]
-    row = df.agg(*aggs).first()
-    for c in cols:
-        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
-        stats[c] = (lo, hi)
+        lo, hi = stats[c]
+        out_stats[c] = (lo, hi)
         if lo is None or hi is None or hi <= lo:
             codes.append(F.lit(0).cast("long"))  # constant/all-NULL dim
             continue
@@ -170,7 +184,7 @@ def zorder_codes(
                 F.greatest(F.lit(0), F.least(F.lit(top), scaled)), F.lit(0)
             ).cast("long")
         )
-    return codes, stats
+    return codes, out_stats
 
 
 def write_zordered(
@@ -181,6 +195,8 @@ def write_zordered(
     zonemap: bool = True,
     mode: str = "overwrite",
     code_mode: str = "quantile",
+    partition_cols: list[str] | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """The actual multi-dimensional re-layout write — ``OPTIMIZE ZORDER
     BY`` for the plain-parquet dataset layer.
@@ -197,16 +213,27 @@ def write_zordered(
     sort; the key is pure shift/mask arithmetic inside codegen.
 
     Writes with ``maxRecordsPerFile`` unset — ``n_files`` range
-    partitions become n_files files (one per task).  Returns the
-    min/max stats used for coding (persist them to re-code incremental
-    appends consistently).  ``zonemap=True`` builds the zone-map sidecar
-    over ``zorder_cols`` so file-level skipping works immediately."""
+    partitions become n_files files (one per task).  Returns the coding
+    stats (persist them and pass back as ``stats=`` so incremental
+    appends land in the SAME key space — otherwise each append re-draws
+    its own quantiles and the layouts drift apart).  ``zonemap=True``
+    builds the zone-map sidecar over ``zorder_cols`` so file-level
+    skipping works immediately.
+
+    ``partition_cols`` composes the layout with Hive partitioning: the
+    range runs on (partition_cols..., zkey), so files WITHIN each
+    partition directory are z-clustered and directory pruning still
+    comes first — the shape :func:`dataset.compact_dataset` uses to
+    restore layout on a partitioned store."""
     bits = min(BITS, 60 // max(1, len(zorder_cols)))
-    codes, stats = zorder_codes(df, zorder_cols, bits, mode=code_mode)
+    codes, stats = zorder_codes(
+        df, zorder_cols, bits, mode=code_mode, stats=stats
+    )
+    pcols = partition_cols or []
     keyed = df.withColumn("_zkey", zvalue_n(codes, bits))
     out = (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
+        keyed.repartitionByRange(n_files, *pcols, "_zkey")
+        .sortWithinPartitions(*pcols, "_zkey")
         .drop("_zkey")
     )
     # same INT96 trap as write_sharded: stats-less timestamps would
@@ -214,7 +241,10 @@ def write_zordered(
     df.sparkSession.conf.set(
         "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
     )
-    out.write.mode(mode).parquet(path)
+    writer = out.write.mode(mode)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(path)
     if zonemap:
         from big_data_engineering_financial_analysis_spark.sources.zonemap import build_zonemap
 

@@ -74,8 +74,26 @@ def compact_dataset(
     sort_cols: list[str],
     max_records_per_file: int | None = None,
     snapshot_before: bool = False,
+    zorder_cols: list[str] | None = None,
+    zorder_files: int = 32,
 ) -> None:
     """Rewrite a dataset into consolidated, re-sorted files.
+
+    The rewrite reads with ``mergeSchema`` and is therefore also the
+    SCHEMA-NORMALIZATION step for an evolved dataset
+    (``sources/evolution.py``): after compaction every file carries the
+    union schema (evolution gaps materialized as real NULL columns), so
+    plain un-merged reads see every column again and the per-append
+    merged-read tax disappears — evolve cheaply, normalize when the
+    rewrite is worth it anyway.
+
+    ``zorder_cols`` routes the rewrite through the Morton layout
+    (``operators/layout.write_zordered`` semantics, composed with Hive
+    partitioning: range-partition on (partition_cols..., zkey) so files
+    within each partition are z-clustered): streaming appends rot ANY
+    clustering, and compaction is exactly where the multi-dimensional
+    layout gets restored.  ``sort_cols`` is ignored in that mode (the
+    z-key IS the sort).
 
     Streaming sinks append one small file per micro-batch per partition;
     at 100 TB that rots scans with file-open overhead and dead row-group
@@ -116,11 +134,26 @@ def compact_dataset(
         dir=parent,
     )
     staged = os.path.join(tmp, "data")
-    df = spark.read.parquet(path)
-    write_sharded(
-        df, staged, partition_cols, sort_cols,
-        max_records_per_file=max_records_per_file,
-    )
+    # mergeSchema: an evolved dataset must compact to its UNION schema —
+    # a sampled-footer read could silently drop post-evolution columns
+    # from the rewrite (footer IO is noise next to the rewrite itself)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if zorder_cols:
+        from big_data_engineering_financial_analysis_spark.operators.layout import write_zordered
+
+        write_zordered(
+            df,
+            staged,
+            zorder_cols,
+            n_files=zorder_files,
+            partition_cols=partition_cols,
+            zonemap=False,  # sidecar rebuild below keeps its own columns
+        )
+    else:
+        write_sharded(
+            df, staged, partition_cols, sort_cols,
+            max_records_per_file=max_records_per_file,
+        )
     # a zone-map manifest would die with the pre-compaction copy (file
     # names all change); rebuild it on the staged data BEFORE the swap so
     # manifest and files go live atomically together, same columns
@@ -223,9 +256,18 @@ def describe_dataset(path: str) -> dict:
     rows = 0
     bytes_total = 0
     partitions: set[str] = set()
+    schemas: set[tuple] = set()
+    data_cols: set[str] = set()
     for fpath in files:
-        rows += pq.ParquetFile(fpath).metadata.num_rows
+        meta = pq.ParquetFile(fpath).metadata
+        rows += meta.num_rows
         bytes_total += os.path.getsize(fpath)
+        sig = tuple(
+            (meta.schema.column(i).name, meta.schema.column(i).physical_type)
+            for i in range(meta.num_columns)
+        )
+        schemas.add(sig)
+        data_cols.update(name for name, _t in sig)
         for part in os.path.relpath(fpath, path).split(os.sep)[:-1]:
             if "=" in part:
                 partitions.add(part.split("=", 1)[0])
@@ -262,6 +304,10 @@ def describe_dataset(path: str) -> dict:
         "files": len(files),
         "rows": rows,
         "bytes": bytes_total,
+        # >1 footer schemas = the dataset has EVOLVED (read it merged;
+        # the next compaction normalizes it back to one)
+        "footer_schemas": len(schemas),
+        "data_cols": sorted(data_cols),
         "partition_cols": sorted(partitions),
         "zonemap_cols": sorted({c for z in zones.values() for c in z}),
         "zonemap_coverage": len(rels & set(zones)),

@@ -157,3 +157,61 @@ def test_update_paths_record_evolution_gaps(spark, tmp_path):
     assert gaps, "pre-evolution files must carry the all-NULL score zone"
     keep, _ = zm.prune_files(path, "score", lo=0.0, hi=1e9)
     assert len(keep) < zm.count_data_files(path)
+
+
+def test_compaction_normalizes_evolved_schema(spark, tmp_path):
+    """Compaction reads merged and rewrites, so it doubles as the
+    schema-normalization step: afterwards every footer carries the
+    union schema and plain un-merged reads see every column."""
+    from big_data_engineering_financial_analysis_spark.sources.dataset import (
+        compact_dataset,
+        describe_dataset,
+    )
+
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    assert describe_dataset(path)["footer_schemas"] == 2
+    compact_dataset(spark, path, partition_cols=["lang"], sort_cols=["id"])
+    desc = describe_dataset(path)
+    assert desc["footer_schemas"] == 1
+    assert set(desc["data_cols"]) == {"id", "v", "score"}
+    # plain read (no mergeSchema) now sees the full schema
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"id", "v", "lang", "score"}
+    assert back.count() == 70
+    assert back.filter("id >= 100 AND score IS NULL").count() == 0
+
+
+def test_zorder_compaction_restores_layout(spark, tmp_path):
+    """Many small linear appends rot any clustering; compacting with
+    zorder_cols rebuilds the Morton layout and its sidecar in place."""
+    from pyspark.sql import Row
+
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zmod
+    from big_data_engineering_financial_analysis_spark.sources.dataset import compact_dataset
+
+    path = str(tmp_path / "zc")
+    for batch in range(4):  # appends in arrival order: no layout at all
+        df = spark.createDataFrame(
+            [
+                Row(x=i % 64, y=(i * 31) % 64, id=batch * 1000 + i)
+                for i in range(1000)
+            ]
+        )
+        df.coalesce(4).write.mode("append").parquet(path)
+    zmod.build_zonemap(path, ["x", "y"])
+    keep_before, _ = zmod.prune_files(path, "y", lo=0, hi=7)
+    assert len(keep_before) == zmod.count_data_files(path)  # nothing skips
+    compact_dataset(
+        spark, path, partition_cols=[], sort_cols=[], zorder_cols=["x", "y"],
+        zorder_files=16,
+    )
+    keep_after, _ = zmod.prune_files(path, "y", lo=0, hi=7)
+    total = zmod.count_data_files(path)
+    assert len(keep_after) <= total // 2, (len(keep_after), total)
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert zmod.read_pruned(spark, path, "y", lo=0, hi=7).count() == back.filter(
+        "y between 0 and 7"
+    ).count()

@@ -110,3 +110,39 @@ def test_three_dimensions_and_nulls(spark, tmp_path):
         )
     ).first()[0]
     assert 0 <= mx < (1 << 60)
+
+
+def test_frozen_stats_append_shares_key_space(spark, tmp_path):
+    df1 = _grid(spark, 32)
+    df2 = _grid(spark, 32).withColumn("payload", F.col("payload") + 10000)
+    path = str(tmp_path / "zi")
+    stats = write_zordered(df1, path, ["x", "y"], n_files=8)
+    stats2 = write_zordered(
+        df2, path, ["x", "y"], n_files=8, mode="append", stats=stats
+    )
+    assert stats2 == stats  # frozen coding passes through unchanged
+    zm.update_zonemap(path, ["x", "y"])
+    total = zm.count_data_files(path)
+    keep, _ = zm.prune_files(path, "y", lo=0, hi=3)
+    # both generations' files are z-clustered in the SAME key space, so
+    # the band prunes across the whole (appended) dataset
+    assert len(keep) <= total // 2, (len(keep), total)
+    assert zm.read_pruned(spark, path, "y", lo=0, hi=3).count() == 2 * 32 * 4
+
+
+def test_partitioned_zorder_write(spark, tmp_path):
+    df = _grid(spark, 32).withColumn(
+        "lang", F.when(F.col("x") % 2 == 0, "en").otherwise("de")
+    )
+    path = str(tmp_path / "zp")
+    write_zordered(df, path, ["x", "y"], n_files=8, partition_cols=["lang"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    back = spark.read.parquet(path)
+    assert back.count() == 32 * 32
+    # within-partition files are z-clustered: a y-band prunes
+    keep, _ = zm.prune_files(path, "y", lo=0, hi=3)
+    assert len(keep) < zm.count_data_files(path)

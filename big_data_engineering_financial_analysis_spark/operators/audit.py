@@ -55,20 +55,32 @@ def corpus_prep_audit(
     set; ``groupBy(drop_reason).count()`` is the funnel report; joining
     back to the raw text answers "show me what the quality gate is
     throwing away" — the audit loop data engineers run before trusting
-    a gate at full scale."""
+    a gate at full scale.
+
+    Two intermediates are persisted (the gate-feature frame and the
+    dedup-survivor slice — each is referenced by multiple downstream
+    branches); their lifetime is caller-owned, same as corpus_prep's
+    own persist."""
     scored = text.with_quality(text.with_lang_guess(docs)).select(
         "doc_id",
         "text",
         "lang_guess",
         "quality_score",
-        text.page_scrub_ok("text").alias("_scrub_ok"),
+        # coalesce: a NULL text makes the predicate NULL, and the label
+        # CASE below would skip the scrub branch and mislabel the row
+        # 'lang' — the pipeline drops it at scrub, so must the audit
+        F.coalesce(text.page_scrub_ok("text"), F.lit(False)).alias("_scrub_ok"),
     )
     rep_ok = (
         text.max_token_ratio_agg(docs)
         .filter(F.col("max_token_ratio") <= rep_cap)
         .select("doc_id", F.lit(True).alias("_rep_ok"))
     )
-    flagged = scored.join(rep_ok, "doc_id", "left")
+    # referenced by the final labeling frame, by keepers (via kept), and
+    # by surv's materialization: without the persist one action on the
+    # audit output re-runs the tokenize/score projection and the rep_ok
+    # explode+shuffle over the full corpus up to 3x
+    flagged = scored.join(rep_ok, "doc_id", "left").persist()
     gate_ok = (
         F.col("_scrub_ok")
         & (F.col("lang_guess") == lang)

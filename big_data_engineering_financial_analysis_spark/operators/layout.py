@@ -41,16 +41,10 @@ DIM_MASK = (1 << BITS) - 1
 def zvalue(x: Column, y: Column) -> Column:
     """Morton-interleave two non-negative ints (low ``BITS`` bits each):
     bit *i* of ``x`` lands at key bit ``2i``, bit *i* of ``y`` at
-    ``2i+1``.  Pure shift/mask arithmetic — identical in any engine."""
-    xm = x.cast("long").bitwiseAND(F.lit(DIM_MASK))
-    ym = y.cast("long").bitwiseAND(F.lit(DIM_MASK))
-    terms = []
-    for i in range(BITS):
-        terms.append(F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(
-            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return reduce(add, terms)
+    ``2i+1``.  The 2-D special case of :func:`zvalue_n` (one
+    implementation — the bit layout matches because dimension *d* of
+    *n* lands at ``i*n + d``)."""
+    return zvalue_n([x, y], BITS)
 
 
 def zvalue_sql(x: str, y: str) -> str:
@@ -117,12 +111,15 @@ def zorder_codes(
     Pass a previous call's ``stats`` back in to FREEZE the coding: the
     aggregate is skipped and an incremental append lands in the same key
     space as the standing layout (``mode`` is taken from the stats).
+    Per-column values live under the ``"cols"`` key so a column named
+    ``mode`` can never collide with the mode marker.
     """
     if stats is not None:
         mode = stats["mode"]
     top = (1 << bits) - 1
     codes: list[Column] = []
-    out_stats: dict = {"mode": mode}
+    col_stats: dict = {}
+    out_stats: dict = {"mode": mode, "cols": col_stats}
     if mode == "quantile":
         shift = bits - QBITS
         if stats is None:
@@ -136,10 +133,12 @@ def zorder_codes(
                 for c in cols
             ]
             row = df.agg(*aggs).first()
-            stats = {c: row[f"_q_{c}"] for c in cols}
+            frozen = {c: row[f"_q_{c}"] for c in cols}
+        else:
+            frozen = stats["cols"]
         for c in cols:
-            bnds = stats[c]
-            out_stats[c] = bnds
+            bnds = frozen[c]
+            col_stats[c] = bnds
             if bnds is None:
                 codes.append(F.lit(0).cast("long"))  # all-NULL dim
                 continue
@@ -167,10 +166,12 @@ def zorder_codes(
                 F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
             ]
         row = df.agg(*aggs).first()
-        stats = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+        frozen = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    else:
+        frozen = stats["cols"]
     for c in cols:
-        lo, hi = stats[c]
-        out_stats[c] = (lo, hi)
+        lo, hi = frozen[c]
+        col_stats[c] = (lo, hi)
         if lo is None or hi is None or hi <= lo:
             codes.append(F.lit(0).cast("long"))  # constant/all-NULL dim
             continue

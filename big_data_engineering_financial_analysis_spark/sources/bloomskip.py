@@ -72,6 +72,7 @@ from big_data_engineering_financial_analysis_spark.sources.zonemap import (
     _hive_parts,
     _range_maybe_matches,
 )
+from big_data_engineering_financial_analysis_spark.sources.zonemap import _reader as _zm_reader
 
 MANIFEST_NAME = "_bloomskip.json"
 DEFAULT_N_BITS = 1 << 16
@@ -239,36 +240,36 @@ class _Bloom:
 
     @classmethod
     def decode(cls, obj: dict) -> "_Bloom":
+        if obj.get("empty"):  # evolution-gap marker: zero bits, O(1) bytes
+            return cls(obj["m"], obj["k"])
         return cls(obj["m"], obj["k"], bytearray(base64.b64decode(obj["bits"])))
 
 
-def _file_blooms(
-    fpath: str,
-    sizing: dict[str, tuple[int, int]],
-    hive_keys: frozenset[str] = frozenset(),
-) -> dict:
-    """One file's column scan: column -> encoded filter / absent (column
-    missing from the file — e.g. a Hive partition column — keeps the
-    file).  ``sizing`` maps column -> (n_bits, n_hashes), so a hot
-    point-lookup column deliberately upsized stays upsized on rebuild.
+def _empty_filter(n_bits: int, n_hashes: int) -> dict:
+    """O(1)-byte manifest entry proving a column matches NO key in a
+    file — the schema-evolution gap marker (a full-size all-zero bitmap
+    would cost ~n_bits/8 base64 bytes per gap per file; one evolution on
+    a 1M-file dataset must not grow the sidecars by gigabytes)."""
+    return {"m": n_bits, "k": n_hashes, "empty": True}
 
-    A sized column absent from the footer that is NOT one of this
-    file's ``hive_keys`` is a schema-evolution gap: a merged read fills
-    it with NULL, and equality can never match NULL — recorded as an
-    EMPTY filter, so point lookups on post-evolution columns prove
-    pre-evolution files skippable instead of scanning them."""
+
+def _file_blooms(
+    fpath: str, sizing: dict[str, tuple[int, int]]
+) -> tuple[dict, frozenset[str]]:
+    """One file's column scan: (column -> encoded filter / absent
+    (column missing from the footer), footer column names).  ``sizing``
+    maps column -> (n_bits, n_hashes), so a hot point-lookup column
+    deliberately upsized stays upsized on rebuild.  The names let the
+    builders distinguish evolution gaps from unknown columns — see
+    :func:`zonemap._fill_evolution_gaps` for the contract."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(fpath)
-    names = set(pf.schema_arrow.names)
+    names = frozenset(pf.schema_arrow.names)
     present = [c for c in sizing if c in names]
     out: dict[str, Any] = {}
-    for col in sizing:
-        if col not in names and col not in hive_keys:
-            n_bits, n_hashes = sizing[col]
-            out[col] = _Bloom(n_bits, n_hashes).encode()
     if not present:
-        return out
+        return out, names
     table = pf.read(columns=present)
     for col in present:
         n_bits, n_hashes = sizing[col]
@@ -277,7 +278,7 @@ def _file_blooms(
             if v is not None:  # equality can never match NULL
                 bloom.add(v)
         out[col] = bloom.encode()
-    return out
+    return out, names
 
 
 def _sizing_from_manifest(manifest: dict) -> dict[str, tuple[int, int]]:
@@ -366,20 +367,79 @@ def _scan_blooms(
     if spark is not None and len(pairs) > 1:
         sc = spark.sparkContext
         n_slices = min(len(pairs), sc.defaultParallelism)
-        return dict(
+        scanned = (
             sc.parallelize(pairs, n_slices)
-            .map(
-                lambda rf: (
-                    rf[0],
-                    _file_blooms(rf[1], sizing, frozenset(_hive_parts(rf[0]))),
-                )
-            )
+            .map(lambda rf: (rf[0], _file_blooms(rf[1], sizing)))
             .collect()
         )
+    else:
+        scanned = [(rel, _file_blooms(fpath, sizing)) for rel, fpath in pairs]
+    return {rel: (blooms, names) for rel, (blooms, names) in scanned}
+
+
+def _fill_bloom_gaps(
+    scanned: dict[str, tuple[dict, frozenset[str]]],
+    sizing: dict[str, tuple[int, int]],
+    known: set[str],
+) -> dict:
+    """Turn footer scans into manifest entries, recording schema-evolution
+    gaps as :func:`_empty_filter` markers — same contract and same
+    known-column correctness gate as ``zonemap._fill_evolution_gaps``
+    (a column in NO footer anywhere stays absent: files must be KEPT)."""
+    out = {}
+    for rel, (blooms, names) in scanned.items():
+        hive = frozenset(_hive_parts(rel))
+        for col, (n_bits, n_hashes) in sizing.items():
+            if col not in blooms and col not in names and col not in hive \
+                    and col in known:
+                blooms[col] = _empty_filter(n_bits, n_hashes)
+        out[rel] = blooms
+    return out
+
+
+def _known_bloom_cols(manifest: dict) -> set[str]:
+    """Columns with REAL (non-gap) filters somewhere in the manifest —
+    evidence the column exists in the dataset."""
     return {
-        rel: _file_blooms(fpath, sizing, frozenset(_hive_parts(rel)))
-        for rel, fpath in pairs
+        c
+        for blooms in manifest.values()
+        for c, enc in blooms.items()
+        if not enc.get("empty")
     }
+
+
+def _update_scan(
+    current: dict[str, str],
+    covered: dict[str, dict],
+    sizing: dict[str, tuple[int, int]],
+    spark: SparkSession | None,
+) -> dict:
+    """The incremental-update scan set: uncovered files scan every sized
+    column; covered files whose entry lacks a sized column scan ONLY the
+    missing ones (evolution backfill — those columns are absent from the
+    footer, so the scan is footer-only; the file's existing real filters
+    are never re-read).  Files are grouped by their column set so the
+    distributed path still runs one RDD per group.  Returns
+    ``rel -> (blooms, names)`` covering only what was scanned."""
+    groups: dict[frozenset, list[tuple[str, str]]] = {}
+    for rel, fpath in current.items():
+        entry = covered.get(rel)
+        if entry is None:
+            need = frozenset(sizing)
+        else:
+            need = frozenset(
+                c
+                for c in sizing
+                if c not in entry and c not in _hive_parts(rel)
+            )
+        if need:
+            groups.setdefault(need, []).append((rel, fpath))
+    scanned: dict = {}
+    for colset, pairs in groups.items():
+        scanned.update(
+            _scan_blooms(pairs, {c: sizing[c] for c in colset}, spark)
+        )
+    return scanned
 
 
 def build_bloom_index(
@@ -399,7 +459,9 @@ def build_bloom_index(
     per column — how a rebuild preserves a hot column's upsized filter."""
     full_sizing = {c: (n_bits, n_hashes) for c in cols} | (sizing or {})
     pairs = [(os.path.relpath(f, path), f) for f in _data_files(path)]
-    manifest = _scan_blooms(pairs, full_sizing, spark)
+    scanned = _scan_blooms(pairs, full_sizing, spark)
+    known = set().union(*(n for _b, n in scanned.values())) if scanned else set()
+    manifest = _fill_bloom_gaps(scanned, full_sizing, known)
     _write_manifest(path, manifest)
     return manifest
 
@@ -414,6 +476,10 @@ def update_bloom_index(
 ) -> dict:
     """Incremental maintenance: index ONLY files not yet covered, drop
     entries for deleted files — O(new files), the per-micro-batch call.
+    Covered files whose entry lacks a sized column rescan JUST the
+    missing columns (schema-evolution backfill: those columns are absent
+    from pre-evolution footers, so the one-time pass is footer-only and
+    existing filters are never re-read — :func:`_update_scan`).
     ``spark`` distributes the new-file scans as in `build_bloom_index`
     (useful after a compaction rewrote many files at once).  Columns
     already present in the manifest keep their OBSERVED (m, k) — a
@@ -470,12 +536,17 @@ def update_bloom_index(
                 } | _sizing_from_manifest(existing)
                 current = by_leaf[leaf]
                 shard = {rel: b for rel, b in existing.items() if rel in current}
-                todo = [
-                    (rel, fpath)
-                    for rel, fpath in current.items()
-                    if rel not in shard
-                ]
-                shard.update(_scan_blooms(todo, sizing, spark))
+                scanned = _update_scan(current, shard, sizing, spark)
+                known = (
+                    set().union(*(n for _b, n in scanned.values()))
+                    if scanned
+                    else set()
+                )
+                known |= _known_bloom_cols(existing)
+                for rel, blooms in _fill_bloom_gaps(
+                    scanned, sizing, known
+                ).items():
+                    shard[rel] = shard.get(rel, {}) | blooms
                 _atomic_json_if_changed(
                     os.path.join(path, leaf, MANIFEST_NAME),
                     {
@@ -498,8 +569,11 @@ def update_bloom_index(
     )
     current = {os.path.relpath(f, path): f for f in walk}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}
-    todo = [(rel, fpath) for rel, fpath in current.items() if rel not in manifest]
-    manifest.update(_scan_blooms(todo, sizing, spark))
+    scanned = _update_scan(current, manifest, sizing, spark)
+    known = set().union(*(n for _b, n in scanned.values())) if scanned else set()
+    known |= _known_bloom_cols(manifest)
+    for rel, blooms in _fill_bloom_gaps(scanned, sizing, known).items():
+        manifest[rel] = manifest.get(rel, {}) | blooms
     _write_manifest(path, manifest)
     return manifest
 
@@ -755,9 +829,7 @@ def read_skipped(
     :func:`zonemap.read_pruned`)."""
     ranges = ranges or []
     eq = [(col, list(values)) for col, values in (eq or [])]
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    reader = _zm_reader(spark, merge_schema)
     if any(not values for _col, values in eq):
         return reader.parquet(path).limit(0)  # IN () matches nothing
     keep, _total = prune_files_combined(path, ranges, eq)
@@ -789,9 +861,7 @@ def read_point(
     ``merge_schema=True`` on schema-evolved datasets (see
     :func:`zonemap.read_pruned`)."""
     values = list(values)
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    reader = _zm_reader(spark, merge_schema)
     if not values:  # IN () matches nothing; avoid Spark's empty-isin error
         return reader.parquet(path).limit(0)
     keep, _total = prune_files_eq(path, col, values)

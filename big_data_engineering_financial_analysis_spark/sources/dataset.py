@@ -334,7 +334,6 @@ def read_dataset(
     dataset (``sources/evolution.py``): files that predate a column
     contribute NULL for it.  Off by default — merged schema inference
     reads every footer, which an un-evolved dataset needn't pay."""
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(path)
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import _reader
+
+    return _reader(spark, merge_schema).parquet(path)

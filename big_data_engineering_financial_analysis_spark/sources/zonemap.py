@@ -140,19 +140,11 @@ def _range_dir_filter(predicates: list[tuple]):
     return allow
 
 
-def _file_zones(
-    fpath: str, cols: list[str], hive_keys: frozenset[str] = frozenset()
-) -> dict:
-    """One file's footer scan: column -> [min, max] / None (all-NULL) /
-    absent (no statistics — the reader must keep the file).
-
-    ``hive_keys`` are the partition columns of THIS file's path.  A
-    requested column absent from the footer is one of two things: a
-    partition key (its values come from the directory name — omitted,
-    directory pruning owns it) or a schema-evolution gap (the file
-    predates the column; a merged read fills it with NULL — recorded as
-    the all-NULL zone ``None``, so range queries on post-evolution
-    columns PRUNE pre-evolution files instead of scanning them)."""
+def _file_zones(fpath: str, cols: list[str]) -> tuple[dict, frozenset[str]]:
+    """One file's footer scan: (column -> [min, max] / None (all-NULL) /
+    absent (no statistics OR column not in the footer), footer column
+    names).  The names let callers distinguish "no stats" from "column
+    absent" — see :func:`_fill_evolution_gaps`."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(fpath).metadata
@@ -161,8 +153,6 @@ def _file_zones(
     for col in cols:
         idx = names.get(col)
         if idx is None:
-            if col not in hive_keys:
-                zones[col] = None  # pre-evolution file: reads all-NULL
             continue
         lo = hi = None
         have = True
@@ -180,7 +170,45 @@ def _file_zones(
         if not have:
             continue  # no stats -> omit: reader must keep the file
         zones[col] = None if lo is None else [_encode(lo), _encode(hi)]
-    return zones
+    return zones, frozenset(names)
+
+
+def _fill_evolution_gaps(
+    scanned: list[tuple[str, dict, frozenset[str]]],
+    cols: list[str],
+    known: set[str],
+) -> dict:
+    """Turn footer scans into manifest entries, recording SCHEMA-EVOLUTION
+    gaps: a requested column absent from a file's footer that (a) is not
+    a partition key of that file's path and (b) provably EXISTS in the
+    dataset (``known`` — present in some scanned footer, or carrying real
+    stats in the standing manifest) gets the all-NULL zone ``None``: a
+    merged read fills it with NULL, so range queries on post-evolution
+    columns PRUNE pre-evolution files instead of scanning them.
+
+    The ``known`` gate is the correctness guard: a column in NO footer at
+    all (a typo, a case mismatch — Spark resolves filters
+    case-insensitively, so the drift is invisible elsewhere) must stay
+    OMITTED, keeping every file, or a pruned read would return empty
+    where full-scan + filter returns rows."""
+    out = {}
+    for rel, zones, names in scanned:
+        hive = frozenset(_hive_parts(rel))
+        for col in cols:
+            if col not in zones and col not in names and col not in hive \
+                    and col in known:
+                zones[col] = None  # pre-evolution file: reads all-NULL
+        out[rel] = zones
+    return out
+
+
+def _reader(spark: SparkSession, merge_schema: bool):
+    """The shared merged-read knob for every dataset read path: ONE place
+    holds the mergeSchema contract (zonemap/bloomskip/dataset all thread
+    through here), so a future reader option has one home."""
+    if merge_schema:
+        return spark.read.option("mergeSchema", "true")
+    return spark.read
 
 
 def _atomic_json(final: str, obj) -> None:
@@ -250,10 +278,13 @@ def build_zonemap(path: str, cols: list[str]) -> dict:
     ``[min, max]`` (a ``None`` zone means the column is all-NULL in that
     file; a missing column key means no statistics were available).
     """
-    manifest = {}
+    scanned = []
     for fpath in _data_files(path):
         rel = os.path.relpath(fpath, path)
-        manifest[rel] = _file_zones(fpath, cols, frozenset(_hive_parts(rel)))
+        zones, names = _file_zones(fpath, cols)
+        scanned.append((rel, zones, names))
+    known = set().union(*(n for _r, _z, n in scanned)) if scanned else set()
+    manifest = _fill_evolution_gaps(scanned, cols, known)
     _write_manifest(path, manifest)
     return manifest
 
@@ -267,6 +298,15 @@ def update_zonemap(
     streaming micro-batch append.  Columns default to the manifest's
     union (+ any extra ``cols``) so appends keep covering what the
     build covered.
+
+    Covered files whose entry lacks a wanted column are footer-rescanned
+    (schema-evolution backfill: pre-evolution files get their all-NULL
+    gap zone recorded one time, then skip again).  Two pathological
+    columns re-trigger that footer-only rescan every update — a column
+    with NO parquet statistics anywhere, and a column in NO footer at
+    all (typo/case drift; deliberately never gap-recorded, see
+    :func:`_fill_evolution_gaps`) — correctness is unaffected either
+    way, the cost is metadata reads.
 
     ``dirs`` (relative partition directories, e.g. ``["lang=en"]``)
     bounds the MAINTENANCE IO the same way the prune side is bounded: a
@@ -305,11 +345,27 @@ def update_zonemap(
                 )
                 current = by_leaf[leaf]
                 shard = {rel: z for rel, z in existing.items() if rel in current}
+                # rescan uncovered files AND covered files whose entry
+                # lacks a wanted column (schema evolution backfill: a
+                # one-time footer-only pass per pre-evolution file —
+                # afterwards the gap entry is recorded and skipped here)
+                scanned = []
                 for rel, fpath in current.items():
-                    if rel not in shard:
-                        shard[rel] = _file_zones(
-                            fpath, want, frozenset(_hive_parts(rel))
-                        )
+                    entry = shard.get(rel)
+                    if entry is None or any(
+                        c not in entry and c not in _hive_parts(rel)
+                        for c in want
+                    ):
+                        zones, names = _file_zones(fpath, want)
+                        scanned.append((rel, zones, names))
+                known = set().union(*(n for _r, _z, n in scanned)) if scanned else set()
+                known |= {
+                    c
+                    for zones in existing.values()
+                    for c, z in zones.items()
+                    if z is not None
+                }
+                shard |= _fill_evolution_gaps(scanned, want, known)
                 _atomic_json_if_changed(
                     os.path.join(path, leaf, MANIFEST_NAME),
                     {"files": {os.path.basename(r): z for r, z in shard.items()}},
@@ -323,9 +379,21 @@ def update_zonemap(
     )
     current = {os.path.relpath(f, path): f for f in _data_files(path)}
     manifest = {rel: z for rel, z in manifest.items() if rel in current}
+    # rescan uncovered files and covered files lacking a wanted column
+    # (evolution backfill — one-time footer-only pass, see dirs branch)
+    scanned = []
     for rel, fpath in current.items():
-        if rel not in manifest:
-            manifest[rel] = _file_zones(fpath, want, frozenset(_hive_parts(rel)))
+        entry = manifest.get(rel)
+        if entry is None or any(
+            c not in entry and c not in _hive_parts(rel) for c in want
+        ):
+            zones, names = _file_zones(fpath, want)
+            scanned.append((rel, zones, names))
+    known = set().union(*(n for _r, _z, n in scanned)) if scanned else set()
+    known |= {
+        c for zones in manifest.values() for c, z in zones.items() if z is not None
+    }
+    manifest |= _fill_evolution_gaps(scanned, want, known)
     _write_manifest(path, manifest)
     return manifest
 
@@ -610,9 +678,7 @@ def read_pruned_multi(
     """Conjunctive multi-range read with file-level skipping — same
     result-equals-full-scan contract as :func:`read_pruned`."""
     keep, _total = prune_files_multi(path, predicates)
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+    reader = _reader(spark, merge_schema)
     if not keep:
         # empty relation with the dataset's schema (schema-only read)
         return reader.parquet(path).limit(0)

@@ -77,6 +77,9 @@ def test_first_fail_precedence(spark):
                 "der die und das ein ist der die und das"
             ),
         ),
+        # NULL text: the scrub predicate is NULL — must still label
+        # 'scrub' (the pipeline drops it there), never 'lang'
+        Row(doc_id=4, text=None),
     ]
     audit = corpus_prep_audit(
         spark.createDataFrame(rows), quality_floor=QUALITY_FLOOR, rep_cap=REP_CAP
@@ -84,6 +87,7 @@ def test_first_fail_precedence(spark):
     by_id = {r["doc_id"]: r["drop_reason"] for r in audit.collect()}
     assert by_id[2] == "scrub"
     assert by_id[3] == "lang"
+    assert by_id[4] == "scrub"
     assert by_id[1] in (None, "quality")  # 1 must at least clear scrub+lang
     idx = {s: i for i, s in enumerate(STAGES)}
     assert all(r is None or idx[r] >= 0 for r in by_id.values())

@@ -215,3 +215,51 @@ def test_zorder_compaction_restores_layout(spark, tmp_path):
     assert zmod.read_pruned(spark, path, "y", lo=0, hi=7).count() == back.filter(
         "y between 0 and 7"
     ).count()
+
+
+def test_unknown_column_never_prunes(spark, tmp_path):
+    """A column in NO footer at all (typo / case drift — Spark resolves
+    filters case-insensitively, so the mismatch is invisible elsewhere)
+    must stay unrecorded: every file kept, result == full scan."""
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    zm.build_zonemap(path, ["V", "nope"])  # wrong case + nonexistent
+    total = zm.count_data_files(path)
+    for col in ("V", "nope"):
+        keep, _ = zm.prune_files(path, col, lo=0.0, hi=1.0)
+        assert len(keep) == total, col
+    bs.build_bloom_index(path, ["V"], spark=spark)
+    keep, _ = bs.prune_files_eq(path, "V", [0.5])
+    assert len(keep) == total
+
+
+def test_sidecar_predating_evolution_backfills_on_update(spark, tmp_path):
+    """The standard streaming flow: sidecars exist BEFORE the evolution.
+    The incremental update must footer-rescan covered pre-evolution
+    files once and record their gaps — whole-history pruning may not
+    silently depend on a full rebuild."""
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    zm.build_zonemap(path, ["id"])
+    bs.build_bloom_index(path, ["id"], spark=spark)
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    zm.update_zonemap(path, ["score"])
+    bs.update_bloom_index(path, ["score"], spark=spark)
+    total = zm.count_data_files(path)
+    keep_z, _ = zm.prune_files(path, "score", lo=100.0, hi=120.0)
+    assert keep_z and len(keep_z) < total
+    keep_b, _ = bs.prune_files_eq(path, "score", [105.0])
+    assert keep_b and len(keep_b) < total
+    # the pre-evolution gap entries are O(1)-byte markers, not full
+    # all-zero bitmaps (1M-file datasets must not grow by GBs per column)
+    blooms = bs.load_bloom_index(path)
+    gaps = [
+        enc
+        for fb in blooms.values()
+        for c, enc in fb.items()
+        if c == "score" and enc.get("empty")
+    ]
+    assert gaps and all("bits" not in enc for enc in gaps)
+    # and the update is idempotent: a second call rewrites nothing new
+    again = bs.update_bloom_index(path, ["score"], spark=spark)
+    assert again == blooms

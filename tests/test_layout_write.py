@@ -94,7 +94,8 @@ def test_three_dimensions_and_nulls(spark, tmp_path):
     df = spark.createDataFrame(rows)
     path = str(tmp_path / "z3")
     stats = write_zordered(df, path, ["a", "b", "c"], n_files=8)
-    assert set(stats) == {"mode", "a", "b", "c"}
+    assert set(stats) == {"mode", "cols"}
+    assert set(stats["cols"]) == {"a", "b", "c"}
     back = spark.read.parquet(path)
     assert back.count() == 2001
     assert back.filter("id = -1").count() == 1  # NULL row survives

@@ -175,6 +175,7 @@ def webdataset_sink(
     n_shards_per_batch: int = 1,
     seed: int = 0,
     id_col: str = "asset_id",
+    writer_id: str | None = None,
 ):
     """Build a ``foreachBatch`` function appending WebDataset shards per
     micro-batch — the streaming half of the multimodal export path
@@ -186,7 +187,13 @@ def webdataset_sink(
     tar bytes, a recovered stream produces the exact same files it would
     have produced uninterrupted.  :func:`read_webdataset` consumes the
     accumulated directory unchanged (its glob matches both batch and
-    streaming shard names)."""
+    streaming shard names).
+
+    ``writer_id`` scopes markers AND shard names to one (query,
+    checkpoint) incarnation — batch ids restart at 0 under a fresh
+    checkpoint, so a second query writing the same directory must pass
+    its own id or its early batches are skipped as replays (the
+    dataset_sink contract)."""
     import os as _os
 
     from big_data_engineering_financial_analysis_spark.sources.localfs import check_local
@@ -197,16 +204,22 @@ def webdataset_sink(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = _os.path.join(out_dir, "_batches", str(epoch_id))
+        name = str(epoch_id) if writer_id is None else f"{writer_id}-{epoch_id}"
+        marker = _os.path.join(out_dir, "_batches", name)
         if _os.path.exists(marker):
             return  # redelivered batch: shards already committed
+        prefix = (
+            f"shard-{epoch_id:05d}-"
+            if writer_id is None
+            else f"shard-{writer_id}-{epoch_id:05d}-"
+        )
         _write_tars(
             batch_df,
             out_dir,
             n_shards=n_shards_per_batch,
             seed=seed,
             id_col=id_col,
-            prefix=f"shard-{epoch_id:05d}-",
+            prefix=prefix,
         )
         _os.makedirs(marker, exist_ok=True)
 

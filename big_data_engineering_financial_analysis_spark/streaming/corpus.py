@@ -91,6 +91,7 @@ def incremental_dedup_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    writer_id: str | None = None,
 ):
     """Build a ``foreachBatch`` function running incremental near-dedup
     against a persisted minhash signature store.
@@ -146,7 +147,12 @@ def incremental_dedup_sink(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(store_path, "_batches", str(batch_id))
+        # (writer_id, batch_id)-scoped markers: batch ids restart at 0
+        # under a fresh checkpoint, so a second query incarnation feeding
+        # the same store must pass its own writer_id or its early batches
+        # are skipped as replays (the dataset_sink contract)
+        _name = str(batch_id) if writer_id is None else f"{writer_id}-{batch_id}"
+        marker = os.path.join(store_path, "_batches", _name)
         if os.path.exists(marker):
             return  # replayed batch: already committed
         spark = batch_df.sparkSession
@@ -290,6 +296,7 @@ def incremental_cluster_sink(
     text_col: str = "text",
     threshold: float = 0.5,
     n_buckets: int = 64,
+    writer_id: str | None = None,
 ):
     """Build a ``foreachBatch`` function maintaining LIVE duplicate
     CLUSTER labels across micro-batches — the cluster-side completion of
@@ -360,7 +367,12 @@ def incremental_cluster_sink(
     _OVR = "spark.sql.sources.partitionOverwriteMode"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(store_path, "_batches", str(batch_id))
+        # (writer_id, batch_id)-scoped markers: batch ids restart at 0
+        # under a fresh checkpoint, so a second query incarnation feeding
+        # the same store must pass its own writer_id or its early batches
+        # are skipped as replays (the dataset_sink contract)
+        _name = str(batch_id) if writer_id is None else f"{writer_id}-{batch_id}"
+        marker = os.path.join(store_path, "_batches", _name)
         if os.path.exists(marker):
             return  # replayed batch: already committed
         spark = batch_df.sparkSession

@@ -41,11 +41,27 @@ def dataset_sink(
     max_records_per_file: int | None = None,
     bloom_cols: list[str] | None = None,
     snapshot_every: int | None = None,
+    align_schema: bool = False,
+    writer_id: str | None = None,
 ):
     """Build a ``foreachBatch`` function appending micro-batches into a
     sharded dataset, maintaining the zone-map manifest per commit.
 
     Use as ``stream.writeStream.foreachBatch(dataset_sink(...))``.
+
+    ``writer_id`` scopes the replay-dedup markers: batch ids are only
+    unique within ONE query's checkpoint, so every distinct
+    (query, checkpoint) incarnation appending to the same dataset — a
+    schema-evolved restart with a fresh checkpoint, a backfill job, a
+    second topic — must pass its own id or its early batches collide
+    with the first writer's markers and are silently skipped as
+    replays.  ``None`` keeps the legacy single-writer marker layout.
+
+    ``align_schema=True`` aligns every batch onto the dataset's standing
+    merged schema before the append (``sources/evolution.py``): lossless
+    widening, typed-NULL backfill, new columns appended, lossy drift
+    fails the query loudly instead of writing a footer that bricks
+    future merged reads.
 
     ``snapshot_every=N`` pins a snapshot version (`sources/snapshots.py`,
     hardlinks — zero data bytes) after every Nth committed batch: the
@@ -78,7 +94,10 @@ def dataset_sink(
 
     markers_dir = os.path.join(path, "_batches")
     cursor_file = os.path.join(markers_dir, "_snap_cursor")
-    state = {"n_committed": None}  # per-instance; re-derived once per restart
+    # per-instance; n_committed re-derived once per restart, align target
+    # resolved once per restart (a stream's batch schema is FIXED for the
+    # query's lifetime, so one merged-schema read covers every batch)
+    state = {"n_committed": None, "align_target": None}
 
     def _n_committed() -> int:
         if state["n_committed"] is None:
@@ -108,13 +127,41 @@ def dataset_sink(
             os.replace(tmp, cursor_file)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(path, "_batches", str(batch_id))
+        # replay markers are keyed (writer_id, batch_id): Structured
+        # Streaming batch ids are scoped to ONE query's checkpoint, so
+        # a SECOND query appending to the same dataset (a schema-evolved
+        # restart with a fresh checkpoint, a backfill job, a parallel
+        # topic) restarts ids at 0 — under the bare-id legacy layout its
+        # batches would be mistaken for replays and SILENTLY DROPPED.
+        # Give every distinct (query, checkpoint) incarnation its own
+        # writer_id; the default keeps the legacy single-writer layout.
+        name = str(batch_id) if writer_id is None else f"{writer_id}-{batch_id}"
+        marker = os.path.join(path, "_batches", name)
         if os.path.exists(marker):
             if snapshot_every is not None:
                 _maybe_snapshot(batch_id)  # heal a crash-skipped cut
             return  # replayed batch: already committed, idempotent skip
         if snapshot_every is not None:
             _n_committed()  # initialize BEFORE this batch's marker exists
+        if align_schema:
+            # schema-evolution guard for long-lived ingest: a RESTARTED
+            # stream whose producer drifted a column's type (int where
+            # the dataset holds long) would append a footer that bricks
+            # every future mergeSchema read — align each batch onto the
+            # dataset's standing types (lossless widening, typed-NULL
+            # backfill, new columns appended; sources/evolution.py).
+            # Resolved once per sink instance: batch schemas are fixed
+            # per query, and alignment is schema-only when nothing drifts
+            if state["align_target"] is None and zm._data_files(path):
+                from big_data_engineering_financial_analysis_spark.sources import evolution as ev
+
+                state["align_target"] = ev.dataset_schema(
+                    batch_df.sparkSession, path
+                )
+            if state["align_target"] is not None:
+                from big_data_engineering_financial_analysis_spark.sources import evolution as ev
+
+                batch_df = ev.align_to_dataset(batch_df, state["align_target"])
         # ONE write path with the batch API: write_sharded owns the
         # layout (shuffle + per-task sort + maxRecordsPerFile), the flat
         # partition_cols=[] case, and the TIMESTAMP_MICROS pin — whose

@@ -466,3 +466,76 @@ def test_sink_touched_dirs_with_escaped_partition_values(spark, tmp_path):
     # pruned point read equals full scan
     got = bs.read_skipped(spark, out, eq=[("doc_id", [7])])
     assert sorted(r.doc_id for r in got.collect()) == [7]
+
+
+def test_align_schema_guards_evolved_restart(spark, tmp_path):
+    """A restarted stream whose producer drifted the schema (int id, a
+    dropped column, a NEW column) must keep the dataset mergeSchema-
+    readable: ``align_schema=True`` widens losslessly, backfills typed
+    NULLs, and passes the new column through — and the sidecar
+    maintenance records evolution gaps so the new column prunes the
+    whole touched history."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out = str(tmp_path / "ds")
+    _chunk(spark, 0, 80).coalesce(1).write.parquet(src1)
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src1)
+        .writeStream.foreachBatch(
+            dataset_sink(
+                out,
+                partition_cols=["lang"],
+                sort_cols=["doc_id"],
+                zonemap_cols=["doc_id"],
+                align_schema=True,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_a"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # generation 2: doc_id arrives as INT, 'score' is gone, 'vote' is new
+    SCHEMA2 = "doc_id int, lang string, ts timestamp, vote double"
+    spark.createDataFrame(
+        [
+            {
+                "doc_id": i,
+                "lang": "en" if i % 4 else "de",
+                "ts": T0 + dt.timedelta(minutes=i),
+                "vote": float(i),
+            }
+            for i in range(1000, 1080)
+        ],
+        SCHEMA2,
+    ).coalesce(1).write.parquet(src2)
+    q2 = (
+        spark.readStream.schema(SCHEMA2)
+        .parquet(src2)
+        .writeStream.foreachBatch(
+            dataset_sink(
+                out,
+                partition_cols=["lang"],
+                sort_cols=["doc_id"],
+                zonemap_cols=["doc_id", "vote"],
+                align_schema=True,
+                # a fresh checkpoint restarts batch ids at 0 — without
+                # its own writer_id this query's batches would collide
+                # with generation 1's markers and be dropped as replays
+                writer_id="gen2",
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_b"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert back.count() == 160
+    assert dict(back.dtypes)["doc_id"] == "bigint"  # int widened, not drifted
+    assert back.filter("doc_id >= 1000 AND score IS NOT NULL").count() == 0
+    assert back.filter("doc_id < 1000 AND vote IS NOT NULL").count() == 0
+    # evolution gaps recorded by the sink's own dirs-bounded maintenance:
+    # a vote-range query prunes the pre-evolution files
+    keep, _ = zm.prune_files(out, "vote", lo=0.0, hi=2000.0)
+    assert keep and len(keep) < zm.count_data_files(out)

@@ -171,3 +171,22 @@ def test_missing_payload_member_fails_clean(spark, tmp_path):
         tar.addfile(info, io.BytesIO(data))
     with pytest.raises(Exception, match="no payload member"):
         webdataset.read_webdataset(spark, out).collect()
+
+
+def test_second_writer_id_does_not_collide_with_first(spark, assets, tmp_path):
+    """Batch ids restart at 0 under a fresh checkpoint: without its own
+    writer_id a second query's first batch would be skipped as a replay
+    of the first writer's batch 0."""
+    out = str(tmp_path / "wds_two")
+    half = N_ASSETS // 2
+    a1 = assets.filter(f"asset_id < {half}")
+    a2 = assets.filter(f"asset_id >= {half}")
+    webdataset.webdataset_sink(out, seed=4)(a1, 0)  # writer 1, batch 0
+    sink2 = webdataset.webdataset_sink(out, seed=4, writer_id="w2")
+    sink2(a2, 0)  # ALSO batch 0 — must still commit
+    back = webdataset.read_webdataset(spark, out)
+    assert sorted(r.asset_id for r in back.collect()) == list(range(N_ASSETS))
+    # and writer 2's replay of ITS batch 0 is still a no-op
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    sink2(a2, 0)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".tar")) == tars

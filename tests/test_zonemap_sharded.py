@@ -131,7 +131,7 @@ def test_legacy_rel_keyed_manifest_still_loads_and_prunes(spark, tmp_path):
     path = str(tmp_path / "ds")
     df = _write(spark, path)
     manifest = {
-        os.path.relpath(f, path): zm._file_zones(f, ["score"])
+        os.path.relpath(f, path): zm._file_zones(f, ["score"])[0]
         for f in zm._data_files(path)
     }
     zm._atomic_json(os.path.join(path, zm.MANIFEST_NAME), manifest)  # legacy

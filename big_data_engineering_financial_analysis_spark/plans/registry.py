@@ -716,6 +716,18 @@ for _name in RETIRED_R7:
 #:   so it takes the value_quartiles treatment: driver-sim MATCH re-run
 #:   in-session + a hot-bucket regression pytest (tests/test_dedup.py)
 #:   pin it now; the driver row lands on its scheduled r10 rotation.
+#: * late-r9 storage additions (schema evolution + Z-order write +
+#:   streaming align/writer-id): zonemap/bloomskip gained evolution-gap
+#:   recording behind a known-column gate and `merge_schema=` read
+#:   knobs; the prune/read signatures are additive and the recorded
+#:   zones for non-evolved datasets are unchanged.  The r8-latest rows
+#:   riding those paths (bloom_prune_join, panel_price_series_serve/
+#:   _sharded, panel_indicator_series_sharded, panel_candlestick_sharded,
+#:   zorder_index) take the value_quartiles treatment with the window
+#:   full: all six driver-sim MATCH re-run in-session post-change +
+#:   regression pytests (tests/test_evolution.py, test_layout_write.py,
+#:   the 96-test storage sweep), driver rows land on their scheduled
+#:   r10 rotation.
 #: * forced-broadcast sweep: F.broadcast hints dropped from SF-scaled
 #:   frames (part in promo_revenue, customer in returned_items,
 #:   supplier in local_supplier_volume / nation_volume_flow / the

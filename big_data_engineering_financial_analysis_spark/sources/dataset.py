@@ -76,8 +76,16 @@ def compact_dataset(
     snapshot_before: bool = False,
     zorder_cols: list[str] | None = None,
     zorder_files: int = 32,
+    cast_cols: dict[str, str] | None = None,
 ) -> None:
     """Rewrite a dataset into consolidated, re-sorted files.
+
+    ``cast_cols`` promotes column types during the rewrite (``{"id":
+    "long"}``) — the one sanctioned way to WIDEN a dataset whose
+    producers outgrew a type (``evolution.align_to_dataset`` refuses
+    lossy narrowing at append time and points here).  Only lossless
+    widenings are allowed (the same ``_WIDEN`` whitelist): compaction
+    must never corrupt values it is consolidating.
 
     The rewrite reads with ``mergeSchema`` and is therefore also the
     SCHEMA-NORMALIZATION step for an evolved dataset
@@ -138,6 +146,26 @@ def compact_dataset(
     # a sampled-footer read could silently drop post-evolution columns
     # from the rewrite (footer IO is noise next to the rewrite itself)
     df = spark.read.option("mergeSchema", "true").parquet(path)
+    if cast_cols:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from big_data_engineering_financial_analysis_spark.sources.evolution import _WIDEN
+
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for col, target in cast_cols.items():
+            if col not in have:
+                raise ValueError(f"cast_cols: no column {col!r} in {path!r}")
+            tgt = T._parse_datatype_string(target)
+            if have[col] != tgt and (
+                have[col].typeName(), tgt.typeName()
+            ) not in _WIDEN:
+                raise TypeError(
+                    f"cast_cols: {col!r} {have[col].simpleString()} -> "
+                    f"{target} is not a lossless widening; compaction "
+                    "refuses to corrupt values it is consolidating"
+                )
+            df = df.withColumn(col, F.col(col).cast(tgt))
     if zorder_cols:
         from big_data_engineering_financial_analysis_spark.operators.layout import write_zordered
 

@@ -325,18 +325,27 @@ def verify_snapshot(path: str, version: int) -> dict:
 
 
 def _read_rels(
-    spark: SparkSession, path: str, version: int, rels: list[str]
+    spark: SparkSession,
+    path: str,
+    version: int,
+    rels: list[str],
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan the given rels of a version, whichever mode it is.  Hardlink
     versions read straight from the version tree; manifest versions
     resolve each rel to the live tree or the retained pool and union the
     two groups (both preserve the Hive rel structure, so partition
     columns derive identically under each basePath)."""
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import _reader
+
+    def _rd():
+        return _reader(spark, merge_schema)
+
     vdir = os.path.join(_snap_root(path), f"v{version:08d}")
     filelist = _filelist_of(vdir)
     if filelist is None:
         files = [os.path.join(vdir, rel) for rel in rels]
-        return spark.read.option("basePath", vdir).parquet(*files)
+        return _rd().option("basePath", vdir).parquet(*files)
     live, pooled = _resolve_manifest_rels(
         path, {rel: filelist[rel] for rel in rels}
     )
@@ -344,30 +353,42 @@ def _read_rels(
     parts = []
     if live:
         parts.append(
-            spark.read.option("basePath", path).parquet(
+            _rd().option("basePath", path).parquet(
                 *[os.path.join(path, rel) for rel in live]
             )
         )
     if pooled:
         parts.append(
-            spark.read.option("basePath", pool).parquet(
+            _rd().option("basePath", pool).parquet(
                 *[os.path.join(pool, rel) for rel in pooled]
             )
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # an evolved snapshot can split its columns across the two
+        # groups; allowMissingColumns keeps the union total (absent
+        # columns fill with NULL, the mergeSchema semantics)
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
     return out
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan a pinned version (default: latest) as a normal parquet
     dataset.  Fully isolated from later overwrites/compactions/expiries
     of OTHER versions: hardlink versions via pinned inodes, manifest
     versions via the file list + retained pool (the engine's writers
-    never modify parquet files in place)."""
+    never modify parquet files in place).
+
+    ``merge_schema=True`` for versions pinned across a SCHEMA EVOLUTION
+    (``sources/evolution.py``): the pinned file set mixes footer
+    schemas, and the merged read serves their union exactly as the live
+    read would have at commit time — time travel preserves the
+    evolution state, it does not normalize it."""
     path = _check_local(path)
     versions = snapshot_versions(path)
     if not versions:
@@ -386,7 +407,7 @@ def read_snapshot(
             "(committed before the first write) — there is no schema to "
             "serve; read a later version"
         )
-    return _read_rels(spark, path, version, rels)
+    return _read_rels(spark, path, version, rels, merge_schema=merge_schema)
 
 
 def _version_files(path: str, version: int) -> set[str]:
@@ -419,6 +440,7 @@ def read_snapshot_increment(
     v_old: int,
     v_new: int,
     strict: bool = True,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Rows ADDED between two cuts, reading ONLY the added files — the
     incremental-consumer primitive ("process what's new since my last
@@ -449,8 +471,10 @@ def read_snapshot_increment(
             "strict=False to consume rewritten files with downstream dedup."
         )
     if not diff["added"]:
-        return read_snapshot(spark, path, v_new).limit(0)
-    return _read_rels(spark, path, v_new, diff["added"])
+        return read_snapshot(spark, path, v_new, merge_schema=merge_schema).limit(0)
+    return _read_rels(
+        spark, path, v_new, diff["added"], merge_schema=merge_schema
+    )
 
 
 def _manifest_pinned_rels(path: str) -> dict[str, int]:

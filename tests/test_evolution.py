@@ -263,3 +263,71 @@ def test_sidecar_predating_evolution_backfills_on_update(spark, tmp_path):
     # and the update is idempotent: a second call rewrites nothing new
     again = bs.update_bloom_index(path, ["score"], spark=spark)
     assert again == blooms
+
+
+def test_snapshots_preserve_evolution_state(spark, tmp_path):
+    """Time travel across a schema evolution: the pre-evolution pin
+    serves the OLD schema, the post-evolution pin serves the union
+    (merged read), and the increment between them reads only the
+    evolved slice — evolution is pinned, never retro-normalized."""
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+
+    path = str(tmp_path / "ds")
+    _v1(spark, path)
+    v1 = sn.commit_snapshot(path, note="pre-evolution")
+    append_evolved(_v2(spark), path, partition_cols=["lang"], sort_cols=["id"])
+    v2 = sn.commit_snapshot(path, note="post-evolution")
+
+    old = sn.read_snapshot(spark, path, v1)
+    assert set(old.columns) == {"id", "v", "lang"}  # no 'score' yet
+    assert old.count() == 40
+
+    new = sn.read_snapshot(spark, path, v2, merge_schema=True)
+    assert set(new.columns) == {"id", "v", "lang", "score"}
+    assert new.count() == 70
+    assert new.filter("id < 100 AND score IS NOT NULL").count() == 0
+
+    inc = sn.read_snapshot_increment(spark, path, v1, v2, merge_schema=True)
+    assert inc.count() == 30
+    assert inc.filter("score IS NULL").count() == 0
+
+
+def test_compaction_promotes_column_types(spark, tmp_path):
+    """The sanctioned widening path: producers outgrew the dataset's int
+    id, align refuses the lossy direction, compaction promotes the
+    DATASET, and the formerly-refused append then lands cleanly."""
+    from big_data_engineering_financial_analysis_spark.sources.dataset import compact_dataset
+
+    path = str(tmp_path / "ds")
+    narrow = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(20)],
+        schema=T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        ),
+    )
+    write_sharded(narrow, path, partition_cols=["lang"], sort_cols=["id"])
+    wide = spark.createDataFrame(
+        [(10**12, "en")],
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        ),
+    )
+    with pytest.raises(TypeError, match="id"):
+        align_to_dataset(wide, dataset_schema(spark, path))
+    # lossy promotion is refused outright
+    with pytest.raises(TypeError, match="lossless"):
+        compact_dataset(
+            spark, path, ["lang"], ["id"], cast_cols={"id": "short"}
+        )
+    compact_dataset(spark, path, ["lang"], ["id"], cast_cols={"id": "long"})
+    append_evolved(wide, path, partition_cols=["lang"], sort_cols=["id"])
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["id"] == "bigint"
+    assert back.count() == 21
+    assert back.filter(F.col("id") == 10**12).count() == 1

@@ -204,8 +204,11 @@ def webdataset_sink(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        name = str(epoch_id) if writer_id is None else f"{writer_id}-{epoch_id}"
-        marker = _os.path.join(out_dir, "_batches", name)
+        from big_data_engineering_financial_analysis_spark.streaming.dataset_sink import _marker_name
+
+        marker = _os.path.join(
+            out_dir, "_batches", _marker_name(writer_id, epoch_id)
+        )
         if _os.path.exists(marker):
             return  # redelivered batch: shards already committed
         prefix = (

@@ -147,25 +147,31 @@ def compact_dataset(
     # from the rewrite (footer IO is noise next to the rewrite itself)
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if cast_cols:
-        from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        from big_data_engineering_financial_analysis_spark.sources.evolution import _WIDEN
+        from big_data_engineering_financial_analysis_spark.sources.evolution import align_to_dataset
 
-        have = {f.name: f.dataType for f in df.schema.fields}
-        for col, target in cast_cols.items():
+        have = {f.name for f in df.schema.fields}
+        for col in cast_cols:
             if col not in have:
                 raise ValueError(f"cast_cols: no column {col!r} in {path!r}")
-            tgt = T._parse_datatype_string(target)
-            if have[col] != tgt and (
-                have[col].typeName(), tgt.typeName()
-            ) not in _WIDEN:
-                raise TypeError(
-                    f"cast_cols: {col!r} {have[col].simpleString()} -> "
-                    f"{target} is not a lossless widening; compaction "
-                    "refuses to corrupt values it is consolidating"
+        # promotion IS alignment onto the widened target — one home for
+        # the lossless-widening whitelist (align_to_dataset refuses
+        # anything lossy; compaction must never corrupt values it is
+        # consolidating)
+        target = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T._parse_datatype_string(cast_cols[f.name])
+                    if f.name in cast_cols
+                    else f.dataType,
+                    f.nullable,
                 )
-            df = df.withColumn(col, F.col(col).cast(tgt))
+                for f in df.schema.fields
+            ]
+        )
+        df = align_to_dataset(df, target, allow_new_columns=False)
     if zorder_cols:
         from big_data_engineering_financial_analysis_spark.operators.layout import write_zordered
 

@@ -147,12 +147,18 @@ def incremental_dedup_sink(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # (writer_id, batch_id)-scoped markers: batch ids restart at 0
-        # under a fresh checkpoint, so a second query incarnation feeding
-        # the same store must pass its own writer_id or its early batches
-        # are skipped as replays (the dataset_sink contract)
-        _name = str(batch_id) if writer_id is None else f"{writer_id}-{batch_id}"
-        marker = os.path.join(store_path, "_batches", _name)
+        # (writer_id, batch_id)-scoped markers — the dataset_sink
+        # contract (see streaming.dataset_sink._marker_name).  NOTE the
+        # store itself stays single-ACTIVE-writer: the read-merge-
+        # overwrite cycle has no locking, so a CONCURRENT second query
+        # would silently lose the other's updates; writer_id here is
+        # for SEQUENTIAL incarnations (fresh checkpoint, backfill-then-
+        # resume), never parallel ones.
+        from big_data_engineering_financial_analysis_spark.streaming.dataset_sink import _marker_name
+
+        marker = os.path.join(
+            store_path, "_batches", _marker_name(writer_id, batch_id)
+        )
         if os.path.exists(marker):
             return  # replayed batch: already committed
         spark = batch_df.sparkSession
@@ -367,12 +373,18 @@ def incremental_cluster_sink(
     _OVR = "spark.sql.sources.partitionOverwriteMode"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # (writer_id, batch_id)-scoped markers: batch ids restart at 0
-        # under a fresh checkpoint, so a second query incarnation feeding
-        # the same store must pass its own writer_id or its early batches
-        # are skipped as replays (the dataset_sink contract)
-        _name = str(batch_id) if writer_id is None else f"{writer_id}-{batch_id}"
-        marker = os.path.join(store_path, "_batches", _name)
+        # (writer_id, batch_id)-scoped markers — the dataset_sink
+        # contract (see streaming.dataset_sink._marker_name).  NOTE the
+        # store itself stays single-ACTIVE-writer: the read-merge-
+        # overwrite cycle has no locking, so a CONCURRENT second query
+        # would silently lose the other's updates; writer_id here is
+        # for SEQUENTIAL incarnations (fresh checkpoint, backfill-then-
+        # resume), never parallel ones.
+        from big_data_engineering_financial_analysis_spark.streaming.dataset_sink import _marker_name
+
+        marker = os.path.join(
+            store_path, "_batches", _marker_name(writer_id, batch_id)
+        )
         if os.path.exists(marker):
             return  # replayed batch: already committed
         spark = batch_df.sparkSession

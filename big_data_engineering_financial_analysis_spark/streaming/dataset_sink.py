@@ -29,8 +29,35 @@ generalization with file skipping on top.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
+
+#: writer ids must survive the marker-name contract: no leading "_"
+#: (the committed-batch counters and describe_dataset skip _-prefixed
+#: marker names — an "_backfill" writer would be invisible to snapshot
+#: cadence), no path separators (a nested marker dir breaks listings),
+#: no whitespace.
+_WRITER_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9.\-]*$")
+
+
+def _marker_name(writer_id: str | None, batch_id: int) -> str:
+    """The (writer_id, batch_id) replay-marker name — THE cross-sink
+    contract (webdataset / dedup-store / cluster-store sinks all share
+    it): batch ids are only unique within one query's checkpoint, so
+    each distinct (query, checkpoint) incarnation appending to a store
+    needs its own writer_id or its early batches collide with the first
+    writer's markers and are silently skipped as replays.  ``None``
+    keeps the legacy single-writer layout."""
+    if writer_id is None:
+        return str(batch_id)
+    if not _WRITER_ID_RE.match(writer_id):
+        raise ValueError(
+            f"writer_id {writer_id!r} must match {_WRITER_ID_RE.pattern} "
+            "(no leading underscore — such markers are invisible to the "
+            "committed-batch counters — and no separators/whitespace)"
+        )
+    return f"{writer_id}-{batch_id}"
 
 
 def dataset_sink(
@@ -56,6 +83,12 @@ def dataset_sink(
     second topic — must pass its own id or its early batches collide
     with the first writer's markers and are silently skipped as
     replays.  ``None`` keeps the legacy single-writer marker layout.
+    CONCURRENCY LIMIT: writer ids make sequential incarnations and
+    concurrent plain APPENDS safe, but ``snapshot_every`` stays
+    single-ACTIVE-writer — `commit_snapshot` is a single-writer mutator
+    (its tmp-reaping and version numbering race a concurrent committer),
+    so run snapshot cadence on at most one live query per dataset and
+    give other concurrent writers ``snapshot_every=None``.
 
     ``align_schema=True`` aligns every batch onto the dataset's standing
     merged schema before the append (``sources/evolution.py``): lossless
@@ -126,17 +159,12 @@ def dataset_sink(
                 fh.write(str(due))
             os.replace(tmp, cursor_file)
 
+    _marker_name(writer_id, 0)  # validate at construction, not first batch
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # replay markers are keyed (writer_id, batch_id): Structured
-        # Streaming batch ids are scoped to ONE query's checkpoint, so
-        # a SECOND query appending to the same dataset (a schema-evolved
-        # restart with a fresh checkpoint, a backfill job, a parallel
-        # topic) restarts ids at 0 — under the bare-id legacy layout its
-        # batches would be mistaken for replays and SILENTLY DROPPED.
-        # Give every distinct (query, checkpoint) incarnation its own
-        # writer_id; the default keeps the legacy single-writer layout.
-        name = str(batch_id) if writer_id is None else f"{writer_id}-{batch_id}"
-        marker = os.path.join(path, "_batches", name)
+        marker = os.path.join(
+            path, "_batches", _marker_name(writer_id, batch_id)
+        )
         if os.path.exists(marker):
             if snapshot_every is not None:
                 _maybe_snapshot(batch_id)  # heal a crash-skipped cut
@@ -153,10 +181,21 @@ def dataset_sink(
             # Resolved once per sink instance: batch schemas are fixed
             # per query, and alignment is schema-only when nothing drifts
             if state["align_target"] is None and zm._data_files(path):
+                from pyspark.sql import types as T
+
                 from big_data_engineering_financial_analysis_spark.sources import evolution as ev
 
-                state["align_target"] = ev.dataset_schema(
-                    batch_df.sparkSession, path
+                merged = ev.dataset_schema(batch_df.sparkSession, path)
+                # partition columns are EXEMPT from the target: their
+                # merged-read types come from DIRECTORY-NAME inference
+                # (footers don't store them), which can legally narrow —
+                # a long day_id reads back as int, a date-shaped string
+                # as date — and aligning against that would refuse a
+                # perfectly consistent producer from batch 1 onward.
+                # They pass through as the batch's own columns instead
+                # (the same exemption the skip indexes apply).
+                state["align_target"] = T.StructType(
+                    [f for f in merged.fields if f.name not in partition_cols]
                 )
             if state["align_target"] is not None:
                 from big_data_engineering_financial_analysis_spark.sources import evolution as ev

@@ -539,3 +539,62 @@ def test_align_schema_guards_evolved_restart(spark, tmp_path):
     # a vote-range query prunes the pre-evolution files
     keep, _ = zm.prune_files(out, "vote", lo=0.0, hi=2000.0)
     assert keep and len(keep) < zm.count_data_files(out)
+
+
+def test_writer_id_validated_at_construction(tmp_path):
+    import pytest
+
+    from big_data_engineering_financial_analysis_spark.streaming.dataset_sink import _marker_name
+
+    for bad in ("_backfill", "jobs/gen2", "a b", ""):
+        with pytest.raises(ValueError):
+            dataset_sink(
+                str(tmp_path / "ds"), ["lang"], ["doc_id"], writer_id=bad
+            )
+    assert _marker_name("gen2", 7) == "gen2-7"
+    assert _marker_name(None, 7) == "7"
+
+
+def test_align_schema_exempts_partition_columns(spark, tmp_path):
+    """Partition-column types come from DIRECTORY-NAME inference on the
+    merged read (a long day_id reads back as int), which must never make
+    alignment refuse a consistent producer: the partition columns pass
+    through as the batch's own."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    S = "doc_id long, day_id long, score double"
+    rows1 = spark.createDataFrame(
+        [{"doc_id": i, "day_id": i % 3, "score": float(i)} for i in range(40)], S
+    )
+    rows1.coalesce(1).write.parquet(src)
+
+    def run(ck, wid):
+        q = (
+            spark.readStream.schema(S)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                dataset_sink(
+                    out,
+                    partition_cols=["day_id"],
+                    sort_cols=["doc_id"],
+                    align_schema=True,
+                    writer_id=wid,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1", "w1")
+    # second incarnation, same long-typed day_id: batch 1+ resolves the
+    # align target from the existing dataset — directory inference says
+    # day_id is int, and without the exemption this raised TypeError
+    spark.createDataFrame(
+        [{"doc_id": 100 + i, "day_id": i % 3, "score": float(i)} for i in range(40)],
+        S,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run("ck2", "w2")
+    back = spark.read.parquet(out)
+    assert back.count() == 120  # w2 reprocessed all 80 src rows + w1's 40

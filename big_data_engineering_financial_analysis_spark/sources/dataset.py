@@ -238,6 +238,153 @@ def compact_dataset(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    dir_rel: str,
+    sort_cols: list[str],
+    n_files: int = 1,
+    max_records_per_file: int | None = None,
+    snapshot_before: bool = False,
+) -> None:
+    """Compact ONE partition directory in place — the operational form
+    at 100 TB, where "rewrite the dataset" is never the answer: a
+    streaming sink rots exactly the partitions it appends to, so the
+    compactor should pay exactly those.  Cost: a rewrite of ``dir_rel``
+    alone plus O(this partition) sidecar maintenance; every other
+    partition's files, shard manifests, and mtimes are untouched.
+
+    Protocol: the dataset-level two-rename swap, scoped to the
+    partition.  The aside lives under ``<path>._pre_compact_part/`` as a
+    ROOT-MIRRORING tree (so manifest-mode snapshot pins resolve their
+    dataset-relative paths against it — ``preserve_replaced_tree``
+    moves still-pinned replaced files into the retained pool before the
+    aside dies, same as the full compactor).  A crash at any point heals
+    via :func:`recover_partition_compaction` (called up front here).
+
+    Sidecar maintenance is dirs-bounded: each index's columns are taken
+    from THIS partition's shard manifest (falling back to a full update
+    when the manifest is legacy flat), so the refresh reads only the
+    rewritten files.  Single-writer, like every mutator in this layer —
+    pause the partition's streaming sink for the swap instant (the sink
+    retries the next batch; replay markers live at the root, untouched).
+    """
+    import shutil
+    import tempfile
+
+    recover_partition_compaction(path)
+    src = os.path.join(path, dir_rel)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no partition directory {dir_rel!r} in {path!r}")
+    if snapshot_before:
+        from big_data_engineering_financial_analysis_spark.sources import snapshots as _sn
+
+        _sn.commit_snapshot(path, note=f"pre-compaction {dir_rel}")
+    from big_data_engineering_financial_analysis_spark.sources import bloomskip as _bs
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as _zm
+
+    # capture THIS partition's sidecar coverage BEFORE the swap: the
+    # shard manifests live inside the partition directory and leave with
+    # the aside, so reading them afterwards would find nothing and
+    # silently skip the refresh
+    zroot = _zm._read_obj(os.path.join(path, _zm.MANIFEST_NAME))
+    zcols: list[str] = []
+    z_sharded = bool(zroot is not None and _zm._is_sharded(zroot))
+    if zroot is not None:
+        zsrc = (
+            _zm._shard_zones(path, dir_rel)
+            if z_sharded
+            else (_zm.load_zonemap(path) or {})
+        )
+        zcols = sorted({c for zones in zsrc.values() for c in zones})
+    broot = _bs._read_manifest_obj(os.path.join(path, _bs.MANIFEST_NAME))
+    b_sharded = bool(broot is not None and broot.get("sharded"))
+    bsrc = (
+        _bs._shard_files(path, dir_rel, format_gated=False)
+        if b_sharded
+        else (_bs._raw_manifest_files(path) or {})
+    )
+    sizing = _bs._sizing_from_manifest(bsrc)
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = tempfile.mkdtemp(
+        prefix=f"_compactp_{os.path.basename(os.path.abspath(path))}_",
+        dir=parent,
+    )
+    staged = os.path.join(tmp, "data")
+    # plain read of the one dir: partition values stay in the PATH (the
+    # files must not absorb the partition column); mergeSchema so an
+    # evolved partition normalizes exactly like the full compactor
+    df = spark.read.option("mergeSchema", "true").parquet(src)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    out = df.repartition(max(1, n_files))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(staged)
+    aside_root = path + "._pre_compact_part"
+    aside_dir = os.path.join(aside_root, dir_rel)
+    os.makedirs(os.path.dirname(aside_dir) or aside_root, exist_ok=True)
+    os.rename(src, aside_dir)
+    os.rename(staged, src)
+    from big_data_engineering_financial_analysis_spark.sources import snapshots as _snx
+
+    _snx.preserve_replaced_tree(path, aside_root)
+    shutil.rmtree(aside_root)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # dirs-bounded sidecar refresh with the pre-swap coverage (until it
+    # runs the new files are simply unpruned — conservative, never wrong)
+    if zcols:
+        if z_sharded:
+            _zm.update_zonemap(path, zcols, dirs=[dir_rel])
+        else:
+            _zm.update_zonemap(path, zcols)
+    if sizing:
+        if b_sharded:
+            _bs.update_bloom_index(
+                path, sorted(sizing), spark=spark, dirs=[dir_rel]
+            )
+        else:
+            _bs.update_bloom_index(path, sorted(sizing), spark=spark)
+
+
+def recover_partition_compaction(path: str) -> None:
+    """Heal a crashed :func:`compact_partition`.
+
+    For each partition directory present in the aside tree: live dir
+    missing means the crash hit between the two renames — restore the
+    aside as live; live dir present means the swap completed — the aside
+    is superseded (still-pinned files are preserved into the snapshot
+    pool first, re-running the step a crash may have interrupted).
+    Leaked ``_compactp_*`` stage dirs are reaped."""
+    import shutil
+
+    aside_root = path + "._pre_compact_part"
+    if os.path.isdir(aside_root):
+        # materialize the leaf list BEFORE renaming (os.renames prunes
+        # emptied parents, which would corrupt a live os.walk)
+        leaves = [
+            dirpath for dirpath, _dirs, files in os.walk(aside_root) if files
+        ]
+        for dirpath in leaves:
+            rel = os.path.relpath(dirpath, aside_root)
+            live = os.path.join(path, rel)
+            if not os.path.isdir(live):
+                os.renames(dirpath, live)
+        if os.path.isdir(aside_root):
+            from big_data_engineering_financial_analysis_spark.sources import snapshots as _snx
+
+            _snx.preserve_replaced_tree(path, aside_root)
+            shutil.rmtree(aside_root)
+    parent = os.path.dirname(os.path.abspath(path))
+    prefix = f"_compactp_{os.path.basename(os.path.abspath(path))}_"
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(prefix):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def recover_compaction(path: str) -> None:
     """Heal a crashed :func:`compact_dataset` run.
 

@@ -1,0 +1,95 @@
+"""Partition-scoped compaction: only the named partition is rewritten,
+its sidecars refresh dirs-bounded, other partitions' bytes and shard
+manifests are untouched, crashes heal, and snapshot pins survive."""
+
+from __future__ import annotations
+
+import os
+
+from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+from big_data_engineering_financial_analysis_spark.sources import snapshots as sn
+from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+from big_data_engineering_financial_analysis_spark.sources.dataset import (
+    compact_partition,
+    recover_partition_compaction,
+)
+from big_data_engineering_financial_analysis_spark.streaming.dataset_sink import (
+    dataset_sink,
+)
+from tests.test_dataset_sink import _chunk
+
+
+def _rot(spark, out, batches=4):
+    """Many small streaming appends: the rot compact_partition removes."""
+    sink = dataset_sink(
+        out, partition_cols=["lang"], sort_cols=["doc_id"],
+        zonemap_cols=["doc_id"], bloom_cols=["doc_id"],
+    )
+    for b in range(batches):
+        sink(_chunk(spark, b * 50, (b + 1) * 50), b)
+
+
+def _files_in(out, d):
+    p = os.path.join(out, d)
+    return sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+
+
+def test_compacts_only_the_named_partition(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    _rot(spark, out)
+    before_en = _files_in(out, "lang=en")
+    before_de = _files_in(out, "lang=de")
+    de_manifest = os.path.join(out, "lang=de", zm.MANIFEST_NAME)
+    de_mtime = os.path.getmtime(de_manifest)
+    assert len(before_en) >= 4  # one small file per batch: the rot
+    total = spark.read.parquet(out).count()
+
+    compact_partition(spark, out, "lang=en", sort_cols=["doc_id"])
+
+    after_en = _files_in(out, "lang=en")
+    assert len(after_en) == 1 and not set(after_en) & set(before_en)
+    assert _files_in(out, "lang=de") == before_de  # untouched bytes
+    assert os.path.getmtime(de_manifest) == de_mtime  # untouched shard
+    assert spark.read.parquet(out).count() == total
+    # both indexes still prune correctly over the rewritten partition
+    got = zm.read_pruned(spark, out, "doc_id", lo=150)
+    assert got.count() == 50
+    hit = bs.read_point(spark, out, "doc_id", [151]).collect()
+    assert len(hit) == 1 and hit[0]["lang"] == "en"
+    # shard manifests cover exactly the current files
+    manifest = zm.load_zonemap(out)
+    assert sorted(manifest) == sorted(
+        os.path.relpath(f, out) for f in zm._data_files(out)
+    )
+
+
+def test_crash_recovery_both_windows(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    _rot(spark, out, batches=2)
+    total = spark.read.parquet(out).count()
+    aside_root = out + "._pre_compact_part"
+    # window 1: between the renames (live dir gone, aside holds it)
+    os.renames(os.path.join(out, "lang=en"), os.path.join(aside_root, "lang=en"))
+    recover_partition_compaction(out)
+    assert not os.path.exists(aside_root)
+    assert spark.read.parquet(out).count() == total
+    # window 2: after the swap (both exist) — aside is superseded
+    os.makedirs(os.path.join(aside_root, "lang=en"))
+    with open(os.path.join(aside_root, "lang=en", "stale.parquet"), "wb") as fh:
+        fh.write(b"superseded")
+    recover_partition_compaction(out)
+    assert not os.path.exists(aside_root)
+    assert spark.read.parquet(out).count() == total
+
+
+def test_manifest_snapshot_pin_survives_partition_compaction(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    _rot(spark, out, batches=2)
+    v = sn.commit_snapshot(out, mode="manifest", note="pre")
+    before = sorted(
+        r.doc_id for r in sn.read_snapshot(spark, out, v).collect()
+    )
+    compact_partition(spark, out, "lang=en", sort_cols=["doc_id"])
+    after = sorted(r.doc_id for r in sn.read_snapshot(spark, out, v).collect())
+    assert after == before  # replaced files preserved into the pool
+    assert spark.read.parquet(out).count() == len(before)

@@ -433,20 +433,97 @@ def _cap_buckets(
     )
 
 
+def _bucket_pairs(
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int | None,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Emit every within-bucket ``id_a < id_b`` pair WITHOUT a self-join.
+
+    The r3–r9 shape self-joined the capped bucket frame on the bucket
+    key — which plans the banding/blocking subtree TWICE (once per join
+    side; AQE turns one side into a BroadcastExchange, so ReusedExchange
+    cannot kick in) and re-pays its explode + cap window both times.
+    Bisected in r10 as the dominant cost of the in-bench dedup sketch
+    family (PERF.md r10).  This shape instead:
+
+    1. caps buckets via :func:`_cap_buckets` (map-side WindowGroupLimit
+       BEFORE the shuffle — the skew bound at 100 TB is unchanged);
+    2. ``groupBy(bucket_cols).collect_list`` — the aggregation's required
+       distribution is exactly the cap window's hash partitioning, so
+       Catalyst plans NO second Exchange, and the cap bounds the
+       collected array at ``cap`` members per bucket (with ``cap=None``
+       the array is unbounded — test/verifier use only);
+    3. generates ``i < j`` member pairs with two chained Generates
+       (posexplode + tail-slice explode).  Each output row of the outer
+       explode holds one transient tail slice (≤ cap members), so peak
+       per-row memory is O(cap · member_width) and pair rows stream —
+       nothing materializes the full cap² pair set at once.
+
+    One banding pass, one Exchange, zero joins — strictly fewer
+    shuffles than the self-join at every scale.  ``payload_col`` carries
+    a per-member column through to the pairs (``<payload>_a`` /
+    ``<payload>_b``), which is how minhash/simhash verify WITHOUT
+    re-joining their signature tables (two corpus-sized shuffle joins at
+    the 100 TB target).  Pair output is deterministic: members are
+    ``array_sort``-ed (ids are unique within a bucket, so struct
+    payloads never reach field-2 comparison).  Pairs are NOT distinct —
+    a pair sharing k buckets appears k times; callers dedup after their
+    verify filter, where the frame is smallest.
+    """
+    capped = _cap_buckets(exploded, bucket_cols, id_col, cap)
+    if payload_col is None:
+        members = F.array_sort(F.collect_list(F.col(id_col)))
+    else:
+        members = F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+            )
+        )
+    grouped = capped.groupBy(*bucket_cols).agg(members.alias("_members"))
+    e1 = grouped.select(
+        F.col("_members"), F.posexplode("_members").alias("_i", "_a")
+    )
+    e2 = e1.select(
+        "_a",
+        F.explode(
+            F.slice("_members", F.col("_i") + 2, F.size("_members"))
+        ).alias("_b"),
+    )
+    if payload_col is None:
+        return e2.select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+    return e2.select(
+        F.col("_a.id").alias("id_a"),
+        F.col("_b.id").alias("id_b"),
+        F.col("_a.p").alias(f"{payload_col}_a"),
+        F.col("_b.p").alias(f"{payload_col}_b"),
+    )
+
+
 def band_signatures(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """Explode signatures into ``(id, band, band_key)`` bucket rows —
     the shared banding step of batch LSH (:func:`lsh_candidate_pairs`)
     and the incremental signature store (:func:`incremental_minhash_dedup`).
     Row-local (one explode, no shuffle); NULL signatures (too-short
-    documents) produce no bucket rows."""
+    documents) produce no bucket rows.  ``carry_sig`` keeps the
+    ``minhash_sig`` column on each bucket row — the inline-verify path
+    (:func:`minhash_lsh_dedup`) threads it through :func:`_bucket_pairs`
+    instead of re-joining the signature table."""
     rows = num_perm // bands
+    out_cols = [id_col, "bk.band", "bk.band_key"]
+    if carry_sig:
+        out_cols.insert(1, "minhash_sig")
     return sigs.filter(F.col("minhash_sig").isNotNull()).select(
         F.col(id_col),
+        F.col("minhash_sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -458,7 +535,7 @@ def band_signatures(
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
+    ).select(*out_cols)
 
 
 def lsh_candidate_pairs(
@@ -469,11 +546,13 @@ def lsh_candidate_pairs(
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Banded-LSH candidate generation: explode each signature into
-    ``bands`` band keys, self-join per (band, key) bucket, keep a < b.
+    ``bands`` band keys, pair members per (band, key) bucket, keep a < b.
 
-    The join key is (band index, band signature string) — buckets are tiny
-    for non-duplicate corpora, so the self-join output is near-linear; the
-    per-band explode is the only data blow-up (x bands).  ``bucket_cap``
+    The bucket key is (band index, band signature string) — buckets are
+    tiny for non-duplicate corpora, so the pair output is near-linear; the
+    per-band explode is the only data blow-up (x bands).  Pairs come from
+    :func:`_bucket_pairs` (grouped generation — one banding pass, one
+    Exchange, no self-join; see its docstring).  ``bucket_cap``
     bounds hot buckets (see :data:`DEFAULT_BUCKET_CAP`): within an
     over-full bucket only the ``bucket_cap`` smallest ids pair up — true
     duplicates that large are better handled by exact dedup first, and a
@@ -481,19 +560,9 @@ def lsh_candidate_pairs(
     disables the cap.
     """
     banded = band_signatures(sigs, id_col, num_perm, bands)
-    banded = _cap_buckets(banded, ["band", "band_key"], id_col, bucket_cap)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(
+        banded, ["band", "band_key"], id_col, bucket_cap
+    ).distinct()
 
 
 def minhash_lsh_dedup(
@@ -512,22 +581,42 @@ def minhash_lsh_dedup(
     engines (unlike recomputing true Jaccard, it needs no second pass over
     the text).
 
-    The signature frame is persisted: it is referenced three times in the
-    plan (banding + both sides of the verify join) and md5-hashing every
-    shingle x permutation is the dominant cost — without the persist Spark
-    recomputes it 3x.  The cache is tiny (num_perm longs per doc).
+    Plan shape (r10 rework — the round-9/10 perf item): the signature is
+    CARRIED through the banding as the :func:`_bucket_pairs` payload and
+    the verify runs inline on each pair row — no verify joins at all
+    (the r1–r9 shape joined the signature table twice after candidate
+    distinct; at the 100 TB target those are two corpus-sized shuffle
+    joins).  A pair sharing k bands is verified k times, but the verify
+    is a zip_with over ``num_perm`` longs — cheaper than the extra
+    shuffle at every scale.  ``distinct`` runs AFTER the threshold
+    filter, where the frame is smallest (est_jaccard is a pure function
+    of the pair, so dedup-after-verify is value-identical).
+
+    The signature frame is still persisted: ``minhash_sig`` is referenced
+    twice downstream (the band-key transform + the carried payload), and
+    without a materialization boundary CollapseProject inlines the
+    md5-per-shingle signature expression into BOTH references — measured
+    2x the whole query at sf0.1.  The cache is tiny (num_perm longs per
+    doc).
     """
     sigs = minhash_signatures(df, id_col, text_col, shingle_n, num_perm).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b"))
+    banded = band_signatures(sigs, id_col, num_perm, bands, carry_sig=True)
+    pairs = _bucket_pairs(
+        banded, ["band", "band_key"], id_col, DEFAULT_BUCKET_CAP,
+        payload_col="minhash_sig",
+    )
     est = _est_jaccard(num_perm)
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("minhash_sig_a").alias("sig_a"),
+            F.col("minhash_sig_b").alias("sig_b"),
+        )
         .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -785,35 +874,31 @@ def simhash_candidate_pairs(
             ),
         )
     )
-    sketches = sketches.persist()  # referenced by blocking + both verify sides
-    blocked = sketches.select(F.col(id_col), chunks.alias("ck")).select(
-        id_col, "ck.chunk", "ck.chunk_key"
+    # persist: the packed sketch is referenced twice downstream (chunk
+    # keys + the carried verify payload); without the materialization
+    # boundary CollapseProject inlines the md5-per-token fold into both
+    # references (see minhash_lsh_dedup — same 2x measured cost)
+    sketches = sketches.persist()
+    blocked = sketches.select(
+        F.col(id_col), F.col("simhash"), chunks.alias("ck")
+    ).select(id_col, "simhash", "ck.chunk", "ck.chunk_key")
+    # pairs WITHOUT a self-join (r10 rework, see _bucket_pairs): the
+    # sketch rides as the pair payload, so the hamming verify is inline —
+    # a pair sharing k chunks is verified k times, but the packed verify
+    # is a popcount-of-XOR (two JVM ops), cheaper than the r1–r9 shape's
+    # candidate-distinct + two sketch joins at every scale
+    pairs = _bucket_pairs(
+        blocked, ["chunk", "chunk_key"], id_col, bucket_cap,
+        payload_col="simhash",
     )
-    blocked = _cap_buckets(blocked, ["chunk", "chunk_key"], id_col, bucket_cap)
-    a, b = blocked.alias("a"), blocked.alias("b")
-    # candidates FIRST (distinct pair ids), verify ONCE per pair: a pair
-    # sharing k chunks would otherwise be hamming-verified k times, and
-    # hot buckets make that multiplier expensive
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sa = sketches.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
-    sb = sketches.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
-    # packed verify: popcount of XOR — two JVM ops vs a 60-element lambda
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    hamming = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    ).cast("long")
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -738,36 +738,50 @@ for _name in RETIRED_R7:
 #:   rows (local_supplier_volume, nation_pagerank) rotate in r10 on
 #:   schedule.
 #:
-#: Post-r9 staleness target: r9:50 / r8:50 / r7:49 — no row older than
-#: 2 rounds; registry stays 149/150 (no r9 registrations, no
-#: retirements needed).  The r10 obligation is the 49-row r7 tier
-#: (50 − dedup_clusters, refreshed here) + the r8 tier ages to r10's
-#: (c)-tier budget as usual.
+#: Post-r9 staleness state was r9:50 / r8:50 / r7:49 — no row older
+#: than 2 rounds; registry 149/150.
+#:
+#: Round-10 window — exactly the 49-row r7 tier the r9 verdict
+#: scheduled (ask #3; recomputed via tools/staleness_audit.py this
+#: round) + 1 changed-code slot = 50, exactly full.
+#:
+#: Changed-code accounting for r10 (tier (a) must overlap or be
+#: bought).  The r10 perf rework (commit abbf170, PERF.md r10: LSH
+#: bucket pairs generated without a self-join via _bucket_pairs;
+#: minhash/simhash verify inline on a carried signature payload)
+#: touches dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+#: corpus_prep — all four ALREADY in the r7 tier below.  Overlap: free.
+#: Two out-of-window rows ride the same kernel:
+#: * dedup_clusters_incremental (r8-latest, the older evidence) takes
+#:   the one free slot — in-window below.
+#: * dedup_clusters (r9-latest) takes the value_quartiles treatment
+#:   (precedent r9): driver-sim MATCH re-run in-session post-change +
+#:   the standing cluster-parity pytests; its driver row lands on its
+#:   scheduled r11 rotation.
 _DRIVER_PRIORITY = [
-    # (b) registered late in round 8 — never driver-checked (the only
-    # rows whose correctness rests solely on the local sweep; r8
-    # verdict "what's wrong" #1).  token_budget_mix/global_index also
-    # carry this round's distributed-cumsum / nulls-last rework.
-    "corpus_shards", "token_budget_mix", "global_index",
-    # (a) changed-code: NULL-id pair handling in both CC operators
-    # (no-op on driver data; see accounting above)
-    "dedup_clusters",
-    # (c) latest driver row is r6 — refresh now or violate the policy
-    # (sorted; 46 rows = registered ∩ latest==r6)
-    "ann_ivf_pq", "ann_pq", "ann_pq_rerank", "api_avg", "asof_join",
-    "candlestick_feed", "customers_without_orders", "decontaminate",
-    "dedup_span_removal_max", "doc_fingerprints", "downsample_lang",
-    "emb_norms", "emb_project", "enrich_incremental",
-    "enrich_indicators", "event_type_stats", "events_union",
-    "exact_distinct", "feature_windows", "global_stats", "ilp_lines",
-    "lang_id", "large_orders", "last_per_minute", "latest_per_key",
-    "latest_signal", "minmax_scale", "nation_volume_flow",
-    "order_priority_check", "parts_above_avg_price", "pivot_avg",
-    "pricing_rollup", "promo_revenue", "returned_items", "sessionize",
-    "sharpe_rolling", "signal_rule", "summarize", "text_repetition",
-    "text_token_stats", "time_functions", "top_orders_per_customer",
-    "trailing_time_avg", "tumbling_window_stats", "volume_profile",
-    "winnow_fingerprints",
+    # (a) changed-code, out-of-window evidence: rides the r10
+    # _bucket_pairs rework through minhash pairs (see accounting above)
+    "dedup_clusters_incremental",
+    # (c) latest driver row is r7 — refresh now or violate the policy
+    # (49 rows = registered ∩ latest==r7; the four rework-touched rows
+    # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
+    # corpus_prep are tier (a) AND (c))
+    "ann_bruteforce", "ann_ivf", "ann_lsh", "anomaly_zscore",
+    "binary_payload", "bm25_search", "bollinger_20", "bpe_tokenize",
+    "cap_per_lang", "cohort_retention", "corpus_prep", "corpus_scrub",
+    "dedup_embedding", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_semantic", "dedup_simhash", "funnel_analysis",
+    "incremental_rollup", "local_supplier_volume", "macd_12_26",
+    "max_drawdown", "nation_pagerank", "ohlc_bars",
+    "panel_candlestick_sharded", "panel_indicator_series_sharded",
+    "panel_price_series_serve", "panel_price_series_sharded",
+    "pricing_summary", "quality_score", "rank_functions",
+    "robust_anomaly", "salted_topk_orders", "scd2_pit_join",
+    "seq_packing", "shipping_priority", "stochastic_14",
+    "summarize_multiple", "temporal_split", "text_quality",
+    "tfidf_top_terms", "train_val_split", "unpivot_close_stats",
+    "vocab_topk", "volatility_20", "weighted_sample",
 ]
 
 #: RETIRED round 8 — proactive capacity relief, not retire-to-grow: the

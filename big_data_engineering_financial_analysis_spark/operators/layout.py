@@ -247,9 +247,16 @@ def write_zordered(
         writer = writer.partitionBy(*pcols)
     writer.parquet(path)
     if zonemap:
-        from big_data_engineering_financial_analysis_spark.sources.zonemap import build_zonemap
+        from big_data_engineering_financial_analysis_spark.sources.zonemap import update_zonemap
 
-        build_zonemap(path, zorder_cols)
+        # update, not build: build_zonemap would rewrite the manifest to
+        # cover ONLY zorder_cols, silently dropping a standing manifest's
+        # coverage of other columns on an append or re-layout (advice
+        # r9).  update unions wanted columns with the manifest's
+        # standing coverage, scans only uncovered files, and drops
+        # entries for files an overwrite deleted — on a fresh path it
+        # degenerates to exactly the build.
+        update_zonemap(path, zorder_cols)
     return stats
 
 

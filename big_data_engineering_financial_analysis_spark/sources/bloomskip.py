@@ -473,6 +473,7 @@ def update_bloom_index(
     n_hashes: int = DEFAULT_N_HASHES,
     spark: SparkSession | None = None,
     dirs: list[str] | None = None,
+    sizing: dict[str, tuple[int, int]] | None = None,
 ) -> dict:
     """Incremental maintenance: index ONLY files not yet covered, drop
     entries for deleted files — O(new files), the per-micro-batch call.
@@ -496,7 +497,15 @@ def update_bloom_index(
     sizing inheritance is then per-dir: an upsized column in an
     UNTOUCHED shard is not seen, so new files take that dir's own
     observed (m, k) or the defaults.  A format-mismatched dirty shard
-    rebuilds fresh at the current format, exactly like the full path."""
+    rebuilds fresh at the current format, exactly like the full path.
+
+    ``sizing`` seeds per-column (m, k) between the defaults and the
+    observed values (defaults < seed < observed) — the partition
+    compactor captures the partition's sizing BEFORE the swap (the
+    shard manifest leaves with the aside) and threads it through here,
+    so a deliberately upsized hot column is not silently rebuilt at
+    default sizing (the "never silently reset" invariant)."""
+    seed = dict(sizing or {})
     if dirs is not None:
         if not cols:
             # same contract as update_zonemap(dirs=...): per-dir column
@@ -531,9 +540,11 @@ def update_bloom_index(
                 # max-m per column (the _sizing_from_manifest rule), NOT
                 # last-file-wins: a shard mixing pre- and post-upsize
                 # files must give new files the upsized filter
-                sizing = {
-                    c: (n_bits, n_hashes) for c in cols
-                } | _sizing_from_manifest(existing)
+                sizing = (
+                    {c: (n_bits, n_hashes) for c in cols}
+                    | seed
+                    | _sizing_from_manifest(existing)
+                )
                 current = by_leaf[leaf]
                 shard = {rel: b for rel, b in existing.items() if rel in current}
                 scanned = _update_scan(current, shard, sizing, spark)
@@ -564,8 +575,10 @@ def update_bloom_index(
     # sizing comes from the RAW manifest (any format): per-column (m, k)
     # is hash-scheme independent, so an upsized hot column survives even
     # the format-bump rebuild where the filters themselves cannot
-    sizing = {c: (n_bits, n_hashes) for c in (cols or [])} | _sizing_from_manifest(
-        _raw_manifest_files(path, files_walk=walk) or manifest
+    sizing = (
+        {c: (n_bits, n_hashes) for c in (cols or [])}
+        | seed
+        | _sizing_from_manifest(_raw_manifest_files(path, files_walk=walk) or manifest)
     )
     current = {os.path.relpath(f, path): f for f in walk}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}

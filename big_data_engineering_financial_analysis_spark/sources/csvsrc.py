@@ -90,7 +90,14 @@ def corrupt_csv_count(checked: DataFrame) -> int:
     — the datasource rejects a query whose pruned read schema is only
     the internal corrupt column (the jsonl.corrupt_line_count rule), and
     ``count(lit(1))`` references no data column at all."""
-    anchor = next(c for c in checked.columns if c != CORRUPT_COL)
+    anchor = next((c for c in checked.columns if c != CORRUPT_COL), None)
+    if anchor is None:
+        # constructible via read_csv_checked with an empty user schema —
+        # fail with the contract, not a bare StopIteration (advice r9)
+        raise ValueError(
+            "schema must contain at least one data column besides "
+            f"{CORRUPT_COL!r}"
+        )
     row = checked.agg(
         F.count(F.when(F.col(CORRUPT_COL).isNotNull(), 1)).alias("bad"),
         F.count(anchor).alias("_schema_anchor"),

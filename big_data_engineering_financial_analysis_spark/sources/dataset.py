@@ -273,9 +273,31 @@ def compact_partition(
     import tempfile
 
     recover_partition_compaction(path)
+    if not dir_rel or not dir_rel.strip("/"):
+        # '' would swap the WHOLE dataset through the partition path,
+        # sending root _batches replay markers, manifests and _snapshots
+        # out with the aside — use compact_dataset for a full rewrite
+        raise ValueError(
+            "dir_rel must name a partition directory; got an empty path "
+            "(use compact_dataset to rewrite the whole dataset)"
+        )
     src = os.path.join(path, dir_rel)
     if not os.path.isdir(src):
         raise FileNotFoundError(f"no partition directory {dir_rel!r} in {path!r}")
+    # leaf check: a non-leaf dir_rel (e.g. 'year=2024' over nested
+    # 'month=...' dirs) would make the scoped read partition-discover the
+    # sub-keys and rewrite them as DATA columns in flat files, leaving
+    # the dataset root with conflicting directory depths (unreadable)
+    subparts = sorted(
+        d for d in os.listdir(src)
+        if os.path.isdir(os.path.join(src, d)) and "=" in d
+    )
+    if subparts:
+        raise ValueError(
+            f"{dir_rel!r} is not a leaf partition directory — it contains "
+            f"nested partition dirs {subparts[:3]}; compact each leaf "
+            "(e.g. " + os.path.join(dir_rel, subparts[0]) + ") instead"
+        )
     if snapshot_before:
         from big_data_engineering_financial_analysis_spark.sources import snapshots as _sn
 
@@ -341,12 +363,16 @@ def compact_partition(
         else:
             _zm.update_zonemap(path, zcols)
     if sizing:
+        # thread the pre-swap (m, k) capture through: the dirs branch's
+        # per-leaf sizing inheritance reads the shard manifest, which
+        # left with the aside — without the seed a deliberately upsized
+        # hot column would be rebuilt at DEFAULT sizing (advice r9)
         if b_sharded:
             _bs.update_bloom_index(
-                path, sorted(sizing), spark=spark, dirs=[dir_rel]
+                path, sorted(sizing), spark=spark, dirs=[dir_rel], sizing=sizing
             )
         else:
-            _bs.update_bloom_index(path, sorted(sizing), spark=spark)
+            _bs.update_bloom_index(path, sorted(sizing), spark=spark, sizing=sizing)
 
 
 def recover_partition_compaction(path: str) -> None:

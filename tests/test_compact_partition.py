@@ -93,3 +93,68 @@ def test_manifest_snapshot_pin_survives_partition_compaction(spark, tmp_path):
     after = sorted(r.doc_id for r in sn.read_snapshot(spark, out, v).collect())
     assert after == before  # replaced files preserved into the pool
     assert spark.read.parquet(out).count() == len(before)
+
+
+def test_rejects_empty_and_non_leaf_dir_rel(spark, tmp_path):
+    """Advice r9: '' would swap the WHOLE dataset through the partition
+    path (deleting root markers/manifests/_snapshots with the aside);
+    a non-leaf dir over nested partition dirs would rewrite the nested
+    keys as data columns, corrupting the directory layout."""
+    import pytest
+
+    out = str(tmp_path / "ds")
+    _rot(spark, out, batches=2)
+    for bad in ("", "/", "//"):
+        with pytest.raises(ValueError, match="empty"):
+            compact_partition(spark, out, bad, sort_cols=["doc_id"])
+    # nested layout: lang=en/b=0 under a manual re-shape
+    nested = str(tmp_path / "nested")
+    df = spark.read.parquet(out)
+    (
+        df.withColumn("b", (df.doc_id % 2).cast("int"))
+        .write.partitionBy("lang", "b")
+        .parquet(nested)
+    )
+    with pytest.raises(ValueError, match="not a leaf"):
+        compact_partition(spark, nested, "lang=en", sort_cols=["doc_id"])
+    # the leaf itself still compacts fine
+    compact_partition(spark, nested, "lang=en/b=0", sort_cols=["doc_id"])
+    assert len(_files_in(nested, "lang=en/b=0")) == 1
+
+
+def test_upsized_bloom_sizing_survives_compaction(spark, tmp_path):
+    """Advice r9: the pre-swap (m, k) capture must thread into the
+    dirs-bounded bloom refresh — the shard manifest leaves with the
+    aside, so without the seed the rebuilt filters reset to DEFAULTS."""
+    import json
+
+    out = str(tmp_path / "ds")
+    _rot(spark, out)
+    # simulate a deliberate admin upsize of lang=en's doc_id filters:
+    # rebuild the leaf shard manifest at 4x bits (what an upsize op writes)
+    leaf = os.path.join(out, "lang=en")
+    big_m = bs.DEFAULT_N_BITS * 4
+    pairs = [
+        (os.path.relpath(f, out), f) for f in bs._data_files(leaf)
+    ]
+    scanned = bs._scan_blooms(pairs, {"doc_id": (big_m, bs.DEFAULT_N_HASHES)}, None)
+    shard = {
+        os.path.basename(rel): blooms for rel, (blooms, _names) in scanned.items()
+    }
+    bs._atomic_json(
+        os.path.join(leaf, bs.MANIFEST_NAME),
+        {"format": bs.KEY_FORMAT, "files": shard},
+    )
+    before = bs._shard_files(out, "lang=en", format_gated=True)
+    assert all(b["doc_id"]["m"] == big_m for b in before.values())
+
+    compact_partition(spark, out, "lang=en", sort_cols=["doc_id"])
+
+    after = bs._shard_files(out, "lang=en", format_gated=True)
+    assert after, "rewritten partition must be re-indexed"
+    assert all(
+        b["doc_id"]["m"] == big_m for b in after.values()
+    ), {rel: b["doc_id"]["m"] for rel, b in after.items()}
+    # and the filters still hit
+    hit = bs.read_point(spark, out, "doc_id", [151]).collect()
+    assert len(hit) == 1 and hit[0]["lang"] == "en"

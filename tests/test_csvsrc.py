@@ -63,3 +63,17 @@ def test_parquet_bridge_lands_in_clustered_layout(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 3
     assert back.filter("lang = 'en'").count() == 2
+
+
+def test_corrupt_only_schema_raises_contract_error(spark):
+    """Advice r9: a checked frame whose schema is ONLY the corrupt
+    column must fail with the stated contract, not a bare
+    StopIteration escaping from next()."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("x",)],
+        T.StructType([T.StructField(csvsrc.CORRUPT_COL, T.StringType())]),
+    )
+    with pytest.raises(ValueError, match="at least one data column"):
+        csvsrc.corrupt_csv_count(df)

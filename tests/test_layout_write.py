@@ -147,3 +147,28 @@ def test_partitioned_zorder_write(spark, tmp_path):
     # within-partition files are z-clustered: a y-band prunes
     keep, _ = zm.prune_files(path, "y", lo=0, hi=3)
     assert len(keep) < zm.count_data_files(path)
+
+
+def test_append_zonemap_keeps_standing_coverage(spark, tmp_path):
+    """Advice r9: write_zordered(zonemap=True) must UNION its key set
+    with the standing manifest's columns — a re-layout/append used to
+    rebuild the manifest over zorder_cols only, silently dropping other
+    columns' coverage (a pruning regression, not a correctness break)."""
+    df1 = _grid(spark, 32)
+    path = str(tmp_path / "zc")
+    stats = write_zordered(df1, path, ["x", "y"], n_files=8, zonemap=True)
+    # the operator widened the standing coverage to payload as well
+    zm.update_zonemap(path, ["payload"])
+    covered = {c for zones in zm.load_zonemap(path).values() for c in zones}
+    assert {"x", "y", "payload"} <= covered
+
+    df2 = _grid(spark, 32).withColumn("payload", F.col("payload") + 10000)
+    write_zordered(
+        df2, path, ["x", "y"], n_files=8, mode="append", stats=stats,
+        zonemap=True,
+    )
+    manifest = zm.load_zonemap(path)
+    covered_after = {c for zones in manifest.values() for c in zones}
+    assert "payload" in covered_after, sorted(covered_after)
+    # every file (old and new generation) carries the payload zone
+    assert all("payload" in zones for zones in manifest.values())

@@ -357,3 +357,51 @@ def test_repartition_via_compaction(spark, tmp_path):
     assert keep == []
     got = bs.read_point(spark, path, "id", [7]).collect()
     assert len(got) == 1 and got[0]["lang"] == "en"
+
+
+def test_zorder_write_on_evolved_column_prunes_pre_evolution_files(
+    spark, tmp_path
+):
+    """K12 x K13 composition (r9 verdict ask #7): a dataset evolves a new
+    column, then a Z-order APPEND clusters on a key set that includes it.
+    The zonemap refresh must (a) keep the standing coverage of the old
+    keys, and (b) record the known-column evolution gap for pre-evolution
+    files — so a range predicate on the NEW column skips the whole
+    pre-evolution generation and still returns exactly the full-scan
+    answer."""
+    from pyspark.sql import Row
+
+    from big_data_engineering_financial_analysis_spark.operators.layout import (
+        write_zordered,
+    )
+
+    path = str(tmp_path / "zevo")
+    gen1 = spark.createDataFrame(
+        [Row(x=i % 64, y=(i * 31) % 64, id=i) for i in range(1000)]
+    )
+    write_zordered(gen1, path, ["x", "y"], n_files=8, zonemap=True)
+    pre_files = set(zm.load_zonemap(path))
+    # evolution: gen-2 arrives with a new score column, and the layout
+    # policy switches to clustering on (x, score)
+    gen2 = spark.createDataFrame(
+        [
+            Row(x=i % 64, y=(i * 31) % 64, id=10_000 + i, score=float(i % 256))
+            for i in range(1000)
+        ]
+    )
+    write_zordered(
+        gen2, path, ["x", "score"], n_files=8, mode="append", zonemap=True
+    )
+    manifest = zm.load_zonemap(path)
+    # (a) standing coverage survives: every file still carries x and y
+    assert all({"x", "y"} <= set(zones) for zones in manifest.values())
+    # (b) pre-evolution files got the all-NULL gap zone for score
+    assert all(manifest[rel].get("score") is None for rel in pre_files)
+    # and the prune uses it: every pre-evolution file skips on a score
+    # range, some post-evolution files skip too (they are z-clustered)
+    keep, total = zm.prune_files(path, "score", lo=0.0, hi=31.0)
+    assert not set(keep) & pre_files, "pre-evolution files must all skip"
+    assert len(keep) < total - len(pre_files), "z-layout should skip more"
+    got = zm.read_pruned(spark, path, "score", lo=0.0, hi=31.0)
+    full = spark.read.option("mergeSchema", "true").parquet(path)
+    assert got.count() == full.filter("score between 0.0 and 31.0").count()

@@ -455,20 +455,17 @@ def embedding_dedup_pairs_lsh(
     exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
         id_col, "tb.tbl", "tb.bucket"
     )
-    from big_data_engineering_financial_analysis_spark.operators.dedup import _cap_buckets
+    from big_data_engineering_financial_analysis_spark.operators.dedup import _bucket_pairs
 
-    exploded = _cap_buckets(exploded, ["tbl", "bucket"], id_col, bucket_cap)
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    # grouped within-bucket pair generation (r10, see _bucket_pairs): one
+    # explode pass + one Exchange, no self-join — the self-join planned
+    # the bucket-explode subtree twice.  Ids only: the 64-dim double
+    # vector is ~0.5 KB/row, so carrying it through the 8-table bucket
+    # shuffle would cost more bytes than the two verify joins it saves —
+    # unlike minhash/simhash, whose signatures are shuffle-cheap.
+    cands = _bucket_pairs(
+        exploded, ["tbl", "bucket"], id_col, bucket_cap
+    ).distinct()
     va = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
     vb = c.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
     raw = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))

@@ -253,6 +253,15 @@ def _empty_filter(n_bits: int, n_hashes: int) -> dict:
     return {"m": n_bits, "k": n_hashes, "empty": True}
 
 
+def _file_names(fpath: str) -> frozenset:
+    """Footer column names only — the cheap half of :func:`_file_blooms`
+    (no data pages read), for the streaming build's global known-column
+    pass."""
+    import pyarrow.parquet as pq
+
+    return frozenset(pq.ParquetFile(fpath).schema_arrow.names)
+
+
 def _file_blooms(
     fpath: str, sizing: dict[str, tuple[int, int]]
 ) -> tuple[dict, frozenset[str]]:
@@ -442,6 +451,16 @@ def _update_scan(
     return scanned
 
 
+#: Estimated encoded-filter bytes above which the distributed build
+#: streams shard-by-shard instead of collecting every filter in one
+#: driver round-trip.  Found the hard way (r10 compaction probe): at
+#: 33k files x one default 64 Kib filter the single collect is ~350 MB
+#: of base64 through one py4j socket and fell over; at the 1M-file
+#: regime it would be ~10 GB — the exact monolithic-manifest failure
+#: the K11 sharded LAYOUT solved, recreated in the build's transport.
+BUILD_STREAM_BYTES = 128 << 20
+
+
 def build_bloom_index(
     path: str,
     cols: list[str],
@@ -456,14 +475,110 @@ def build_bloom_index(
     ``spark`` to distribute the file scans across executors (the build is
     linear in files; at lake scale the driver should only merge encoded
     filters, not read data).  ``sizing`` overrides (n_bits, n_hashes)
-    per column — how a rebuild preserves a hot column's upsized filter."""
+    per column — how a rebuild preserves a hot column's upsized filter.
+
+    **Driver-memory bound (r10):** on a partitioned dataset whose
+    estimated filter volume exceeds :data:`BUILD_STREAM_BYTES`, the
+    distributed build STREAMS results with ``toLocalIterator`` and
+    writes each leaf's shard manifest as soon as its files have passed —
+    the driver holds one leaf's filters at a time, never the dataset's
+    (the collect-everything form is exactly the ~10 GB monolithic load
+    the sharded manifest layout exists to avoid).  The streaming path
+    returns a small summary dict (``{"streamed": True, "files": n,
+    "leaves": k}``), not the manifest — at that scale the caller should
+    not want an 8 GB dict either.  Flat (single-directory) layouts keep
+    the in-memory build: a 1M-file FLAT dataset is already outside this
+    layer's design envelope (K11 — shard the layout first)."""
     full_sizing = {c: (n_bits, n_hashes) for c in cols} | (sizing or {})
-    pairs = [(os.path.relpath(f, path), f) for f in _data_files(path)]
+    # sort by (dir, base), NOT the raw rel string: under nested
+    # partitioning a parent dir's own files can sandwich a child dir in
+    # rel order ("a=1/a.pq" < "a=1/b=2/x" < "a=1/zz.pq"), which would
+    # make the streaming flush write the parent's shard twice, the
+    # second write dropping the first's files
+    pairs = sorted(
+        ((os.path.relpath(f, path), f) for f in _data_files(path)),
+        key=lambda rf: os.path.split(rf[0]),
+    )
+    est_bytes = len(pairs) * sum(
+        m // 8 + 96 for m, _k in full_sizing.values()
+    )
+    partitioned = any(os.path.dirname(rel) for rel, _f in pairs)
+    if spark is not None and partitioned and est_bytes > BUILD_STREAM_BYTES:
+        return _build_blooms_streaming(path, pairs, full_sizing, spark)
     scanned = _scan_blooms(pairs, full_sizing, spark)
     known = set().union(*(n for _b, n in scanned.values())) if scanned else set()
     manifest = _fill_bloom_gaps(scanned, full_sizing, known)
     _write_manifest(path, manifest)
     return manifest
+
+
+def _build_blooms_streaming(
+    path: str,
+    pairs: list[tuple[str, str]],
+    sizing: dict[str, tuple[int, int]],
+    spark: SparkSession,
+) -> dict:
+    """Shard-streaming distributed build — O(one leaf) driver memory.
+
+    Pass 1 collects only the global footer-name union (the
+    known-column evolution gate needs it BEFORE any shard is written;
+    footer-schema reads, no data pages, tiny per-partition result).
+    Pass 2 runs the same per-file scan RDD as :func:`_scan_blooms` but
+    drains it with ``toLocalIterator`` — ``pairs`` are sorted, RDD
+    slices preserve order, so each leaf directory's files arrive
+    contiguously and its shard manifest is written (atomic,
+    skip-unchanged) the moment the directory changes.  Root-level files
+    accumulate into the root marker, exactly `_write_manifest`'s
+    sharded layout."""
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+        _atomic_json_if_changed,
+    )
+
+    sc = spark.sparkContext
+    n_slices = min(len(pairs), sc.defaultParallelism * 4)
+    files_only = [f for _rel, f in pairs]
+    known = set().union(
+        frozenset(),
+        *sc.parallelize(files_only, n_slices)
+        .mapPartitions(
+            lambda fs: [frozenset().union(*(_file_names(f) for f in fs), frozenset())]
+        )
+        .collect(),
+    )
+    it = (
+        sc.parallelize(pairs, n_slices)
+        .map(lambda rf: (rf[0], _file_blooms(rf[1], sizing)))
+        .toLocalIterator()
+    )
+    root_files: dict = {}
+    current: str | None = None
+    shard: dict = {}
+    n_files = 0
+    n_leaves = 0
+
+    def flush() -> None:
+        nonlocal n_leaves
+        if current:
+            _atomic_json_if_changed(
+                os.path.join(path, current, MANIFEST_NAME),
+                {"format": KEY_FORMAT, "files": shard},
+            )
+            n_leaves += 1
+
+    for rel, scanned in it:
+        d, base = os.path.split(rel)
+        if d != current:
+            flush()
+            current, shard = d, {}
+        entry = _fill_bloom_gaps({rel: scanned}, sizing, known)[rel]
+        (root_files if not d else shard)[base] = entry
+        n_files += 1
+    flush()
+    _atomic_json_if_changed(
+        os.path.join(path, MANIFEST_NAME),
+        {"format": KEY_FORMAT, "sharded": True, "files": root_files},
+    )
+    return {"streamed": True, "files": n_files, "leaves": n_leaves}
 
 
 def update_bloom_index(

@@ -235,3 +235,63 @@ def test_dirs_update_heals_stale_format_root(spark, tmp_path):
     blooms = bs.load_bloom_index(path)
     rels = sorted(os.path.relpath(f, path) for f in bs._data_files(path))
     assert blooms is not None and sorted(blooms) == rels
+
+
+def test_streaming_build_matches_inmemory_build(spark, tmp_path, monkeypatch):
+    """r10: above BUILD_STREAM_BYTES the distributed build streams one
+    leaf at a time (toLocalIterator + per-leaf shard writes) instead of
+    one dataset-sized collect.  The on-disk result must be IDENTICAL to
+    the in-memory build — shard for shard, filter for filter — and the
+    summary return must count every file and leaf."""
+    b = str(tmp_path / "stream")
+    _write(spark, b)
+    bs.build_bloom_index(b, ["doc_id"], spark=spark)
+    mem = bs.load_bloom_index(b)
+    keep_mem, _ = bs.prune_files_eq(b, "doc_id", [7])
+    monkeypatch.setattr(bs, "BUILD_STREAM_BYTES", 0)
+    out = bs.build_bloom_index(b, ["doc_id"], spark=spark)
+    n_files = len(bs._data_files(b))
+    assert out == {"streamed": True, "files": n_files, "leaves": 3}
+    stream = bs.load_bloom_index(b)
+    assert mem == stream  # same rels, same (m, k, bits) everywhere
+    # prunes behave identically, root marker is O(1)
+    keep, total = bs.prune_files_eq(b, "doc_id", [7])
+    assert sorted(keep) == sorted(keep_mem) and len(keep) < total
+    assert os.path.getsize(os.path.join(b, bs.MANIFEST_NAME)) < 200
+
+
+def test_streaming_build_evolution_gap_and_nested_dirs(spark, tmp_path, monkeypatch):
+    """Streaming build corner cases: (a) the global known-column pass
+    runs BEFORE any shard is written, so a column absent from a whole
+    partition's footers still gets its O(1) gap markers there; (b) a
+    parent dir holding its own files around a nested child dir flushes
+    each shard exactly once (the (dir, base) sort)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "evo")
+    # gen-1: lang=de files lack `score` entirely
+    spark.createDataFrame([Row(doc_id=i, lang="de") for i in range(20)]) \
+        .coalesce(2).write.parquet(os.path.join(path, "lang=de"))
+    spark.createDataFrame(
+        [Row(doc_id=100 + i, score=float(i), lang="en") for i in range(20)]
+    ).coalesce(2).write.parquet(os.path.join(path, "lang=en"))
+    # nested child inside a dir that also holds files directly
+    spark.createDataFrame(
+        [Row(doc_id=200 + i, score=1.0, lang="en") for i in range(4)]
+    ).coalesce(1).write.parquet(os.path.join(path, "lang=en", "sub=x"))
+    monkeypatch.setattr(bs, "BUILD_STREAM_BYTES", 0)
+    out = bs.build_bloom_index(path, ["doc_id", "score"], spark=spark)
+    assert out["streamed"] and out["files"] == len(bs._data_files(path))
+    full = bs.load_bloom_index(path)
+    assert set(full) == {os.path.relpath(f, path) for f in bs._data_files(path)}
+    # (a) every de file carries the O(1) empty gap marker for score
+    de = {rel: b for rel, b in full.items() if rel.startswith("lang=de")}
+    assert de and all(b["score"].get("empty") is True for b in de.values())
+    # (b) the parent shard kept ALL its own files despite the nested child
+    en_parent = {
+        rel for rel in full if rel.startswith("lang=en") and "sub=x" not in rel
+    }
+    assert len(en_parent) == 2
+    # point lookups work across generations
+    keep, total = bs.prune_files_eq(path, "score", [3.0])
+    assert 0 < len(keep) < total

@@ -751,6 +751,12 @@ for _name in RETIRED_R7:
 #: minhash/simhash verify inline on a carried signature payload)
 #: touches dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
 #: corpus_prep — all four ALREADY in the r7 tier below.  Overlap: free.
+#: Later r10 changes ride the same overlap: dedup_embedding (grouped
+#: bucket pairs, ids-only form) is in the tier below, and the streaming
+#: Bloom build (bloomskip.py BUILD_STREAM_BYTES) only changes the
+#: >128 MB build transport — the window's panel/bloom rows exercise the
+#: unchanged small-build and prune paths (equivalence pytest pins the
+#: streamed shards byte-identical).
 #: Two out-of-window rows ride the same kernel:
 #: * dedup_clusters_incremental (r8-latest, the older evidence) takes
 #:   the one free slot — in-window below.

@@ -197,7 +197,10 @@ def compact_dataset(
     if old_manifest:
         cols = sorted({c for zones in old_manifest.values() for c in zones})
         if cols:
-            _zm.build_zonemap(staged, cols)
+            # distributed footer scan (r10): sequential driver IO on the
+            # full staged tree is the one remaining O(all files) driver
+            # pass the compactor performed
+            _zm.build_zonemap(staged, cols, spark=spark)
     # same contract for the Bloom sidecar: rebuild on the staged files so
     # point-lookup pruning survives the swap instead of silently
     # degrading to full scans until the next manual build

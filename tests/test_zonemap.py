@@ -296,3 +296,17 @@ def test_naive_bound_prunes_aware_stats(spark, tmp_path):
         spark, path, [("ts", t0, t0 + dt.timedelta(hours=10))]
     ).count()
     assert got == 11
+
+
+def test_distributed_build_matches_sequential(spark, tmp_path):
+    """`build_zonemap(spark=...)` fans the per-file footer reads out over
+    executors (r10 — the compactor's last O(all files) sequential driver
+    pass); the manifest must be identical to the driver-sequential build
+    (zones are deterministic functions of file footers), evolution gaps
+    included."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    seq = zm.build_zonemap(path, ["ts", "value"])
+    dist = zm.build_zonemap(path, ["ts", "value"], spark=spark)
+    assert dist == seq and len(dist) > 2
+    assert zm.load_zonemap(path) == seq

@@ -472,7 +472,29 @@ def _bucket_pairs(
     payloads never reach field-2 comparison).  Pairs are NOT distinct —
     a pair sharing k buckets appears k times; callers dedup after their
     verify filter, where the frame is smallest.
+
+    ``cap=None`` keeps the SELF-JOIN form instead: an uncapped
+    ``collect_list`` would buffer an entire hot bucket in one
+    non-spillable aggregation row (executor OOM on a degenerate
+    corpus), where the SMJ's per-key row buffer spills and completes.
+    The grouped form's memory bound IS the cap — no cap, no bound, so
+    the robust shape wins for the uncapped contract (r10 review).
     """
+    if cap is None:
+        a, b = exploded.alias("a"), exploded.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for col in bucket_cols:
+            cond = (F.col(f"a.{col}") == F.col(f"b.{col}")) & cond
+        sel = [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ]
+        if payload_col is not None:
+            sel += [
+                F.col(f"a.{payload_col}").alias(f"{payload_col}_a"),
+                F.col(f"b.{payload_col}").alias(f"{payload_col}_b"),
+            ]
+        return a.join(b, cond).select(*sel)
     capped = _cap_buckets(exploded, bucket_cols, id_col, cap)
     if payload_col is None:
         members = F.array_sort(F.collect_list(F.col(id_col)))

@@ -460,6 +460,11 @@ def _update_scan(
 #: the K11 sharded LAYOUT solved, recreated in the build's transport.
 BUILD_STREAM_BYTES = 128 << 20
 
+#: Target encoded bytes per streamed RDD slice — the per-round-trip
+#: driver transfer bound of the streaming build (one ``toLocalIterator``
+#: fetch carries one slice).
+STREAM_CHUNK_BYTES = 16 << 20
+
 
 def build_bloom_index(
     path: str,
@@ -535,7 +540,15 @@ def _build_blooms_streaming(
     )
 
     sc = spark.sparkContext
-    n_slices = min(len(pairs), sc.defaultParallelism * 4)
+    # slice count scales with the estimated filter VOLUME, not just
+    # parallelism: toLocalIterator fetches one partition per driver
+    # round-trip, so per-slice bytes are the actual transfer bound —
+    # defaultParallelism*4 alone would put ~31k files (~340 MB) in one
+    # fetch at 1M files on a 8-core driver, recreating the failure this
+    # path exists to fix (r10 review)
+    per_file = max(1, sum(m // 8 + 96 for m, _k in sizing.values()))
+    vol_slices = (len(pairs) * per_file) // STREAM_CHUNK_BYTES + 1
+    n_slices = min(len(pairs), max(sc.defaultParallelism * 4, vol_slices))
     files_only = [f for _rel, f in pairs]
     known = set().union(
         frozenset(),
@@ -697,6 +710,25 @@ def update_bloom_index(
     )
     current = {os.path.relpath(f, path): f for f in walk}
     manifest = {rel: b for rel, b in manifest.items() if rel in current}
+    # same transport bound as the build (r10 review): a full update on a
+    # partitioned dataset with a huge uncovered set (mass append, or a
+    # legacy/format-bumped root forcing the full path) would funnel every
+    # new filter through _update_scan's single collect.  Degrade to the
+    # streaming REBUILD: it re-reads covered files too (bounded memory
+    # bought with incremental IO — only in this pathological regime),
+    # preserving observed+seeded sizing via ``sizing``.
+    uncovered = sum(1 for rel in current if rel not in manifest)
+    per_file = max(1, sum(m // 8 + 96 for m, _k in sizing.values()))
+    partitioned = any(os.path.dirname(rel) for rel in current)
+    if (
+        spark is not None
+        and partitioned
+        and uncovered * per_file > BUILD_STREAM_BYTES
+    ):
+        pairs = sorted(
+            current.items(), key=lambda rf: os.path.split(rf[0])
+        )
+        return _build_blooms_streaming(path, pairs, sizing, spark)
     scanned = _update_scan(current, manifest, sizing, spark)
     known = set().union(*(n for _b, n in scanned.values())) if scanned else set()
     known |= _known_bloom_cols(manifest)

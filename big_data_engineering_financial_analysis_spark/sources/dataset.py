@@ -276,14 +276,21 @@ def compact_partition(
     import tempfile
 
     recover_partition_compaction(path)
-    if not dir_rel or not dir_rel.strip("/"):
-        # '' would swap the WHOLE dataset through the partition path,
-        # sending root _batches replay markers, manifests and _snapshots
-        # out with the aside — use compact_dataset for a full rewrite
+    # normalize FIRST: '.', './x', 'x/', 'a/../..' must not dodge the
+    # guards below ('.' would swap the WHOLE dataset through the
+    # partition path — deleting root _batches replay markers, manifests
+    # and _snapshots with the aside; '..' would escape the dataset)
+    norm = os.path.normpath(dir_rel) if dir_rel else ""
+    if norm in ("", ".", "/") or not dir_rel.strip("/"):
         raise ValueError(
             "dir_rel must name a partition directory; got an empty path "
             "(use compact_dataset to rewrite the whole dataset)"
         )
+    if os.path.isabs(norm) or norm.split(os.sep)[0] == "..":
+        raise ValueError(
+            f"dir_rel must be a relative path inside the dataset; got {dir_rel!r}"
+        )
+    dir_rel = norm
     src = os.path.join(path, dir_rel)
     if not os.path.isdir(src):
         raise FileNotFoundError(f"no partition directory {dir_rel!r} in {path!r}")

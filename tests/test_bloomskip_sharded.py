@@ -295,3 +295,33 @@ def test_streaming_build_evolution_gap_and_nested_dirs(spark, tmp_path, monkeypa
     # point lookups work across generations
     keep, total = bs.prune_files_eq(path, "score", [3.0])
     assert 0 < len(keep) < total
+
+
+def test_full_update_degrades_to_streaming_rebuild(spark, tmp_path, monkeypatch):
+    """r10 review: the full-update branch (no dirs=) must not funnel a
+    huge uncovered set through _update_scan's single collect — above the
+    threshold on a partitioned dataset it degrades to the streaming
+    rebuild, preserving observed sizing."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    big = bs.DEFAULT_N_BITS * 2
+    bs.build_bloom_index(path, ["doc_id"], n_bits=big, spark=spark)
+    # append more files, then force the streaming threshold to zero
+    _write2 = spark.createDataFrame(_rows()).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+    write_sharded(
+        _write2, path, partition_cols=["lang"], sort_cols=["score"],
+        max_records_per_file=40, mode="append",
+    )
+    monkeypatch.setattr(bs, "BUILD_STREAM_BYTES", 0)
+    out = bs.update_bloom_index(path, ["doc_id"], spark=spark)
+    assert out.get("streamed") is True
+    full = bs.load_bloom_index(path)
+    assert set(full) == {os.path.relpath(f, path) for f in bs._data_files(path)}
+    # observed upsizing survived the degraded rebuild
+    assert all(b["doc_id"]["m"] == big for b in full.values())
+    keep, total = bs.prune_files_eq(path, "doc_id", [1007])
+    assert 0 < len(keep) < total

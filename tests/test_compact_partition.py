@@ -158,3 +158,21 @@ def test_upsized_bloom_sizing_survives_compaction(spark, tmp_path):
     # and the filters still hit
     hit = bs.read_point(spark, out, "doc_id", [151]).collect()
     assert len(hit) == 1 and hit[0]["lang"] == "en"
+
+
+def test_rejects_dot_and_escaping_dir_rel(spark, tmp_path):
+    """r10 review: '.', './x' normalization and '..' escapes must hit
+    the guards, not reach the swap protocol."""
+    import pytest
+
+    out = str(tmp_path / "ds")
+    _rot(spark, out, batches=2)
+    for bad in (".", "./", "lang=en/.."):
+        with pytest.raises(ValueError, match="empty"):
+            compact_partition(spark, out, bad, sort_cols=["doc_id"])
+    for bad in ("../other", "..", "/abs/path"):
+        with pytest.raises(ValueError):
+            compact_partition(spark, out, bad, sort_cols=["doc_id"])
+    # normalized-but-valid forms still work
+    compact_partition(spark, out, "lang=en/", sort_cols=["doc_id"])
+    assert len(_files_in(out, "lang=en")) == 1

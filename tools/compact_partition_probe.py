@@ -30,7 +30,6 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import Row, SparkSession  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
 
 from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs  # noqa: E402
 from big_data_engineering_financial_analysis_spark.sources import zonemap as zm  # noqa: E402

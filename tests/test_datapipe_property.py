@@ -199,3 +199,53 @@ def test_token_budget_mix_matches_python_model(spark, nts, b0, b1):
         ).collect()
     }
     assert got == _budget_model(rows, budgets)
+
+
+# --------------------------------------------------------------------------
+# _bucket_pairs (r10): grouped pair generation == the capped self-join,
+# for random bucket assignments, caps, and payload carry
+# --------------------------------------------------------------------------
+
+BUCKET_ROW = st.tuples(
+    st.integers(min_value=0, max_value=60),   # id
+    st.integers(min_value=0, max_value=4),    # bucket key
+)
+
+
+def _pairs_model(rows, cap):
+    """Python model: per bucket keep the cap smallest DISTINCT ids (a
+    duplicate (id, bucket) row is one member, like the window's
+    row_number over unique ids), then all i<j pairs."""
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for i, b in rows:
+        members[b].add(i)
+    out = set()
+    for b, ids in members.items():
+        kept = sorted(ids)[: cap if cap is not None else None]
+        out |= {(a, c) for ai, a in enumerate(kept) for c in kept[ai + 1:]}
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(BUCKET_ROW, min_size=1, max_size=40, unique=True),
+    cap=st.sampled_from([None, 1, 2, 3, 1000]),
+)
+def test_bucket_pairs_match_python_model(spark, rows, cap):
+    from pyspark.sql import functions as F
+
+    from big_data_engineering_financial_analysis_spark.operators.dedup import _bucket_pairs
+
+    df = spark.createDataFrame(
+        [(i, b, float(i) * 2) for i, b in rows], "doc_id long, b long, p double"
+    )
+    got = _bucket_pairs(df, ["b"], "doc_id", cap, payload_col="p").collect()
+    want = _pairs_model(rows, cap)
+    assert {(r.id_a, r.id_b) for r in got} == want
+    # payload rides correctly on every pair row
+    assert all(r.p_a == r.id_a * 2.0 and r.p_b == r.id_b * 2.0 for r in got)
+    # ids-only form agrees
+    got_ids = _bucket_pairs(df, ["b"], "doc_id", cap).collect()
+    assert {(r.id_a, r.id_b) for r in got_ids} == want

@@ -468,8 +468,15 @@ def _bucket_pairs(
     ``<payload>_b``), which is how minhash/simhash verify WITHOUT
     re-joining their signature tables (two corpus-sized shuffle joins at
     the 100 TB target).  Pair output is deterministic: members are
-    ``array_sort``-ed (ids are unique within a bucket, so struct
-    payloads never reach field-2 comparison).  Pairs are NOT distinct —
+    ``array_sort``-ed, and the final strict ``id_a < id_b`` filter keeps
+    parity with the self-join branch's ``<`` condition on corpora with
+    duplicate ids — positional ``i < j`` over the sorted members would
+    otherwise emit ``(x, x)`` self-pairs whenever a bucket holds the
+    same id twice (advice r10).  Duplicate-id rows still count toward
+    ``cap`` (each is one ``row_number`` row in :func:`_cap_buckets`),
+    and rows with a NULL in any bucket column are dropped before
+    grouping, exactly as the equi-join branch null-rejects them.
+    Pairs are NOT distinct —
     a pair sharing k buckets appears k times; callers dedup after their
     verify filter, where the frame is smallest.
 
@@ -495,7 +502,10 @@ def _bucket_pairs(
                 F.col(f"b.{payload_col}").alias(f"{payload_col}_b"),
             ]
         return a.join(b, cond).select(*sel)
-    capped = _cap_buckets(exploded, bucket_cols, id_col, cap)
+    nonnull = exploded
+    for col in bucket_cols:
+        nonnull = nonnull.filter(F.col(col).isNotNull())
+    capped = _cap_buckets(nonnull, bucket_cols, id_col, cap)
     if payload_col is None:
         members = F.array_sort(F.collect_list(F.col(id_col)))
     else:
@@ -515,13 +525,18 @@ def _bucket_pairs(
         ).alias("_b"),
     )
     if payload_col is None:
-        return e2.select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
-    return e2.select(
-        F.col("_a.id").alias("id_a"),
-        F.col("_b.id").alias("id_b"),
-        F.col("_a.p").alias(f"{payload_col}_a"),
-        F.col("_b.p").alias(f"{payload_col}_b"),
-    )
+        pairs = e2.select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+    else:
+        pairs = e2.select(
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            F.col("_a.p").alias(f"{payload_col}_a"),
+            F.col("_b.p").alias(f"{payload_col}_b"),
+        )
+    # members are sorted, so positional i < j gives id_a <= id_b; the
+    # strict filter drops only the duplicate-id self-pairs, matching the
+    # self-join branch's `a.id < b.id`.
+    return pairs.filter(F.col("id_a") < F.col("id_b"))
 
 
 def band_signatures(

@@ -447,13 +447,17 @@ def embedding_dedup_pairs_lsh(
                 lsh_bucket(
                     F.col("vec"),
                     all_planes[t * planes_per_table : (t + 1) * planes_per_table],
-                ).alias("bucket"),
+                    # named dedup_bucket (not bucket) so the plan guard
+                    # (tests/test_plan_guard.py) can tell a dedup bucket
+                    # SELF-join apart from ann_lsh's legitimate
+                    # query<->corpus bucket join by key name alone
+                ).alias("dedup_bucket"),
             )
             for t in range(n_tables)
         ]
     )
     exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
-        id_col, "tb.tbl", "tb.bucket"
+        id_col, "tb.tbl", "tb.dedup_bucket"
     )
     from big_data_engineering_financial_analysis_spark.operators.dedup import _bucket_pairs
 
@@ -464,7 +468,7 @@ def embedding_dedup_pairs_lsh(
     # shuffle would cost more bytes than the two verify joins it saves —
     # unlike minhash/simhash, whose signatures are shuffle-cheap.
     cands = _bucket_pairs(
-        exploded, ["tbl", "bucket"], id_col, bucket_cap
+        exploded, ["tbl", "dedup_bucket"], id_col, bucket_cap
     ).distinct()
     va = c.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
     vb = c.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))

@@ -699,3 +699,37 @@ def test_merge_component_labels_self_pair_new_node(spark):
             ).collect()
         )
         assert got == expect, f"threshold={threshold}"
+
+
+def test_bucket_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """Advice r10: a bucket holding the same id twice (dup-id corpus)
+    must not emit an (x, x) self-pair from the grouped path — parity
+    with the cap=None self-join's strict `a.id < b.id`."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 1.0), (2, 0, 2.0)], "doc_id long, b long, p double"
+    )
+    for payload in (None, "p"):
+        grouped = dedup._bucket_pairs(df, ["b"], "doc_id", 10, payload_col=payload)
+        joined = dedup._bucket_pairs(df, ["b"], "doc_id", None, payload_col=payload)
+        got = {(r.id_a, r.id_b) for r in grouped.collect()}
+        assert got == {(1, 2)}
+        assert got == {(r.id_a, r.id_b) for r in joined.collect()}
+    # duplicate rows still count toward the cap (row_number semantics):
+    # cap=2 keeps the two id=1 rows, leaving no cross pair at all
+    capped = dedup._bucket_pairs(df, ["b"], "doc_id", 2)
+    assert capped.count() == 0
+
+
+def test_bucket_pairs_null_bucket_keys_rejected_both_branches(spark):
+    """A NULL bucket key pairs nobody: the equi-join branch null-rejects,
+    and the grouped branch now filters NULL keys before grouping instead
+    of pairing the whole NULL group (advice r10)."""
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, 7, 3.0), (4, 7, 4.0)],
+        "doc_id long, b long, p double",
+    )
+    for cap in (None, 10):
+        got = {(r.id_a, r.id_b) for r in dedup._bucket_pairs(df, ["b"], "doc_id", cap).collect()}
+        assert got == {(3, 4)}

@@ -764,7 +764,55 @@ for _name in RETIRED_R7:
 #:   (precedent r9): driver-sim MATCH re-run in-session post-change +
 #:   the standing cluster-parity pytests; its driver row lands on its
 #:   scheduled r11 rotation.
-_DRIVER_PRIORITY = [
+#: Round-11 window — exactly the 49-row r8 tier the r10 verdict
+#: scheduled (ask #1; recomputed via tools/staleness_audit.py this
+#: round: latest-row distribution entering r11 is r10:50 / r9:50 /
+#: r8:49) + 1 changed-code slot = 50, exactly full.
+#:
+#: Changed-code accounting for r11 (tier (a) must overlap or be
+#: bought).  The r11 correctness fix (advice r10: the grouped
+#: _bucket_pairs path emitted (x,x) self-pairs on duplicate-id corpora
+#: and grouped NULL bucket keys; fixed with a strict id_a < id_b output
+#: filter + NULL-key rejection, dedup.py) touches dedup_minhash_lsh,
+#: dedup_simhash, dedup_ngram_jaccard, dedup_embedding, corpus_prep —
+#: all r10-latest, none in the r8 tier.  The flagship
+#: dedup_minhash_lsh takes the one free slot (the
+#: dedup_clusters_incremental precedent from r10); the other four take
+#: the value_quartiles treatment: driver-sim MATCH re-run in-session
+#: post-fix (10/10 MATCH including dedup_incremental / dedup_semantic /
+#: ann_lsh / dedup_clusters riding adjacent paths) + the new
+#: duplicate-id / NULL-key regression pytests (tests/test_dedup.py) and
+#: the widened hypothesis model (tests/test_datapipe_property.py);
+#: their driver rows land on their scheduled r13 rotation.  The
+#: embedding dedup bucket column rename (bucket -> dedup_bucket, for
+#: the new bucket-self-join plan guard) is name-only inside
+#: embedding_dedup_pairs_lsh and rides the same re-run.
+_DRIVER_PRIORITY_R11 = [
+    # (a) changed-code: the _bucket_pairs self-pair/NULL fix — flagship
+    # row takes the free slot, evidence otherwise r10-latest
+    "dedup_minhash_lsh",
+    # (c) latest driver row is r8 — refresh now or violate the policy
+    # (49 rows = registered ∩ latest==r8, from tools/staleness_audit.py)
+    "ab_test_welch", "adx_dmi", "asset_resize", "atr_keltner",
+    "backtest_equity", "beta_capm", "black_scholes", "bloom_prune_join",
+    "bpe_learn", "calendar_ffill", "countmin_topk",
+    "data_quality_report", "dedup_span_removal", "doc_chunks",
+    "drift_psi", "event_transitions", "heikin_ashi", "hist_quantiles",
+    "historical_var", "ichimoku", "kfold_split", "kmv_distinct",
+    "lstm_dataset", "mmr_diverse", "nation_customer_orders",
+    "nation_triangles", "orders_upsert", "pairs_spread_z",
+    "panel_avg_gain_pivot", "panel_avg_loss_pivot", "panel_candlestick",
+    "panel_close_stats", "panel_gain_loss", "panel_indicator_series",
+    "panel_latest_signal", "panel_price_series", "perplexity_filter",
+    "pricing_cube", "range_join_pairs", "rolling_corr_pairs",
+    "salted_event_stats", "supplier_scd2", "top_orders",
+    "value_percentiles", "value_quartiles", "vwap_obv", "winsorize",
+    "xsec_momentum", "zorder_index",
+]
+
+#: Round-10 window (superseded by _DRIVER_PRIORITY_R11 above; kept for
+#: the accounting trail — the comments above it describe this list).
+_DRIVER_PRIORITY_R10 = [
     # (a) changed-code, out-of-window evidence: rides the r10
     # _bucket_pairs rework through minhash pairs (see accounting above)
     "dedup_clusters_incremental",
@@ -825,6 +873,7 @@ for _name in RETIRED_R8:
     QUERIES.pop(_name, None)
     ORACLES.pop(_name, None)
 
+_DRIVER_PRIORITY = _DRIVER_PRIORITY_R11
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {
     name: fn for name, fn in QUERIES.items() if name not in _DRIVER_PRIORITY
 }

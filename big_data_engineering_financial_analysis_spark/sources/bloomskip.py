@@ -522,12 +522,17 @@ def _build_blooms_streaming(
     pairs: list[tuple[str, str]],
     sizing: dict[str, tuple[int, int]],
     spark: SparkSession,
+    known_extra: set[str] | frozenset[str] = frozenset(),
 ) -> dict:
     """Shard-streaming distributed build — O(one leaf) driver memory.
 
     Pass 1 collects only the global footer-name union (the
     known-column evolution gate needs it BEFORE any shard is written;
     footer-schema reads, no data pages, tiny per-partition result).
+    ``known_extra`` widens that union with columns the CALLER already
+    knows exist — `update_bloom_index`'s streaming degrade passes the
+    old manifest's real-filter columns, keeping the evolution gate at
+    parity with its in-memory path (`known |= _known_bloom_cols(...)`).
     Pass 2 runs the same per-file scan RDD as :func:`_scan_blooms` but
     drains it with ``toLocalIterator`` — ``pairs`` are sorted, RDD
     slices preserve order, so each leaf directory's files arrive
@@ -551,7 +556,7 @@ def _build_blooms_streaming(
     n_slices = min(len(pairs), max(sc.defaultParallelism * 4, vol_slices))
     files_only = [f for _rel, f in pairs]
     known = set().union(
-        frozenset(),
+        frozenset(known_extra),
         *sc.parallelize(files_only, n_slices)
         .mapPartitions(
             lambda fs: [frozenset().union(*(_file_names(f) for f in fs), frozenset())]
@@ -632,7 +637,19 @@ def update_bloom_index(
     compactor captures the partition's sizing BEFORE the swap (the
     shard manifest leaves with the aside) and threads it through here,
     so a deliberately upsized hot column is not silently rebuilt at
-    default sizing (the "never silently reset" invariant)."""
+    default sizing (the "never silently reset" invariant).
+
+    **Return value is threshold-dependent, exactly as in
+    `build_bloom_index`:** normally the merged manifest dict
+    (``rel -> column -> encoded filter``), but when a partitioned
+    dataset's UNCOVERED volume exceeds :data:`BUILD_STREAM_BYTES` (mass
+    append, or a legacy/format-bumped root forcing the full path) the
+    update degrades to the shard-streaming rebuild and returns its
+    small summary dict ``{"streamed": True, "files": n, "leaves": k}``
+    — at that scale the full manifest would itself be the multi-GB
+    driver load this path exists to avoid.  The streamed rebuild
+    carries the old manifest's real-filter columns into the evolution
+    gate, so known-column semantics match the in-memory path."""
     seed = dict(sizing or {})
     if dirs is not None:
         if not cols:
@@ -728,7 +745,12 @@ def update_bloom_index(
         pairs = sorted(
             current.items(), key=lambda rf: os.path.split(rf[0])
         )
-        return _build_blooms_streaming(path, pairs, sizing, spark)
+        # thread the old manifest's real-filter columns into the
+        # streaming evolution gate — parity with the in-memory path's
+        # `known |= _known_bloom_cols(manifest)` below (advice r10)
+        return _build_blooms_streaming(
+            path, pairs, sizing, spark, known_extra=_known_bloom_cols(manifest)
+        )
     scanned = _update_scan(current, manifest, sizing, spark)
     known = set().union(*(n for _b, n in scanned.values())) if scanned else set()
     known |= _known_bloom_cols(manifest)

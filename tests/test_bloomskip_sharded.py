@@ -325,3 +325,79 @@ def test_full_update_degrades_to_streaming_rebuild(spark, tmp_path, monkeypatch)
     assert all(b["doc_id"]["m"] == big for b in full.values())
     keep, total = bs.prune_files_eq(path, "doc_id", [1007])
     assert 0 < len(keep) < total
+
+def test_streaming_build_honors_known_extra(spark, tmp_path):
+    """Advice r10 (helper level): _build_blooms_streaming must widen its
+    footer-name union with caller-known columns — update_bloom_index's
+    streaming degrade passes the old manifest's real-filter columns.
+    With a known_extra column absent from EVERY current footer, each
+    file gets that column's evolution-gap marker; without it, none
+    would (the footer pass alone cannot justify the column)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [Row(doc_id=i, lang="de") for i in range(20)]
+    ).coalesce(2).write.parquet(os.path.join(path, "lang=de"))
+    pairs = sorted(
+        ((os.path.relpath(f, path), f) for f in bs._data_files(path)),
+        key=lambda rf: os.path.split(rf[0]),
+    )
+    sizing = {"doc_id": (bs.DEFAULT_N_BITS, bs.DEFAULT_N_HASHES),
+              "score": (bs.DEFAULT_N_BITS, bs.DEFAULT_N_HASHES)}
+    out = bs._build_blooms_streaming(
+        path, pairs, sizing, spark, known_extra={"score"}
+    )
+    assert out["streamed"] is True
+    full = bs.load_bloom_index(path)
+    assert full and all(b["score"].get("empty") is True for b in full.values())
+    assert all(not b["doc_id"].get("empty") for b in full.values())
+
+
+def test_streaming_degrade_known_gate_matches_inmemory_update(
+    spark, tmp_path, monkeypatch
+):
+    """Advice r10 (end-to-end): when a mass append of score-less files
+    hits a manifest whose covered files carry REAL score filters, the
+    in-memory update justifies score gap markers on the new files via
+    `known |= _known_bloom_cols(manifest)` (covered footers are never
+    rescanned).  The streaming degrade must produce the same shape —
+    via the threaded known_extra plus its global footer pass."""
+    from pyspark.sql import Row
+
+    def build_state(path):
+        spark.createDataFrame(
+            [Row(doc_id=100 + i, score=float(i), lang="en") for i in range(20)]
+        ).coalesce(2).write.parquet(os.path.join(path, "lang=en"))
+        bs.build_bloom_index(path, ["doc_id", "score"], spark=spark)
+        # mass append: a new partition whose files never had score
+        spark.createDataFrame(
+            [Row(doc_id=200 + i, lang="fr") for i in range(20)]
+        ).coalesce(2).write.parquet(os.path.join(path, "lang=fr"))
+
+    def shape(path):
+        return sorted(
+            (
+                os.path.dirname(rel),
+                sorted(
+                    (c, e.get("m"), e.get("k"), e.get("empty", False))
+                    for c, e in bl.items()
+                ),
+            )
+            for rel, bl in bs.load_bloom_index(path).items()
+        )
+
+    a, b = str(tmp_path / "mem"), str(tmp_path / "stream")
+    build_state(a)
+    build_state(b)
+    bs.update_bloom_index(a, ["doc_id", "score"], spark=spark)
+    monkeypatch.setattr(bs, "BUILD_STREAM_BYTES", 0)
+    out = bs.update_bloom_index(b, ["doc_id", "score"], spark=spark)
+    assert out.get("streamed") is True
+    # same per-directory shape modulo the trees' distinct parquet names:
+    # fr files carry the score gap marker on BOTH paths, en files carry
+    # real filters on both
+    assert shape(a) == shape(b)
+    fr = {rel: bl for rel, bl in bs.load_bloom_index(b).items()
+          if rel.startswith("lang=fr")}
+    assert fr and all(bl["score"].get("empty") is True for bl in fr.values())

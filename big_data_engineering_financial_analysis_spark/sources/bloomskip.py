@@ -18,6 +18,12 @@ the same dataset layer:
   survivors with the residual ``IN`` filter — so the result ALWAYS
   equals full-scan + filter (skipping is an optimization, never a
   semantics change; Bloom filters have no false negatives).
+* the leaf-summary index (:data:`SUMMARY_NAME` — Iceberg's
+  manifest-list idea over the shard manifests) makes the ROOT-WIDE
+  point probe scale with matching leaves instead of all leaves: one
+  union filter per (partition directory, column), double-sealed
+  against staleness (shard fingerprint + covered-basenames md5), so
+  whole directories drop before any shard manifest is opened.
 
 Sizing: ``n_bits`` is CAPPED per (file, column) — at 100 TB an exact
 9.6-bits/key filter over a billion-key file would dwarf the manifest, so
@@ -361,6 +367,178 @@ def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> No
     )
 
 
+# ---------------------------------------------------------------------------
+# leaf-summary index: prune LEAVES before any shard manifest is opened
+# ---------------------------------------------------------------------------
+
+#: Root-level per-LEAF Bloom-union summary — the second level of the
+#: two-level pruning structure (Iceberg's manifest-list over manifests).
+#: The sharded layout bounds a PARTITION-constrained prune, but a
+#: root-wide point probe ("which of 1M files anywhere holds key X?")
+#: still opens every shard manifest (~10 GB at 1M files; measured 7.3 s
+#: over 1,024 shards at the 100k probe).  The summary holds, per leaf
+#: directory, the bitwise-OR of that leaf's per-file filters — O(leaves)
+#: bytes, not O(files) — so the probe drops whole leaves first and opens
+#: only shards whose union admits a value.
+#:
+#: Staleness can never mis-prune: a leaf is summary-pruned ONLY when
+#: (a) its shard manifest's (size, mtime_ns) fingerprint matches the
+#: summary, (b) the md5 of the leaf's CURRENT data-file basenames
+#: matches the covered set recorded at build time (a file appended
+#: without index maintenance fails this and the leaf must open), and
+#: (c) the union filter proves no probe value occurs.  Any mismatch,
+#: missing entry, or format bump degrades to opening the shard — the
+#: same conservative contract as every other index in this layer.
+SUMMARY_NAME = "_bloom_summary.json"
+
+
+def _files_md5(basenames: Iterable[str]) -> str:
+    return hashlib.md5("\n".join(sorted(basenames)).encode()).hexdigest()
+
+
+def _shard_fingerprint(path: str, leaf: str) -> list | None:
+    try:
+        st = os.stat(os.path.join(path, leaf, MANIFEST_NAME))
+    except OSError:
+        return None
+    return [st.st_size, st.st_mtime_ns]
+
+
+def _leaf_summary_cols(files: dict[str, dict]) -> dict:
+    """Per-column union filters over ONE leaf's manifest entries
+    (basename -> blooms).  A column is summarized only when EVERY
+    covered file carries an entry for it at ONE (m, k) — a file without
+    the column must always be scanned, so its leaf can never be
+    summary-pruned on that column; mixed sizing (an upsized hot column
+    mid-migration) is likewise skipped.  All-gap columns summarize to
+    the O(1) empty marker (the column provably matches nothing in the
+    leaf — maximal pruning)."""
+    if not files:
+        return {}
+    out: dict = {}
+    common = set.intersection(*(set(b) for b in files.values()))
+    for col in common:
+        entries = [b[col] for b in files.values()]
+        mk = {(e.get("m"), e.get("k")) for e in entries}
+        if len(mk) != 1:
+            continue
+        m, k = next(iter(mk))
+        if not isinstance(m, int) or not isinstance(k, int):
+            continue
+        real = [e for e in entries if not e.get("empty")]
+        if not real:
+            out[col] = _empty_filter(m, k)
+            continue
+        acc = 0
+        for e in real:
+            acc |= int.from_bytes(base64.b64decode(e["bits"]), "big")
+        out[col] = {
+            "m": m,
+            "k": k,
+            "bits": base64.b64encode(acc.to_bytes((m + 7) // 8, "big")).decode(),
+        }
+    return out
+
+
+def _summary_entry(path: str, leaf: str, files: dict[str, dict]) -> dict:
+    """One leaf's summary row: union filters + the two staleness seals
+    (shard-manifest fingerprint, covered-basenames md5).  Stat AFTER the
+    shard write, so the fingerprint seals exactly the bytes on disk."""
+    return {
+        "fp": _shard_fingerprint(path, leaf),
+        "files_md5": _files_md5(files),
+        "n": len(files),
+        "cols": _leaf_summary_cols(files),
+    }
+
+
+def _refresh_summary_from_manifest(path: str, manifest: dict) -> None:
+    """Rebuild the leaf summary from a full in-memory manifest — called
+    AFTER `_write_manifest` so the fingerprints seal the just-written
+    shard bytes.  Flat layouts carry no summary (there are no leaves to
+    prune; the single manifest IS the bound), and a stale one from a
+    previous sharded life is removed."""
+    by_dir: dict[str, dict] = {}
+    for rel, blooms in manifest.items():
+        d, base = os.path.split(rel)
+        by_dir.setdefault(d, {})[base] = blooms
+    if not any(d for d in by_dir):
+        _remove_bloom_summary(path)
+        return
+    _write_bloom_summary(
+        path,
+        {d: _summary_entry(path, d, files) for d, files in by_dir.items() if d},
+    )
+
+
+def _write_bloom_summary(path: str, leaves: dict[str, dict]) -> None:
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import (
+        _atomic_json_if_changed,
+    )
+
+    _atomic_json_if_changed(
+        os.path.join(path, SUMMARY_NAME),
+        {"format": KEY_FORMAT, "leaves": leaves},
+    )
+
+
+def _remove_bloom_summary(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, SUMMARY_NAME))
+    except OSError:
+        pass
+
+
+def _load_bloom_summary(path: str) -> dict | None:
+    """The summary is reachable ONLY through a format-matching SHARDED
+    root marker — exactly the shards' own rule: a stale or legacy root
+    disables the whole index (summary included), never just part of
+    it."""
+    root = _read_manifest_obj(os.path.join(path, MANIFEST_NAME))
+    if (
+        root is None
+        or root.get("format") != KEY_FORMAT
+        or root.get("sharded") is not True
+    ):
+        return None
+    obj = _read_manifest_obj(os.path.join(path, SUMMARY_NAME))
+    if obj is None or obj.get("format") != KEY_FORMAT:
+        return None
+    leaves = obj.get("leaves")
+    return leaves if isinstance(leaves, dict) else None
+
+
+def _summary_rejects_leaf(
+    path: str,
+    leaf: str,
+    entry: dict,
+    current_basenames: list[str],
+    eq: list[tuple],
+) -> bool:
+    """True ONLY when the leaf provably matches nothing: both staleness
+    seals validate AND some equality predicate's union filter rejects
+    every probe value.  Every uncertainty returns False (open the
+    shard) — the no-false-negative contract."""
+    if not isinstance(entry, dict):
+        return False
+    fp = _shard_fingerprint(path, leaf)
+    if fp is None or fp != entry.get("fp"):
+        return False
+    if entry.get("files_md5") != _files_md5(current_basenames):
+        return False
+    cols = entry.get("cols")
+    if not isinstance(cols, dict):
+        return False
+    for col, values in eq:
+        enc = cols.get(col)
+        if enc is None:
+            continue
+        union = _Bloom.decode(enc)
+        if not any(union.might_contain(v) for v in values):
+            return True
+    return False
+
+
 def _scan_blooms(
     pairs: list[tuple[str, str]],
     sizing: dict[str, tuple[int, int]],
@@ -514,6 +692,7 @@ def build_bloom_index(
     known = set().union(*(n for _b, n in scanned.values())) if scanned else set()
     manifest = _fill_bloom_gaps(scanned, full_sizing, known)
     _write_manifest(path, manifest)
+    _refresh_summary_from_manifest(path, manifest)
     return manifest
 
 
@@ -573,6 +752,11 @@ def _build_blooms_streaming(
     shard: dict = {}
     n_files = 0
     n_leaves = 0
+    # leaf-summary fold: one union filter per (leaf, column) — O(leaves)
+    # driver bytes (~8 KB/col/leaf; ~80 MB/col at a 10k-leaf 1M-file
+    # dataset), the second-level index the root-wide prune reads INSTEAD
+    # of every shard
+    summary_leaves: dict[str, dict] = {}
 
     def flush() -> None:
         nonlocal n_leaves
@@ -581,6 +765,7 @@ def _build_blooms_streaming(
                 os.path.join(path, current, MANIFEST_NAME),
                 {"format": KEY_FORMAT, "files": shard},
             )
+            summary_leaves[current] = _summary_entry(path, current, shard)
             n_leaves += 1
 
     for rel, scanned in it:
@@ -596,6 +781,7 @@ def _build_blooms_streaming(
         os.path.join(path, MANIFEST_NAME),
         {"format": KEY_FORMAT, "sharded": True, "files": root_files},
     )
+    _write_bloom_summary(path, summary_leaves)
     return {"streamed": True, "files": n_files, "leaves": n_leaves}
 
 
@@ -713,6 +899,20 @@ def update_bloom_index(
                     },
                 )
                 out |= shard
+            # keep the leaf summary fresh for the touched leaves so a
+            # streaming sink's per-batch maintenance doesn't erode it
+            # (untouched leaves keep their sealed entries; a missing
+            # summary is NOT created here — only builds establish it)
+            summary = _load_bloom_summary(path)
+            if summary is not None:
+                for leaf in sorted(by_leaf):
+                    files = {
+                        os.path.basename(r): b
+                        for r, b in out.items()
+                        if os.path.dirname(r) == leaf
+                    }
+                    summary[leaf] = _summary_entry(path, leaf, files)
+                _write_bloom_summary(path, summary)
             return out
         # not sharded (legacy flat / missing): full update below
     walk = _data_files(path)  # ONE listing, shared by all three consumers
@@ -757,6 +957,7 @@ def update_bloom_index(
     for rel, blooms in _fill_bloom_gaps(scanned, sizing, known).items():
         manifest[rel] = manifest.get(rel, {}) | blooms
     _write_manifest(path, manifest)
+    _refresh_summary_from_manifest(path, manifest)
     return manifest
 
 
@@ -982,6 +1183,35 @@ def prune_files_combined(
             )
         ]
     if eq:
+        # leaf-summary pre-prune: drop whole partition directories whose
+        # union filter proves no probe value occurs, BEFORE any shard
+        # manifest is opened — the root-wide point probe's cost then
+        # scales with MATCHING leaves, not all leaves (see SUMMARY_NAME).
+        # Both staleness seals (shard fingerprint, current-basenames md5
+        # over the walked listing) are validated per leaf; any mismatch
+        # keeps the leaf and the per-file pass below decides as before.
+        summary = _load_bloom_summary(path)
+        if summary:
+            by_leaf: dict[str, list[str]] = {}
+            for fpath in files:
+                r = rels[fpath]
+                by_leaf.setdefault(os.path.dirname(r), []).append(
+                    os.path.basename(r)
+                )
+            rejected = {
+                leaf
+                for leaf in {os.path.dirname(rels[f]) for f in candidates} - {""}
+                if leaf in summary
+                and _summary_rejects_leaf(
+                    path, leaf, summary[leaf], by_leaf.get(leaf, []), eq
+                )
+            }
+            if rejected:
+                candidates = [
+                    f
+                    for f in candidates
+                    if os.path.dirname(rels[f]) not in rejected
+                ]
         bmanifest = _blooms_for(path, [rels[fpath] for fpath in candidates])
         candidates = [
             fpath

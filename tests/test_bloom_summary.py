@@ -1,0 +1,222 @@
+"""Leaf-summary Bloom index — the two-level pruning structure.
+
+A root-wide point probe on a sharded dataset used to open EVERY shard
+manifest (measured 7.3 s over 1,024 shards at the r11 100k-file probe;
+~10 GB of manifest reads at 1M files).  `_bloom_summary.json` holds one
+union filter per (leaf, column) so whole leaves drop before any shard
+opens.  The invariant under test everywhere here: pruning through the
+summary ALWAYS equals full scan + filter — staleness of any kind
+degrades to opening the shard, never to a wrong skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from big_data_engineering_financial_analysis_spark.sources import bloomskip as bs
+from big_data_engineering_financial_analysis_spark.sources.dataset import write_sharded
+
+from tests.test_bloomskip_sharded import _rows, _write
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_summary_written_by_build_and_prunes_leaves_without_opening_shards(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "ds")
+    df = _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    assert os.path.isfile(os.path.join(path, bs.SUMMARY_NAME))
+
+    opened: list[str] = []
+    real = bs._shard_files
+
+    def spy(p, d, format_gated):
+        opened.append(d)
+        return real(p, d, format_gated)
+
+    monkeypatch.setattr(bs, "_shard_files", spy)
+    # doc_id 8 = row i=284 (8 * 37^-1 mod 300) -> lang "fr": the other
+    # two leaves' union filters must reject it so their shards are
+    # never opened
+    keep, total = bs.prune_files_eq(path, "doc_id", [8])
+    assert opened == ["lang=fr"]
+    assert 0 < len(keep) < total
+    got = bs.read_point(spark, path, "doc_id", [8])
+    assert _ids(got) == [8]
+    # result contract holds for a multi-partition probe too
+    got2 = bs.read_point(spark, path, "doc_id", [8, 9])
+    assert _ids(got2) == [8, 9]
+
+
+def test_summary_ignores_appended_file_leaf_must_open(spark, tmp_path):
+    """A file appended WITHOUT index maintenance changes the leaf's
+    basename set — the md5 seal fails, the leaf opens, and the appended
+    file (unknown to the shard manifest) scans as before."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # plant a fresh doc_id=9999 row inside lang=en, bypassing the sink
+    spark.createDataFrame(
+        [{"doc_id": 9999, "score": 1.0}]
+    ).coalesce(1).write.mode("append").parquet(os.path.join(path, "lang=en"))
+    keep, _total = bs.prune_files_eq(path, "doc_id", [9999])
+    assert any("lang=en" in f for f in keep)  # the new file is kept
+    got = bs.read_point(spark, path, "doc_id", [9999])
+    assert got.count() == 1
+
+
+def test_summary_stale_fingerprint_degrades_to_shard_open(spark, tmp_path):
+    """A shard manifest rewritten after the summary was sealed fails the
+    fingerprint check: the leaf opens and the shard decides per file."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # corrupt the SUMMARY's view by rewriting one shard byte-identically
+    # plus a timestamp bump (content same -> per-file pruning unchanged)
+    shard_fp = os.path.join(path, "lang=de", bs.MANIFEST_NAME)
+    with open(shard_fp) as fh:
+        obj = json.load(fh)
+    with open(shard_fp, "w") as fh:
+        json.dump(obj, fh, separators=(",", ": "))  # rewrite; size/mtime move
+    keep, total = bs.prune_files_eq(path, "doc_id", [8])
+    got = bs.read_point(spark, path, "doc_id", [8])
+    assert _ids(got) == [8]
+    assert 0 < len(keep) < total  # per-file blooms still prune
+
+
+def test_summary_poisoned_union_never_skips_wrong(spark, tmp_path):
+    """Adversarial staleness: force a summary whose union REJECTS a key
+    that exists, with a matching-looking entry — both seals must catch
+    it (here the fingerprint, because rewriting the summary cannot fake
+    the shard stat it sealed at build time... so fake THAT too and rely
+    on the md5 seal failing instead is impossible — basenames match.
+    The honest statement: if an attacker controls both seals AND the
+    union bits the index lies, exactly like a hand-edited per-file
+    manifest would.  What this test pins is the REACHABLE failure:
+    a summary left over from a PREVIOUS build of the same directory
+    (old shard bytes) never mis-prunes, because the fingerprint moved."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    with open(os.path.join(path, bs.SUMMARY_NAME)) as fh:
+        old_summary = fh.read()
+    # rebuild (e.g. after a compaction rewrote files): shard bytes move
+    bs.build_bloom_index(path, ["doc_id"])
+    # resurrect the stale summary wholesale
+    with open(os.path.join(path, bs.SUMMARY_NAME), "w") as fh:
+        fh.write(old_summary)
+    got = bs.read_point(spark, path, "doc_id", [8])
+    assert _ids(got) == [8]
+
+
+def test_summary_dead_when_root_manifest_stale(spark, tmp_path):
+    """The stale-root rule covers the summary: a legacy root disables
+    the WHOLE index — no leaf may be summary-pruned through it."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    full = bs.load_bloom_index(path)
+    with open(os.path.join(path, bs.MANIFEST_NAME), "w") as fh:
+        json.dump(full, fh)  # legacy untagged root
+    assert bs._load_bloom_summary(path) is None
+    keep, total = bs.prune_files_eq(path, "doc_id", [3])
+    assert len(keep) == total
+
+
+def test_summary_refreshed_by_dirs_bounded_update(spark, tmp_path):
+    """The streaming sink's per-batch maintenance path
+    (update_bloom_index(dirs=...)) keeps the touched leaf's summary
+    entry fresh: new keys remain findable AND the refreshed union still
+    prunes the leaf for absent keys without opening its shard."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    extra = spark.createDataFrame(
+        [{"doc_id": 7777, "lang": "en", "score": 0.5}]
+    )
+    write_sharded(
+        extra, path, partition_cols=["lang"], sort_cols=["doc_id"],
+        mode="append",
+    )
+    bs.update_bloom_index(path, ["doc_id"], dirs=["lang=en"])
+    got = bs.read_point(spark, path, "doc_id", [7777])
+    assert got.count() == 1
+    # the refreshed entry seals the NEW shard bytes: an absent key's
+    # probe may drop lang=en again without opening its shard
+    summary = bs._load_bloom_summary(path)
+    assert summary is not None
+    assert summary["lang=en"]["fp"] == bs._shard_fingerprint(path, "lang=en")
+    keep, total = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert keep == [] and total > 0
+
+
+def test_summary_streaming_build_matches_inmemory(spark, tmp_path, monkeypatch):
+    """The streamed build's fold writes the same unions and file seals
+    as the in-memory rebuild of the SAME tree (fingerprints move with
+    the shard rewrites; everything else must be identical)."""
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"], spark=spark)
+    with open(os.path.join(path, bs.SUMMARY_NAME)) as fh:
+        mem = json.load(fh)
+    monkeypatch.setattr(bs, "BUILD_STREAM_BYTES", 0)
+    out = bs.build_bloom_index(path, ["doc_id"], spark=spark)
+    assert out.get("streamed") is True
+    with open(os.path.join(path, bs.SUMMARY_NAME)) as fh:
+        stream = json.load(fh)
+
+    def strip_fp(summary):
+        return {
+            leaf: {k: v for k, v in e.items() if k != "fp"}
+            for leaf, e in summary["leaves"].items()
+        }
+
+    assert strip_fp(mem) == strip_fp(stream)
+
+
+def test_leaf_summary_cols_mixed_sizing_and_gaps():
+    """Unit semantics of the union fold: mixed (m, k) columns are NOT
+    summarized (an upsized hot column mid-migration must not prune
+    through a wrong-sized union); all-gap columns summarize to the
+    empty marker (maximal pruning); a column missing from ANY file is
+    not summarized (that file must always scan)."""
+    f = bs._Bloom(64, 3)
+    f.add(42)
+    real = f.encode()
+    other = bs._Bloom(128, 3)
+    other.add(42)
+    files = {
+        "a.parquet": {"x": real, "y": bs._empty_filter(64, 3), "z": real},
+        "b.parquet": {"x": other.encode(), "y": bs._empty_filter(64, 3)},
+    }
+    cols = bs._leaf_summary_cols(files)
+    assert "x" not in cols          # mixed sizing
+    assert cols["y"].get("empty")   # all gaps -> empty marker
+    assert "z" not in cols          # absent from b.parquet
+    # and a real union admits every member's keys
+    g = bs._Bloom(64, 3)
+    g.add(7)
+    union = bs._leaf_summary_cols(
+        {"a": {"x": real}, "b": {"x": g.encode()}}
+    )["x"]
+    u = bs._Bloom.decode(union)
+    assert u.might_contain(42) and u.might_contain(7)
+
+
+def test_summary_removed_on_flat_rebuild(spark, tmp_path):
+    """A dataset rebuilt FLAT (no partitions) carries no summary; a
+    stale one from its sharded life is removed by the build."""
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(_rows()).repartition(4).write.parquet(path)
+    # plant a bogus summary from a previous sharded incarnation
+    with open(os.path.join(path, bs.SUMMARY_NAME), "w") as fh:
+        json.dump({"format": bs.KEY_FORMAT, "leaves": {}}, fh)
+    bs.build_bloom_index(path, ["doc_id"])
+    assert not os.path.exists(os.path.join(path, bs.SUMMARY_NAME))
+    got = bs.read_point(spark, path, "doc_id", [3])
+    assert _ids(got) == [3]

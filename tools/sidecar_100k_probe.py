@@ -109,11 +109,23 @@ try:
     out["rss_after_zonemap_mb"] = round(rss_mb(), 1)
 
     # ---- the sidecars serve: point probe prunes to ~the probed files ----
+    # with the leaf summary (r11): whole leaves drop before any shard
+    # manifest is opened — the root-wide probe's cost scales with
+    # MATCHING leaves, not all leaves
     t0 = time.monotonic()
     keep, total = bs.prune_files_eq(path, "doc_id", [31337])
-    out["prune_s"] = round(time.monotonic() - t0, 2)
+    out["prune_summary_s"] = round(time.monotonic() - t0, 2)
     out["prune_keep"] = len(keep)
     out["prune_total"] = total
+    out["summary_mb"] = round(
+        os.path.getsize(os.path.join(path, bs.SUMMARY_NAME)) / 2**20, 1
+    )
+    # without it (pre-r11 shape): every leaf's shard manifest is opened
+    os.remove(os.path.join(path, bs.SUMMARY_NAME))
+    t0 = time.monotonic()
+    keep2, _ = bs.prune_files_eq(path, "doc_id", [31337])
+    out["prune_s"] = round(time.monotonic() - t0, 2)
+    assert sorted(keep2) == sorted(keep)
 finally:
     shutil.rmtree(root, ignore_errors=True)
 

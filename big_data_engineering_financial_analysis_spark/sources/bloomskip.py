@@ -391,6 +391,14 @@ def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> No
 #: same conservative contract as every other index in this layer.
 SUMMARY_NAME = "_bloom_summary.json"
 
+#: Candidate-leaf count below which the prune skips the summary: a
+#: partition-constrained probe touching a few leaves opens those shards
+#: directly — parsing an O(all leaves) summary (~80 MB/col at a 10k-leaf
+#: dataset) to maybe save a handful of small shard reads would cost more
+#: than it saves.  The summary pays off exactly when MANY leaves are
+#: candidates, i.e. the root-wide probe it exists for.
+SUMMARY_MIN_LEAVES = 8
+
 
 def _files_md5(basenames: Iterable[str]) -> str:
     return hashlib.md5("\n".join(sorted(basenames)).encode()).hexdigest()
@@ -905,13 +913,15 @@ def update_bloom_index(
             # summary is NOT created here — only builds establish it)
             summary = _load_bloom_summary(path)
             if summary is not None:
+                grouped: dict[str, dict] = {}
+                for r, b in out.items():  # ONE pass, not one per leaf
+                    grouped.setdefault(os.path.dirname(r), {})[
+                        os.path.basename(r)
+                    ] = b
                 for leaf in sorted(by_leaf):
-                    files = {
-                        os.path.basename(r): b
-                        for r, b in out.items()
-                        if os.path.dirname(r) == leaf
-                    }
-                    summary[leaf] = _summary_entry(path, leaf, files)
+                    summary[leaf] = _summary_entry(
+                        path, leaf, grouped.get(leaf, {})
+                    )
                 _write_bloom_summary(path, summary)
             return out
         # not sharded (legacy flat / missing): full update below
@@ -1190,7 +1200,15 @@ def prune_files_combined(
         # Both staleness seals (shard fingerprint, current-basenames md5
         # over the walked listing) are validated per leaf; any mismatch
         # keeps the leaf and the per-file pass below decides as before.
-        summary = _load_bloom_summary(path)
+        # Skipped entirely for few-leaf probes (the partition-constrained
+        # serving shape): parsing an O(all leaves) summary to maybe save
+        # a handful of shard opens would invert the trade it exists for.
+        cand_leaves = {os.path.dirname(rels[f]) for f in candidates} - {""}
+        summary = (
+            _load_bloom_summary(path)
+            if len(cand_leaves) >= SUMMARY_MIN_LEAVES
+            else None
+        )
         if summary:
             by_leaf: dict[str, list[str]] = {}
             for fpath in files:
@@ -1200,7 +1218,7 @@ def prune_files_combined(
                 )
             rejected = {
                 leaf
-                for leaf in {os.path.dirname(rels[f]) for f in candidates} - {""}
+                for leaf in cand_leaves
                 if leaf in summary
                 and _summary_rejects_leaf(
                     path, leaf, summary[leaf], by_leaf.get(leaf, []), eq

@@ -27,6 +27,7 @@ def _ids(df):
 def test_summary_written_by_build_and_prunes_leaves_without_opening_shards(
     spark, tmp_path, monkeypatch
 ):
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)  # 3-leaf fixture
     path = str(tmp_path / "ds")
     df = _write(spark, path)
     bs.build_bloom_index(path, ["doc_id"])
@@ -53,10 +54,11 @@ def test_summary_written_by_build_and_prunes_leaves_without_opening_shards(
     assert _ids(got2) == [8, 9]
 
 
-def test_summary_ignores_appended_file_leaf_must_open(spark, tmp_path):
+def test_summary_ignores_appended_file_leaf_must_open(spark, tmp_path, monkeypatch):
     """A file appended WITHOUT index maintenance changes the leaf's
     basename set — the md5 seal fails, the leaf opens, and the appended
     file (unknown to the shard manifest) scans as before."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)  # 3-leaf fixture
     path = str(tmp_path / "ds")
     _write(spark, path)
     bs.build_bloom_index(path, ["doc_id"])
@@ -70,9 +72,10 @@ def test_summary_ignores_appended_file_leaf_must_open(spark, tmp_path):
     assert got.count() == 1
 
 
-def test_summary_stale_fingerprint_degrades_to_shard_open(spark, tmp_path):
+def test_summary_stale_fingerprint_degrades_to_shard_open(spark, tmp_path, monkeypatch):
     """A shard manifest rewritten after the summary was sealed fails the
     fingerprint check: the leaf opens and the shard decides per file."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)  # 3-leaf fixture
     path = str(tmp_path / "ds")
     _write(spark, path)
     bs.build_bloom_index(path, ["doc_id"])
@@ -89,7 +92,7 @@ def test_summary_stale_fingerprint_degrades_to_shard_open(spark, tmp_path):
     assert 0 < len(keep) < total  # per-file blooms still prune
 
 
-def test_summary_poisoned_union_never_skips_wrong(spark, tmp_path):
+def test_summary_poisoned_union_never_skips_wrong(spark, tmp_path, monkeypatch):
     """Adversarial staleness: force a summary whose union REJECTS a key
     that exists, with a matching-looking entry — both seals must catch
     it (here the fingerprint, because rewriting the summary cannot fake
@@ -100,6 +103,7 @@ def test_summary_poisoned_union_never_skips_wrong(spark, tmp_path):
     manifest would.  What this test pins is the REACHABLE failure:
     a summary left over from a PREVIOUS build of the same directory
     (old shard bytes) never mis-prunes, because the fingerprint moved."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)  # 3-leaf fixture
     path = str(tmp_path / "ds")
     _write(spark, path)
     bs.build_bloom_index(path, ["doc_id"])
@@ -128,11 +132,12 @@ def test_summary_dead_when_root_manifest_stale(spark, tmp_path):
     assert len(keep) == total
 
 
-def test_summary_refreshed_by_dirs_bounded_update(spark, tmp_path):
+def test_summary_refreshed_by_dirs_bounded_update(spark, tmp_path, monkeypatch):
     """The streaming sink's per-batch maintenance path
     (update_bloom_index(dirs=...)) keeps the touched leaf's summary
     entry fresh: new keys remain findable AND the refreshed union still
     prunes the leaf for absent keys without opening its shard."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)  # 3-leaf fixture
     path = str(tmp_path / "ds")
     _write(spark, path)
     bs.build_bloom_index(path, ["doc_id"])

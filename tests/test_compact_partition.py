@@ -189,8 +189,6 @@ def test_compaction_interleaves_with_live_streaming_sink(spark, tmp_path):
     markers untouched by the compaction), the new batch must append,
     and both skip indexes must cover and prune the mixed
     compacted+fresh file set."""
-    import datetime as dt
-
     from tests.test_dataset_sink import SCHEMA
 
     src = str(tmp_path / "src")

@@ -405,11 +405,17 @@ def _files_md5(basenames: Iterable[str]) -> str:
 
 
 def _shard_fingerprint(path: str, leaf: str) -> list | None:
+    """(size, mtime_ns, inode) of the leaf's shard manifest.  The inode
+    is defense-in-depth for coarse-mtime filesystems: every shard write
+    is an `os.replace` of a fresh tempfile (new inode), so a same-length
+    rewrite landing inside one mtime tick still moves the fingerprint.
+    A summary sealed under the old 2-field form never validates against
+    this 3-field read — conservative, leaves just open their shards."""
     try:
         st = os.stat(os.path.join(path, leaf, MANIFEST_NAME))
     except OSError:
         return None
-    return [st.st_size, st.st_mtime_ns]
+    return [st.st_size, st.st_mtime_ns, st.st_ino]
 
 
 def _leaf_summary_cols(files: dict[str, dict]) -> dict:

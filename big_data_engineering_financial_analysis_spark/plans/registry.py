@@ -787,6 +787,16 @@ for _name in RETIRED_R7:
 #: embedding dedup bucket column rename (bucket -> dedup_bucket, for
 #: the new bucket-self-join plan guard) is name-only inside
 #: embedding_dedup_pairs_lsh and rides the same re-run.
+#:
+#: Measured r12 obligation (tools/staleness_audit.py, post-r11): the
+#: 50-row r9-latest tier (ann_pq family, api_avg, candlestick_feed,
+#: enrich_indicators, summarize, signal_rule, global_stats, pivot_avg,
+#: last_per_minute, corpus_shards, token_budget_mix, global_index,
+#: dedup_clusters, dedup_span_removal_max, ... — the audit prints the
+#: full list) — exactly full: any r12 changed-code row must overlap
+#: that tier or be bought with a retirement (standing precedent).  The
+#: four r11 fix-touched dedup rows (dedup_simhash, dedup_ngram_jaccard,
+#: dedup_embedding, corpus_prep — r10-latest) rotate r13.
 _DRIVER_PRIORITY_R11 = [
     # (a) changed-code: the _bucket_pairs self-pair/NULL fix — flagship
     # row takes the free slot, evidence otherwise r10-latest

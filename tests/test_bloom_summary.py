@@ -225,3 +225,41 @@ def test_summary_removed_on_flat_rebuild(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, bs.SUMMARY_NAME))
     got = bs.read_point(spark, path, "doc_id", [3])
     assert _ids(got) == [3]
+
+
+def test_summary_union_has_no_false_negatives():
+    """Property (hypothesis): the leaf union filter admits EVERY key any
+    member file's filter admits — the one algebraic fact the whole
+    summary-prune safety argument rests on (bitwise OR can only turn
+    bits on, so might_contain can only get MORE permissive)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        file_keys=st.lists(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    st.floats(allow_nan=False, allow_infinity=False),
+                    st.text(max_size=8),
+                ),
+                max_size=16,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(file_keys):
+        files = {}
+        for i, keys in enumerate(file_keys):
+            b = bs._Bloom(256, 3)
+            for k in keys:
+                b.add(k)
+            files[f"f{i}.parquet"] = {"x": b.encode()}
+        union = bs._Bloom.decode(bs._leaf_summary_cols(files)["x"])
+        for keys in file_keys:
+            for k in keys:
+                assert union.might_contain(k)
+
+    run()

@@ -797,6 +797,49 @@ for _name in RETIRED_R7:
 #: that tier or be bought with a retirement (standing precedent).  The
 #: four r11 fix-touched dedup rows (dedup_simhash, dedup_ngram_jaccard,
 #: dedup_embedding, corpus_prep — r10-latest) rotate r13.
+#: Round-12 window — exactly the 50-row r9-latest tier the r11 verdict
+#: scheduled (ask #1; recomputed via tools/staleness_audit.py this
+#: round: latest-row distribution entering r12 is r11:50 / r10:49 /
+#: r9:50).  The tier is exactly full — zero changed-code slots.
+#:
+#: Changed-code accounting for r12 (tier (a) must overlap or be
+#: bought):
+#: * enrich_indicators / enrich_incremental (ask #4 measurement +
+#:   any enrich_auto probe fix) — IN the tier below.  Overlap: free.
+#: * dedup_incremental (ask #3: band-key-bucketed persisted signature
+#:   store + Bloom-pruned store join in streaming/corpus.py) — the r11
+#:   verdict itself schedules its driver row for the r13 rotation
+#:   ("`dedup_incremental` driver row green in its r13 rotation slot"),
+#:   so it takes the value_quartiles treatment now: driver-sim MATCH
+#:   re-run in-session post-change + the boundary-invariance pytests;
+#:   no window slot spent.
+#: * bloomskip.py hardening (ADVICE r11 items + ask #5 leaf
+#:   fingerprint) — touches bloom_prune_join / zorder_index
+#:   (r11-latest) and panel_*_sharded (r10-latest, rotate r13): all
+#:   value_quartiles treatment (driver-sim MATCH re-run in-session +
+#:   the storage pytest sweep); driver rows land on schedule.
+_DRIVER_PRIORITY_R12 = [
+    # (c) latest driver row is r9 — refresh now or violate the policy
+    # (50 rows = registered ∩ latest==r9, from tools/staleness_audit.py)
+    "ann_ivf_pq", "ann_pq", "ann_pq_rerank", "api_avg", "asof_join",
+    "candlestick_feed", "corpus_shards", "customers_without_orders",
+    "decontaminate", "dedup_clusters", "dedup_span_removal_max",
+    "doc_fingerprints", "downsample_lang", "emb_norms", "emb_project",
+    "enrich_incremental", "enrich_indicators", "event_type_stats",
+    "events_union", "exact_distinct", "feature_windows",
+    "global_index", "global_stats", "ilp_lines", "lang_id",
+    "large_orders", "last_per_minute", "latest_per_key",
+    "latest_signal", "minmax_scale", "nation_volume_flow",
+    "order_priority_check", "parts_above_avg_price", "pivot_avg",
+    "pricing_rollup", "promo_revenue", "returned_items", "sessionize",
+    "sharpe_rolling", "signal_rule", "summarize", "text_repetition",
+    "text_token_stats", "time_functions", "token_budget_mix",
+    "top_orders_per_customer", "trailing_time_avg",
+    "tumbling_window_stats", "volume_profile", "winnow_fingerprints",
+]
+
+#: Round-11 window (superseded by _DRIVER_PRIORITY_R12 above; kept for
+#: the accounting trail — the comments above it describe this list).
 _DRIVER_PRIORITY_R11 = [
     # (a) changed-code: the _bucket_pairs self-pair/NULL fix — flagship
     # row takes the free slot, evidence otherwise r10-latest
@@ -883,7 +926,7 @@ for _name in RETIRED_R8:
     QUERIES.pop(_name, None)
     ORACLES.pop(_name, None)
 
-_DRIVER_PRIORITY = _DRIVER_PRIORITY_R11
+_DRIVER_PRIORITY = _DRIVER_PRIORITY_R12
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {
     name: fn for name, fn in QUERIES.items() if name not in _DRIVER_PRIORITY
 }

@@ -443,13 +443,29 @@ def _leaf_summary_cols(files: dict[str, dict]) -> dict:
         if not real:
             out[col] = _empty_filter(m, k)
             continue
+        # validate each payload BEFORE folding (advice r11): a corrupt
+        # or oversized 'bits' entry (decoded length != (m+7)//8) would
+        # otherwise make acc.to_bytes raise and crash the whole build,
+        # while the rest of the layer degrades gracefully on bad sidecar
+        # content.  On mismatch, skip summarizing THIS column — the leaf
+        # simply opens its shard, the layer's conservative contract.
+        width = (m + 7) // 8
         acc = 0
         for e in real:
-            acc |= int.from_bytes(base64.b64decode(e["bits"]), "big")
+            try:
+                raw = base64.b64decode(e["bits"])
+            except (KeyError, TypeError, ValueError):
+                raw = None
+            if raw is None or len(raw) != width:
+                acc = None
+                break
+            acc |= int.from_bytes(raw, "big")
+        if acc is None:
+            continue
         out[col] = {
             "m": m,
             "k": k,
-            "bits": base64.b64encode(acc.to_bytes((m + 7) // 8, "big")).decode(),
+            "bits": base64.b64encode(acc.to_bytes(width, "big")).decode(),
         }
     return out
 
@@ -717,7 +733,12 @@ def _build_blooms_streaming(
     spark: SparkSession,
     known_extra: set[str] | frozenset[str] = frozenset(),
 ) -> dict:
-    """Shard-streaming distributed build — O(one leaf) driver memory.
+    """Shard-streaming distributed build — O(one leaf) driver memory
+    for SHARD state, plus an O(leaves × summarized-cols) leaf-summary
+    fold (~m/8 bytes per (leaf, column); ~80 MB/col at a 10k-leaf
+    dataset at default sizing) held until the final summary write.
+    Past ~10k leaves, budget driver memory for the summary term or
+    shard/compress the summary before leaning on this path.
 
     Pass 1 collects only the global footer-name union (the
     known-column evolution gate needs it BEFORE any shard is written;
@@ -928,6 +949,21 @@ def update_bloom_index(
                     summary[leaf] = _summary_entry(
                         path, leaf, grouped.get(leaf, {})
                     )
+                # a requested dir whose files were ALL deleted builds no
+                # by_leaf entry — drop its now-dead summary rows so the
+                # root-wide prune stops stat-ing them (advice r11);
+                # mirrors _refresh_summary_from_manifest, which rebuilds
+                # from live files only.  Untouched leaves keep theirs.
+                requested = sorted(set(dirs) - {""})
+                for leaf in [
+                    s
+                    for s in summary
+                    if s not in by_leaf
+                    and any(
+                        s == d or s.startswith(d + "/") for d in requested
+                    )
+                ]:
+                    summary.pop(leaf)
                 _write_bloom_summary(path, summary)
             return out
         # not sharded (legacy flat / missing): full update below

@@ -263,3 +263,58 @@ def test_summary_union_has_no_false_negatives():
                 assert union.might_contain(k)
 
     run()
+
+
+def test_leaf_summary_cols_corrupt_bits_skip_column_not_crash():
+    """A corrupt/oversized 'bits' payload (decoded length != (m+7)//8)
+    must skip summarizing THAT column — never raise out of the build
+    (advice r11: the rest of the sidecar layer degrades gracefully on
+    bad content; the fold must too).  Healthy columns still summarize."""
+    import base64
+
+    good = bs._Bloom(64, 3)
+    good.add(1)
+    oversized = dict(good.encode())
+    oversized["bits"] = base64.b64encode(b"\xff" * 64).decode()  # 64 != 8
+    truncated = dict(good.encode())
+    truncated["bits"] = base64.b64encode(b"\xff").decode()  # 1 != 8
+    garbage = dict(good.encode())
+    garbage["bits"] = "!!not-base64!!"
+    missing = {k: v for k, v in good.encode().items() if k != "bits"}
+    files = {
+        "a.parquet": {
+            "big": oversized, "small": truncated, "bad": garbage,
+            "gone": missing, "ok": good.encode(),
+        },
+        "b.parquet": {
+            "big": good.encode(), "small": good.encode(),
+            "bad": good.encode(), "gone": good.encode(),
+            "ok": good.encode(),
+        },
+    }
+    cols = bs._leaf_summary_cols(files)  # must not raise
+    assert set(cols) == {"ok"}
+    assert bs._Bloom.decode(cols["ok"]).might_contain(1)
+
+
+def test_summary_dirs_update_pops_leaf_with_no_live_files(
+    spark, tmp_path, monkeypatch
+):
+    """update_bloom_index(dirs=...) on a partition whose data files were
+    ALL deleted drops its summary entry (advice r11: the sealed-but-dead
+    row is inert thanks to the fingerprint, but the root-wide prune
+    would keep stat-ing it forever).  Untouched leaves keep theirs."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    assert "lang=fr" in bs._load_bloom_summary(path)
+    for f in bs._data_files(os.path.join(path, "lang=fr")):
+        os.remove(f)
+    bs.update_bloom_index(path, ["doc_id"], dirs=["lang=fr", "lang=en"])
+    summary = bs._load_bloom_summary(path)
+    assert "lang=fr" not in summary
+    assert "lang=en" in summary and "lang=de" in summary
+    # the index still serves the surviving partitions
+    got = bs.read_point(spark, path, "lang", ["de"])
+    assert got.count() > 0

@@ -37,6 +37,17 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 #: the one legitimate JOIN on band_key — the incremental signature-store
 #: probe (streaming/corpus.py, new-batch vs persisted store: two
 #: different relations) — is exempted by name below.
+#:
+#: Spark plan-string assumptions this regex leans on (advice r11 — a
+#: version bump changing any of these un-guards the shape, which the
+#: vacuity test below then catches as a FAILURE, not silence):
+#: 1. physical join nodes print as `<Kind>Join [leftKeys], [rightKeys]`
+#:    with the key list in square brackets directly after the node name;
+#: 2. attribute names print with their expr-id suffix (`band_key#12`);
+#: 3. the banding columns are literally named band_key / chunk_key /
+#:    dedup_bucket at the join — a future query ALIASING one of these
+#:    before joining would dodge the name match, so new banding columns
+#:    must reuse these names (dedup.py's documented convention).
 _SELF_JOIN = re.compile(r"Join[^\n\[]*\[[^\]\n]*\b(band_key|chunk_key|dedup_bucket)#\d+")
 _SELF_JOIN_EXEMPT = {"dedup_incremental"}
 

@@ -162,6 +162,23 @@ INFLATION_COOLDOWN_SEC = 60
 EXTRA_INFLATION_TOL = 1.25
 EXTRA_RERUN_WORST = 5
 
+#: Headline per-QUERY inflation defense (round-12, r11 verdict ask #2):
+#: the headline tier's two existing detectors are blind to single-query
+#: bimodality — the in-run canary sees heat CHANGES, the uniform median
+#: sees whole-block heat, but a lone query whipsawing ±40% round over
+#: round (dedup_minhash_lsh: 0.84 → 1.63 → 0.97 → 1.35 s across r8-r11
+#: with no code change) trips neither.  Reference = a committed
+#: per-query best-known file (.bench_headline_ref.json, same lifecycle
+#: as the extras ref: existing entries only tighten downward, absent
+#: entries seed only from a run with no hot signal).  Any headline
+#: query reading above TOL × best-known re-runs — by FAMILY, not
+#: standalone: families share persisted subtrees, so a standalone
+#: re-run would time the query against cold caches and bias the
+#: recovery upward.  Ratios vs a best-known are biased >= 1 by
+#: construction; clean readings sit ~1.0-1.2×, the observed bimodal
+#: high mode ~1.4-1.6×.
+HEADLINE_QUERY_TOL = 1.3
+
 
 def median_vs_anchor(
     timings: dict, anchors: dict, min_anchored: int = MIN_ANCHORED
@@ -185,6 +202,22 @@ def median_vs_anchor(
         else (ratios[mid - 1] + ratios[mid]) / 2
     )
     return round(med, 3)
+
+
+def headline_suspects(
+    timings: dict, best: dict, tol: float = HEADLINE_QUERY_TOL
+) -> list[str]:
+    """Headline queries reading above ``tol`` × their committed
+    best-known — the per-query bimodality re-run set.  Per-QUERY, not
+    median: a lone whipsawing query trips neither the in-run canary
+    (no heat change) nor the uniform median (the block is clean).
+    Queries without a best-known entry (first run at this (sf, cpus))
+    can't be judged and are never suspects."""
+    return sorted(
+        n
+        for n in timings
+        if best.get(n) and timings[n] > best[n] * tol
+    )
 
 
 def worst_anchored(timings: dict, anchors: dict, k: int) -> list[str]:
@@ -273,7 +306,11 @@ def main() -> None:
                     waited += 1
                     time.sleep(COOLDOWN_SEC * waited)
                 for name in names:
-                    t = min(timed(name) for _ in range(2))
+                    raws = [timed(name) for _ in range(2)]
+                    observations.setdefault(name, []).extend(
+                        round(r, 3) for r in raws
+                    )
+                    t = min(raws)
                     # throttle only inflates: keep the best across attempts
                     sink[name] = round(min(t, sink.get(name, t)), 3)
                 # accept only if the canary is STILL clean right after
@@ -299,6 +336,10 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    #: every raw attempt, per query — the whipsaw post-mortems (r8-r11)
+    #: kept asking whether a high reading was one mode of a bimodal
+    #: distribution or a plain regression; minima alone can't answer
+    observations: dict[str, list[float]] = {}
     run_families(HEADLINE_FAMILIES, timings)
 
     # Canary v3 — uniform-inflation defense (round-7 verdict ask #2).
@@ -328,6 +369,34 @@ def main() -> None:
         "reran": inflated,
         "median_vs_r01_final": median_final,
         "first_pass_sec": first_pass_total,
+    }
+
+    # Headline per-QUERY inflation defense (r11 verdict ask #2 — see
+    # HEADLINE_QUERY_TOL).  Re-runs go by FAMILY through run_families so
+    # suspects re-time against their family's shared persisted subtrees
+    # under the same canary gating, keeping per-query minima.
+    href_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_headline_ref.json",
+    )
+    hrefs = _load_refs(href_path)
+    hbest: dict[str, float] = hrefs.get(_ref_key(sf), {})
+    suspects = headline_suspects(timings, hbest)
+    if suspects:
+        spark.catalog.clearCache()
+        time.sleep(COOLDOWN_SEC)
+        sus = set(suspects)
+        run_families(
+            [(f, ns) for f, ns in HEADLINE_FAMILIES if sus & set(ns)],
+            timings,
+            tag="qrerun-",
+        )
+    headline_inflation = {
+        "tolerance": HEADLINE_QUERY_TOL,
+        "suspects": suspects,
+        "final_vs_best": {
+            n: round(timings[n] / hbest[n], 3) for n in suspects
+        },
     }
 
     extra: dict[str, float] = {}
@@ -431,6 +500,30 @@ def main() -> None:
     refs[ref_key] = round(min(canary_base, best_known or canary_base), 3)
     _store_refs(ref_path, refs)
 
+    # tighten the headline best-known reference — same discipline as the
+    # extras ref: EXISTING entries only move downward (heat only ever
+    # inflates, min is steady-state); ABSENT entries seed only from a
+    # run with no UNRESOLVED hot signal, so a run that stays hot can't
+    # bake inflated "best knowns" in and blind the per-query detector.
+    # A detected-then-RECOVERED run (uniform re-run brought the final
+    # median back under tolerance) seeds fine: the kept minima were
+    # taken under a clean canary after the cooldown.
+    run_hot_headline = (
+        (median_final is not None and median_final > UNIFORM_INFLATION_TOL)
+        or (inflated and median_final is None)
+        or bool(extra_inflation and extra_inflation.get("detected"))
+        or machine_hot
+    )
+    hmerged = {
+        n: round(min(t, hbest[n]), 3)
+        for n, t in timings.items()
+        if n in hbest
+    }
+    if not run_hot_headline:
+        hmerged.update({n: t for n, t in timings.items() if n not in hbest})
+    hrefs[_ref_key(sf)] = hmerged
+    _store_refs(href_path, hrefs)
+
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -447,6 +540,8 @@ def main() -> None:
             "machine_hot": machine_hot,
         },
         "uniform_inflation": uniform_inflation,
+        "headline_inflation": headline_inflation,
+        "headline_observations": observations,
     }
     if extra:
         payload["extra_queries"] = extra
@@ -496,6 +591,7 @@ def main() -> None:
         ),
         "uniform_inflation": uniform_inflation,
         "extra_inflation": extra_inflation,
+        "headline_inflation": headline_inflation,
     }
     print(json.dumps(summary))
     spark.stop()

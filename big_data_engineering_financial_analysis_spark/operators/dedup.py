@@ -672,6 +672,69 @@ def _est_jaccard(num_perm: int):
     )
 
 
+def _matched_pairs_vs_banded_store(
+    banded_new: DataFrame,
+    store_banded: DataFrame,
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+) -> DataFrame:
+    """Inner kernel of the incremental near-dedup family, against a
+    store that is ALREADY in banded form ``(id, minhash_sig, band,
+    band_key)`` — either banded on the fly from an in-memory signature
+    frame (:func:`_incremental_matched_pairs`) or read back from the
+    persisted band store (``streaming/bandstore.py``), whose at-rest
+    files carry exactly these four columns so no per-batch re-banding
+    of standing history ever runs.
+
+    ``banded_new`` is the arriving batch's banded frame (carry_sig);
+    partners are every store row plus smaller-id batch documents
+    (first-arrival-wins).  The signature rides each band row and the
+    ``est_jaccard`` verify runs INLINE on the joined pair — no
+    corpus-sized verify joins (the r10 lesson: the join-back shape
+    re-shuffles the signature table twice).  ``distinct`` runs AFTER
+    the threshold filter, where the frame is smallest (est_jaccard is
+    a pure function of the pair, so dedup-after-verify is
+    value-identical).  Returns distinct ``(bid, pid)`` matches."""
+    b = banded_new.select(
+        F.col(id_col).alias("bid"),
+        F.col("minhash_sig").alias("sig_b"),
+        "band",
+        "band_key",
+    )
+    p_store = store_banded.select(
+        F.col(id_col).alias("pid"),
+        F.col("minhash_sig").alias("sig_a"),
+        "band",
+        "band_key",
+    )
+    p_batch = b.select(
+        F.col("bid").alias("pid"),
+        F.col("sig_b").alias("sig_a"),
+        "band",
+        "band_key",
+    )
+    cand_store = b.alias("b").join(
+        p_store.alias("p"), ["band", "band_key"]
+    ).select("bid", "pid", "sig_a", "sig_b")
+    cand_batch = (
+        b.alias("b")
+        .join(
+            p_batch.alias("p"),
+            (F.col("b.band") == F.col("p.band"))
+            & (F.col("b.band_key") == F.col("p.band_key"))
+            & (F.col("p.pid") < F.col("b.bid")),
+        )
+        .select("bid", "pid", "sig_a", "sig_b")
+    )
+    return (
+        cand_store.unionByName(cand_batch)
+        .filter(F.round(_est_jaccard(num_perm), 6) >= threshold)
+        .select("bid", "pid")
+        .distinct()
+    )
+
+
 def _incremental_matched_pairs(
     new_docs: DataFrame,
     store_sigs: DataFrame,
@@ -689,43 +752,18 @@ def _incremental_matched_pairs(
     ``est_jaccard >= threshold`` gate, and sigs_new = the batch's
     PERSISTED ``(id, minhash_sig)`` frame (callers unpersist it once
     their outputs are materialized).  Plan-shape and scale notes:
-    :func:`incremental_minhash_dedup`."""
+    :func:`incremental_minhash_dedup`; the store side is banded on the
+    fly here (O(store) per batch) — the persisted-band-store variant in
+    ``streaming/bandstore.py`` eliminates that term at rest."""
     sigs_new = minhash_signatures(
         new_docs, id_col, text_col, shingle_n, num_perm
     ).persist()
-    banded_new = band_signatures(sigs_new, id_col, num_perm, bands)
-    banded_store = band_signatures(store_sigs, id_col, num_perm, bands)
-    # partner candidates: every store doc is "earlier"; within the batch
-    # only smaller ids are
-    b = banded_new.alias("b")
-    p_store = banded_store.select(
-        F.col(id_col).alias("pid"), "band", "band_key"
-    ).alias("p")
-    p_batch = banded_new.select(
-        F.col(id_col).alias("pid"), "band", "band_key"
-    ).alias("p")
-    cand_store = b.join(p_store, ["band", "band_key"]).select(
-        F.col(f"b.{id_col}").alias("bid"), "pid"
+    banded_new = band_signatures(sigs_new, id_col, num_perm, bands, carry_sig=True)
+    banded_store = band_signatures(
+        store_sigs, id_col, num_perm, bands, carry_sig=True
     )
-    cand_batch = (
-        b.join(
-            p_batch,
-            (F.col("b.band") == F.col("p.band"))
-            & (F.col("b.band_key") == F.col("p.band_key"))
-            & (F.col("p.pid") < F.col(f"b.{id_col}")),
-        ).select(F.col(f"b.{id_col}").alias("bid"), "pid")
-    )
-    cands = cand_store.unionByName(cand_batch).distinct()
-    all_sigs = store_sigs.select(id_col, "minhash_sig").unionByName(
-        sigs_new.select(id_col, "minhash_sig")
-    )
-    sb = sigs_new.select(F.col(id_col).alias("bid"), F.col("minhash_sig").alias("sig_b"))
-    sp = all_sigs.select(F.col(id_col).alias("pid"), F.col("minhash_sig").alias("sig_a"))
-    matched = (
-        cands.join(sb, "bid")
-        .join(sp, "pid")
-        .filter(F.round(_est_jaccard(num_perm), 6) >= threshold)
-        .select("bid", "pid")
+    matched = _matched_pairs_vs_banded_store(
+        banded_new, banded_store, id_col, num_perm, threshold
     )
     return matched, sigs_new
 
@@ -810,15 +848,26 @@ def incremental_minhash_dedup(
     matched, sigs_new = _incremental_matched_pairs(
         new_docs, store_sigs, id_col, text_col, shingle_n, num_perm, bands, threshold
     )
+    decisions = decisions_from_matched(sigs_new, matched, id_col)
+    # minhash_signatures already yields exactly (id, minhash_sig): hand the
+    # persisted frame itself back so callers can unpersist it
+    return decisions, sigs_new
+
+
+def decisions_from_matched(
+    sigs_new: DataFrame, matched: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One ``(id, is_dup)`` row per batch document from the matched-pair
+    frame — shared decision tail of :func:`incremental_minhash_dedup`
+    and the persisted-band-store sink (``streaming/corpus.py``).
+    NULL-signature documents appear in ``sigs_new`` but never in
+    ``matched`` (no band rows), so they land is_dup=0."""
     dropped = matched.select(F.col("bid").alias(id_col)).distinct()
-    decisions = (
+    return (
         sigs_new.select(id_col)
         .join(dropped.withColumn("_dup", F.lit(1)), id_col, "left")
         .select(id_col, F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup"))
     )
-    # minhash_signatures already yields exactly (id, minhash_sig): hand the
-    # persisted frame itself back so callers can unpersist it
-    return decisions, sigs_new
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,7 @@ def incremental_dedup_sink(
     text_col: str = "text",
     threshold: float = 0.5,
     writer_id: str | None = None,
+    banded_store: bool = True,
 ):
     """Build a ``foreachBatch`` function running incremental near-dedup
     against a persisted minhash signature store.

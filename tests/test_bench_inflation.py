@@ -97,3 +97,37 @@ def test_r01_anchor_artifact_is_loadable_at_its_own_sf():
     anchors = parsed.get("queries", {})
     assert len(anchors) >= bench.MIN_ANCHORED
     assert all(isinstance(v, (int, float)) and v > 0 for v in anchors.values())
+
+
+def test_headline_suspects_per_query_not_median():
+    """The r11 whipsaw case: ONE query at 1.6x its best-known among an
+    otherwise-clean block is a suspect even though the median is 1.0
+    (the uniform detector stays silent by design)."""
+    best = {f"q{i}": 1.0 for i in range(10)}
+    t = {f"q{i}": 1.0 for i in range(10)}
+    t["q3"] = 1.6
+    assert bench.headline_suspects(t, best) == ["q3"]
+    assert bench.median_vs_anchor(t, best) == 1.0
+
+
+def test_headline_suspects_skip_unreferenced_and_below_tol():
+    best = {"a": 1.0}
+    t = {"a": bench.HEADLINE_QUERY_TOL * 0.99, "new_query": 99.0}
+    assert bench.headline_suspects(t, best) == []
+
+
+def test_headline_tolerance_sits_above_best_known_bias():
+    """Clean readings vs a best-known minimum sit ~1.0-1.2x (the bias
+    of comparing against a committed min); the observed bimodal high
+    mode reads ~1.4-1.6x.  The tolerance must separate the two."""
+    assert 1.2 < bench.HEADLINE_QUERY_TOL < 1.4
+
+
+def test_every_headline_query_belongs_to_exactly_one_family():
+    """The suspect re-run goes by family — a query in zero families
+    would silently never re-run, one in two would re-run twice."""
+    from collections import Counter
+
+    counts = Counter(q for _, qs in bench.HEADLINE_FAMILIES for q in qs)
+    assert set(counts) == set(bench.HEADLINE)
+    assert all(c == 1 for c in counts.values())

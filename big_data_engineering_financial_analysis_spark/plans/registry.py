@@ -807,12 +807,19 @@ for _name in RETIRED_R7:
 #: * enrich_indicators / enrich_incremental (ask #4 measurement +
 #:   any enrich_auto probe fix) — IN the tier below.  Overlap: free.
 #: * dedup_incremental (ask #3: band-key-bucketed persisted signature
-#:   store + Bloom-pruned store join in streaming/corpus.py) — the r11
-#:   verdict itself schedules its driver row for the r13 rotation
-#:   ("`dedup_incremental` driver row green in its r13 rotation slot"),
-#:   so it takes the value_quartiles treatment now: driver-sim MATCH
-#:   re-run in-session post-change + the boundary-invariance pytests;
-#:   no window slot spent.
+#:   store + Bloom-pruned store join in streaming/corpus.py +
+#:   streaming/bandstore.py) — the r11 verdict itself schedules its
+#:   driver row for the r13 rotation ("`dedup_incremental` driver row
+#:   green in its r13 rotation slot"), so it takes the value_quartiles
+#:   treatment now: driver-sim MATCH re-run in-session post-change +
+#:   the boundary-invariance pytests; no window slot spent.  The shared
+#:   incremental kernel's verify now runs INLINE on carried signatures
+#:   (_matched_pairs_vs_banded_store, dedup.py — the r10 no-verify-join
+#:   shape, value-identical: est_jaccard is a pure pair function and
+#:   distinct moved after the smaller post-filter frame);
+#:   dedup_clusters_incremental rides it through
+#:   incremental_minhash_pairs — same treatment (driver-sim MATCH
+#:   re-run + cluster-sink boundary pytests), rotates r13 on schedule.
 #: * bloomskip.py hardening (ADVICE r11 items + ask #5 leaf
 #:   fingerprint) — touches bloom_prune_join / zorder_index
 #:   (r11-latest) and panel_*_sharded (r10-latest, rotate r13): all

@@ -391,6 +391,12 @@ def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> No
 #: same conservative contract as every other index in this layer.
 SUMMARY_NAME = "_bloom_summary.json"
 
+#: per-summary-file parse cache: abs path -> ((size, mtime_ns, inode),
+#: parsed leaves dict).  One entry per dataset root this process has
+#: probed; invalidated by the stat seal, so out-of-band rewrites are
+#: picked up on the next call.  See `_load_bloom_summary`.
+_SUMMARY_PARSE_CACHE: dict[str, tuple] = {}
+
 #: Candidate-leaf count below which the prune skips the summary: a
 #: partition-constrained probe touching a few leaves opens those shards
 #: directly — parsing an O(all leaves) summary (~80 MB/col at a 10k-leaf
@@ -470,13 +476,32 @@ def _leaf_summary_cols(files: dict[str, dict]) -> dict:
     return out
 
 
+def _dir_fingerprint(dirpath: str) -> list | None:
+    """(mtime_ns, inode) of a leaf DIRECTORY — the one-stat seal of its
+    basename set: POSIX updates a directory's mtime on every entry
+    create/delete/rename, which are exactly the operations that change
+    which basenames exist (the same invariant ``files_md5`` checks by
+    listing).  In-place content rewrites move neither, and neither seal
+    ever guarded those — data-file content staleness is the per-file
+    index layer's concern, sealed by the shard-manifest fingerprint."""
+    try:
+        st = os.stat(dirpath)
+    except OSError:
+        return None
+    return [st.st_mtime_ns, st.st_ino]
+
+
 def _summary_entry(path: str, leaf: str, files: dict[str, dict]) -> dict:
-    """One leaf's summary row: union filters + the two staleness seals
-    (shard-manifest fingerprint, covered-basenames md5).  Stat AFTER the
-    shard write, so the fingerprint seals exactly the bytes on disk."""
+    """One leaf's summary row: union filters + the staleness seals
+    (shard-manifest fingerprint, covered-basenames md5, leaf-dir
+    fingerprint).  Stat AFTER the shard write, so the fingerprints seal
+    exactly the bytes on disk — the shard manifest lives INSIDE the
+    leaf dir, so its ``os.replace`` is the last mtime the dir seal
+    captures."""
     return {
         "fp": _shard_fingerprint(path, leaf),
         "files_md5": _files_md5(files),
+        "dfp": _dir_fingerprint(os.path.join(path, leaf)),
         "n": len(files),
         "cols": _leaf_summary_cols(files),
     }
@@ -531,11 +556,35 @@ def _load_bloom_summary(path: str) -> dict | None:
         or root.get("sharded") is not True
     ):
         return None
-    obj = _read_manifest_obj(os.path.join(path, SUMMARY_NAME))
+    sp = os.path.join(path, SUMMARY_NAME)
+    # stat-sealed parse cache: the summary is O(leaves x cols) bytes
+    # (~10 MB at 1k leaves) and every write is an atomic os.replace
+    # (fresh inode), so (size, mtime_ns, inode) seals the parsed form
+    # exactly like the shard fingerprints seal shard bytes.  A
+    # long-running server then parses each summary generation ONCE —
+    # the parse was the root-wide probe's residual cost once the
+    # listing walk was removed (r12).  The ROOT marker gate above still
+    # runs per call (43 bytes; it is the stale-root kill switch).
+    try:
+        st = os.stat(sp)
+        fp = (st.st_size, st.st_mtime_ns, st.st_ino)
+    except OSError:
+        return None
+    cached = _SUMMARY_PARSE_CACHE.get(sp)
+    if cached is not None and cached[0] == fp:
+        # top-level copy: update_bloom_index(dirs=...) mutates the
+        # returned dict before rewriting the file — handing out the
+        # cached object itself would let that mutation poison the cache
+        # if the rewrite then fails (fp unchanged, content drifted)
+        return dict(cached[1])
+    obj = _read_manifest_obj(sp)
     if obj is None or obj.get("format") != KEY_FORMAT:
         return None
     leaves = obj.get("leaves")
-    return leaves if isinstance(leaves, dict) else None
+    if not isinstance(leaves, dict):
+        return None
+    _SUMMARY_PARSE_CACHE[sp] = (fp, leaves)
+    return dict(leaves)
 
 
 def _summary_rejects_leaf(
@@ -556,6 +605,13 @@ def _summary_rejects_leaf(
         return False
     if entry.get("files_md5") != _files_md5(current_basenames):
         return False
+    return _summary_union_rejects(entry, eq)
+
+
+def _summary_union_rejects(entry: dict, eq: list[tuple]) -> bool:
+    """True when some equality predicate's union filter rejects every
+    probe value — the pure filter math shared by the listing-sealed
+    check above and the walk-free fast path below."""
     cols = entry.get("cols")
     if not isinstance(cols, dict):
         return False
@@ -567,6 +623,85 @@ def _summary_rejects_leaf(
         if not any(union.might_contain(v) for v in values):
             return True
     return False
+
+
+def _summary_fast_reject(
+    path: str, eq: list[tuple], dir_allows, summary: dict | None = None
+) -> tuple[set, int]:
+    """Walk-FREE leaf rejection (r11 verdict ask #5: the root-wide
+    probe's residual O(files) term was the ``_data_files`` listing
+    itself).  For each summarized leaf, THREE stats — leaf dir, shard
+    manifest, plus the summary read — replace listing the leaf's files:
+    a leaf whose dir fingerprint AND shard fingerprint both match their
+    seals provably has the sealed basename set, so if its union filter
+    rejects every probe value the leaf is skipped WITHOUT ever being
+    listed (its sealed file count ``n`` keeps the caller's total
+    exact).  Any mismatch, missing seal, or pre-``dfp`` summary entry
+    falls back to the listed path — conservative, never wrong.
+    Partition-pruned leaves are left to the walk's own dir_filter so
+    they are neither listed nor counted, same as before.  ``summary``
+    takes a pre-loaded summary dict (prune_files_combined loads it once
+    for both consumers); None loads it here."""
+    if summary is None:
+        summary = _load_bloom_summary(path)
+    if not summary or len(summary) < SUMMARY_MIN_LEAVES:
+        return set(), 0
+    skip: set = set()
+    skipped_files = 0
+    for leaf, entry in summary.items():
+        if not isinstance(entry, dict):
+            continue
+        n = entry.get("n")
+        dfp = entry.get("dfp")
+        if not isinstance(n, int) or dfp is None:
+            continue
+        if not all(
+            dir_allows(seg) for seg in leaf.split(os.sep) if "=" in seg
+        ):
+            continue
+        if _dir_fingerprint(os.path.join(path, leaf)) != dfp:
+            continue
+        fp = _shard_fingerprint(path, leaf)
+        if fp is None or fp != entry.get("fp"):
+            continue
+        if _summary_union_rejects(entry, eq):
+            skip.add(leaf)
+            skipped_files += n
+    return skip, skipped_files
+
+
+def _reseal_leaf_dfp(path: str, leaf: str, entry: dict) -> dict | None:
+    """Fresh summary entry with a re-stated dir seal, when the leaf's
+    summary CONTENT is provably still true but its ``dfp`` drifted —
+    which happens whenever some OTHER per-leaf sidecar (a zonemap
+    shard, a compaction marker) is written into the directory after
+    the summary sealed it: dir mtime moves, data basenames don't.
+    Without healing, one zonemap build after a Bloom build would
+    permanently disable the walk-free fast path for every leaf.
+
+    Order matters for the concurrent-writer window: the dir is stat-ed
+    BEFORE the re-list, so a data file landing after the stat moves
+    the real mtime past the resealed value (future mismatch,
+    conservative) and one landing before the stat fails the basename
+    check here (no reseal).  Returns None when the entry cannot be
+    proven current."""
+    dfp = _dir_fingerprint(os.path.join(path, leaf))
+    if dfp is None or dfp == entry.get("dfp"):
+        return None
+    try:
+        names = [
+            f
+            for f in os.listdir(os.path.join(path, leaf))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    except OSError:
+        return None
+    if entry.get("files_md5") != _files_md5(names):
+        return None
+    fp = _shard_fingerprint(path, leaf)
+    if fp is None or fp != entry.get("fp"):
+        return None
+    return {**entry, "dfp": dfp}
 
 
 def _scan_blooms(
@@ -1217,7 +1352,19 @@ def prune_files_combined(
             eq_keys=eq_keys,
         )
 
-    files = _data_files(path, dir_filter=_dir_allows)
+    # walk-free leaf skip (ask #5): summary-sealed leaves whose union
+    # filters reject every probe value are pruned BEFORE the listing —
+    # the walk itself was the residual O(files) cost at 1M files.  Their
+    # sealed file counts keep the returned total exact.
+    skip_leaves: set = set()
+    skipped_files = 0
+    full_summary = None
+    if eq:  # an eq-rejected leaf fails the conjunction whatever the ranges say
+        full_summary = _load_bloom_summary(path)
+        skip_leaves, skipped_files = _summary_fast_reject(
+            path, eq, _dir_allows, full_summary
+        )
+    files = _data_files(path, dir_filter=_dir_allows, skip_rel_dirs=skip_leaves)
     rels = {fpath: os.path.relpath(fpath, path) for fpath in files}
     candidates = [
         fpath
@@ -1247,7 +1394,7 @@ def prune_files_combined(
         # a handful of shard opens would invert the trade it exists for.
         cand_leaves = {os.path.dirname(rels[f]) for f in candidates} - {""}
         summary = (
-            _load_bloom_summary(path)
+            full_summary
             if len(cand_leaves) >= SUMMARY_MIN_LEAVES
             else None
         )
@@ -1266,6 +1413,23 @@ def prune_files_combined(
                     path, leaf, summary[leaf], by_leaf.get(leaf, []), eq
                 )
             }
+            # self-healing dir seals: a walked leaf whose summary
+            # content still holds but whose dfp drifted (another
+            # sidecar wrote into the dir) gets its seal re-stated, so
+            # the NEXT probe takes the walk-free fast path again.
+            # Best-effort: a read-only checkout just keeps walking.
+            healed = {}
+            for leaf in cand_leaves:
+                entry = summary.get(leaf)
+                if isinstance(entry, dict):
+                    new = _reseal_leaf_dfp(path, leaf, entry)
+                    if new is not None:
+                        healed[leaf] = new
+            if healed:
+                try:
+                    _write_bloom_summary(path, {**summary, **healed})
+                except OSError:
+                    pass
             if rejected:
                 candidates = [
                     f
@@ -1281,7 +1445,10 @@ def prune_files_combined(
                 for col, vals in eq
             )
         ]
-    return candidates, len(files)
+    # total counts walked files PLUS the never-listed files of
+    # fast-rejected leaves (their sealed per-leaf n is exact while the
+    # dir fingerprint holds) — same denominator contract as before
+    return candidates, len(files) + skipped_files
 
 
 def read_skipped(

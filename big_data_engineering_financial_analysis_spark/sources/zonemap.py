@@ -77,7 +77,7 @@ def _decode(v: Any):
     return v
 
 
-def _data_files(path: str, dir_filter=None) -> list[str]:
+def _data_files(path: str, dir_filter=None, skip_rel_dirs=None) -> list[str]:
     """All data files under ``path``; with ``dir_filter`` (a predicate
     on a single ``col=value`` directory NAME), subtrees whose partition
     segment fails the filter are never descended — the 1M-file walk fix:
@@ -85,7 +85,13 @@ def _data_files(path: str, dir_filter=None) -> list[str]:
     partitions' files instead of stat-ing the whole dataset
     driver-side.  ``dir_filter`` must be CONSERVATIVE (False only when
     the predicate provably matches no row in the subtree); non-partition
-    directories (no ``=``) are always descended."""
+    directories (no ``=``) are always descended.  ``skip_rel_dirs`` (a
+    set of ``path``-relative directory paths) prunes exact subtrees the
+    caller has already proven empty of matches — the leaf-summary fast
+    path's walk-free skip (bloomskip ``_summary_fast_reject``); their
+    files are neither listed nor returned, so callers account for them
+    separately."""
+    skip_rel_dirs = skip_rel_dirs or set()
     out = []
     for root, dirs, files in os.walk(path):
         # mirror Spark's file-index convention: a `_`/`.`-prefixed
@@ -97,6 +103,11 @@ def _data_files(path: str, dir_filter=None) -> list[str]:
             for d in dirs
             if not d.startswith((".", "_"))
             and (dir_filter is None or "=" not in d or dir_filter(d))
+            and (
+                not skip_rel_dirs
+                or os.path.relpath(os.path.join(root, d), path)
+                not in skip_rel_dirs
+            )
         ]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):

@@ -76,10 +76,14 @@ BUCKETS = 64
 #: Bloom sizing for the base's band_key sidecars.  Sized WITH the probe
 #: load in mind, not just per-key lookups: a leaf sees ~(bands × batch)
 #: / BUCKETS probe keys per batch, and a file falsely survives if ANY
-#: probe false-positives.  At ROWS_PER_FILE rows and m=2^21 (256 KB),
-#: per-probe FPR ≈ 9e-4, so a 64-key probe falsely keeps ~5% of
-#: non-matching files — the sidecar default (2^16) would keep ~96%.
-BLOOM_BITS = 1 << 21
+#: probe false-positives — and every false survivor costs a FULL file
+#: read (rows grow with the store, so FP reads were the residual 10x
+#: slope at m=2^21: probe-measured ratio 1.26).  At ROWS_PER_FILE rows
+#: and m=2^22 (512 KB), per-probe FPR ≈ 2.5e-5: a 64-key probe falsely
+#: keeps ~0.2% of non-matching files (expected FP reads ≈ 0 per batch);
+#: the sidecar default (2^16) would keep ~96%.  Driver cost: 512 KB of
+#: cached filter per ~131k-row base file ≈ 4 MB per million store docs.
+BLOOM_BITS = 1 << 22
 ROWS_PER_FILE = 1 << 17
 
 #: compaction trigger: fold the delta into the base once it exceeds

@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_engineering_financial_analysis_spark.operators.dedup import (
+    DEFAULT_BANDS as _DEFAULT_BANDS,
+)
 from big_data_engineering_financial_analysis_spark.operators.dedup import canonical_text
 from big_data_engineering_financial_analysis_spark.operators.partitioning import pushdown_barrier
 from big_data_engineering_financial_analysis_spark.operators.text import (
@@ -165,24 +168,89 @@ def incremental_dedup_sink(
         spark = batch_df.sparkSession
         sig_dir = os.path.join(store_path, "sigs")
         _recover_store_compaction(sig_dir)  # crashed compaction ≠ empty store
-        if os.path.isdir(sig_dir) and any(
+        has_store = os.path.isdir(sig_dir) and any(
             f.endswith(".parquet") for f in os.listdir(sig_dir)
-        ):
+        )
+        if has_store:
             store_sigs = spark.read.schema(sig_schema).parquet(sig_dir)
         else:
             store_sigs = spark.createDataFrame([], sig_schema)
-        decisions, new_sigs = incremental_minhash_dedup(
-            batch_df, store_sigs, id_col=id_col, text_col=text_col,
-            threshold=threshold,
-        )
+        if banded_store:
+            decisions, new_sigs, banded_new = _banded_store_decisions(
+                spark, batch_df, store_sigs, has_store, store_path,
+                id_col, text_col, threshold,
+            )
+        else:
+            decisions, new_sigs = incremental_minhash_dedup(
+                batch_df, store_sigs, id_col=id_col, text_col=text_col,
+                threshold=threshold,
+            )
+            banded_new = None
         try:
             decisions.write.mode("append").parquet(decisions_path)
             new_sigs.write.mode("append").parquet(sig_dir)
+            if banded_new is not None:
+                from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
+
+                bstore = BandStore(store_path, id_col=id_col)
+                n_banded = new_sigs.filter(
+                    F.col("minhash_sig").isNotNull()
+                ).count() * _DEFAULT_BANDS
+                bstore.append_delta(banded_new, n_banded)
         finally:
             new_sigs.unpersist()  # per-batch cache must not accumulate
         os.makedirs(marker, exist_ok=True)
+        if banded_new is not None and bstore.needs_compact():
+            bstore.compact(spark)
 
     return write_batch
+
+
+def _banded_store_decisions(
+    spark,
+    batch_df: DataFrame,
+    store_sigs: DataFrame,
+    has_store: bool,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+):
+    """Per-batch decisions against the PERSISTED band store
+    (streaming/bandstore.py): the batch is signed and banded as usual
+    (O(batch)); standing history arrives already banded — surviving
+    base files (Bloom-pruned on the batch's band keys, filters cached
+    across micro-batches) plus the bounded delta — so the in-memory
+    kernel's O(store) per-batch re-banding never runs.  Decision
+    semantics are identical to :func:`incremental_minhash_dedup`
+    (same banding, same inline est_jaccard verify, same
+    first-arrival-wins) — parity pinned in
+    tests/test_streaming_corpus.py.
+
+    Returns ``(decisions, new_sigs, banded_new)``; the caller appends
+    ``banded_new`` to the store's delta after the signature append,
+    inside the same batch-marker window."""
+    from big_data_engineering_financial_analysis_spark.operators import dedup
+    from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
+
+    bstore = BandStore(store_path, id_col=id_col)
+    if has_store and bstore.meta() is None:
+        # pre-existing sigs-only store (older sink version), or a store
+        # whose bands were invalidated by compact_signature_store:
+        # one banding pass rebuilds the bucketed+indexed base
+        bstore.rebuild(spark, store_sigs)
+    sigs_new = dedup.minhash_signatures(batch_df, id_col, text_col).persist()
+    banded_new = dedup.band_signatures(sigs_new, id_col, carry_sig=True)
+    # batch-bounded driver set: bands x batch distinct band keys
+    batch_keys = [
+        r[0] for r in banded_new.select("band_key").distinct().collect()
+    ]
+    store_banded = bstore.read_matching(spark, batch_keys)
+    matched = dedup._matched_pairs_vs_banded_store(
+        banded_new, store_banded, id_col, dedup.DEFAULT_NUM_PERM, threshold
+    )
+    decisions = dedup.decisions_from_matched(sigs_new, matched, id_col)
+    return decisions, sigs_new, banded_new
 
 
 def _recover_store_compaction(store_dir: str) -> None:
@@ -276,6 +344,13 @@ def compact_signature_store(
     os.rename(sig_dir, aside)
     os.rename(staged, sig_dir)
     shutil.rmtree(aside)
+    # the persisted band store is DERIVED from sigs/: any rewrite here
+    # (row eviction, dedupe) makes it stale, so drop it — the next
+    # batch's sink rebuilds it from the compacted signatures in one
+    # banding pass (streaming/bandstore.py self-upgrade path)
+    from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
+
+    BandStore(store_path, id_col=id_col).invalidate()
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 

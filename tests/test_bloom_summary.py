@@ -318,3 +318,82 @@ def test_summary_dirs_update_pops_leaf_with_no_live_files(
     # the index still serves the surviving partitions
     got = bs.read_point(spark, path, "lang", ["de"])
     assert got.count() > 0
+
+
+def test_summary_fast_reject_skips_walk_and_keeps_total_exact(
+    spark, tmp_path, monkeypatch
+):
+    """The walk-free fast path (r11 ask #5): an absent-key probe skips
+    summary-sealed leaves WITHOUT listing their files — and the pruned
+    total still counts them exactly (the sealed per-leaf n)."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    from big_data_engineering_financial_analysis_spark.sources.zonemap import count_data_files
+
+    total_files = count_data_files(path)
+    skip, n = bs._summary_fast_reject(
+        path, [("doc_id", [555_555])], lambda d: True
+    )
+    assert skip == {"lang=en", "lang=de", "lang=fr"}
+    assert n == total_files
+    keep, total = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert keep == [] and total == total_files
+    # a present key must NOT fast-reject its leaf, and the read serves it
+    skip2, _ = bs._summary_fast_reject(path, [("doc_id", [3])], lambda d: True)
+    assert skip2 != {"lang=en", "lang=de", "lang=fr"}
+    assert _ids(bs.read_point(spark, path, "doc_id", [3])) == [3]
+
+
+def test_summary_fast_reject_conservative_on_out_of_band_file_add(
+    spark, tmp_path, monkeypatch
+):
+    """A data file added WITHOUT an index update moves the leaf-dir
+    fingerprint: the fast path must fall back to listing (never skip a
+    leaf whose basename set drifted from its seal) and the new file
+    must be scanned."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    # out-of-band write into lang=en: a row with an otherwise-absent key
+    extra = spark.createDataFrame(
+        [{"doc_id": 555_555, "score": 0.0}]
+    )
+    extra.coalesce(1).write.mode("append").parquet(f"{path}/lang=en")
+    skip, _ = bs._summary_fast_reject(
+        path, [("doc_id", [555_555])], lambda d: True
+    )
+    assert "lang=en" not in skip          # dfp moved -> no walk-free skip
+    assert {"lang=de", "lang=fr"} <= skip  # untouched leaves still skip
+    keep, _total = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert any("lang=en" in f for f in keep)  # uncovered file is scanned
+
+
+def test_dir_seal_self_heals_after_foreign_sidecar_write(
+    spark, tmp_path, monkeypatch
+):
+    """A zonemap build AFTER the Bloom build writes into every leaf dir
+    and drifts every dfp seal; the next listed prune must re-state the
+    seals (content provably unchanged) so the probe after THAT is
+    walk-free again.  Survivors identical throughout."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    from big_data_engineering_financial_analysis_spark.sources import zonemap as zm
+
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    zm.build_zonemap(path, ["score"])  # disturbs every leaf dir
+    skip0, _ = bs._summary_fast_reject(
+        path, [("doc_id", [555_555])], lambda d: True
+    )
+    assert skip0 == set()  # every dfp drifted: fast path falls back
+    keep1, total1 = bs.prune_files_eq(path, "doc_id", [555_555])  # heals
+    assert keep1 == [] and total1 > 0
+    skip2, n2 = bs._summary_fast_reject(
+        path, [("doc_id", [555_555])], lambda d: True
+    )
+    assert skip2 == {"lang=en", "lang=de", "lang=fr"} and n2 == total1
+    keep3, total3 = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert keep3 == [] and total3 == total1

@@ -513,6 +513,13 @@ def main() -> None:
         or (inflated and median_final is None)
         or bool(extra_inflation and extra_inflation.get("detected"))
         or machine_hot
+        # a suspect still above tolerance AFTER its family re-ran is an
+        # unresolved signal: absent entries must not seed from this run
+        # (they could bake the same high mode in as "best known")
+        or any(
+            r > HEADLINE_QUERY_TOL
+            for r in headline_inflation["final_vs_best"].values()
+        )
     )
     hmerged = {
         n: round(min(t, hbest[n]), 3)
@@ -541,7 +548,10 @@ def main() -> None:
         },
         "uniform_inflation": uniform_inflation,
         "headline_inflation": headline_inflation,
-        "headline_observations": observations,
+        # every raw attempt from EVERY run_families pass — headline,
+        # qrerun, and extras alike, in execution order per query (the
+        # honest name: not headline-only)
+        "raw_observations": observations,
     }
     if extra:
         payload["extra_queries"] = extra

@@ -714,9 +714,23 @@ def _matched_pairs_vs_banded_store(
         "band",
         "band_key",
     )
-    cand_store = b.alias("b").join(
-        p_store.alias("p"), ["band", "band_key"]
-    ).select("bid", "pid", "sig_a", "sig_b")
+    # pid != bid: ids are unique across the arrival stream, so a store
+    # row can only equal a batch id when a CRASH REPLAY re-presents a
+    # batch whose rows were already appended (sigs and band store alike)
+    # — without the guard every replayed document would self-match at
+    # est_jaccard 1.0 and the whole batch would flip to is_dup=1.  With
+    # it, replayed appends only duplicate rows that `distinct` absorbs,
+    # which is what makes the marker protocol's crash window safe.
+    cand_store = (
+        b.alias("b")
+        .join(
+            p_store.alias("p"),
+            (F.col("b.band") == F.col("p.band"))
+            & (F.col("b.band_key") == F.col("p.band_key"))
+            & (F.col("p.pid") != F.col("b.bid")),
+        )
+        .select("bid", "pid", "sig_a", "sig_b")
+    )
     cand_batch = (
         b.alias("b")
         .join(

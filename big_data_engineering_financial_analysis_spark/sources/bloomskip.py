@@ -396,6 +396,7 @@ SUMMARY_NAME = "_bloom_summary.json"
 #: probed; invalidated by the stat seal, so out-of-band rewrites are
 #: picked up on the next call.  See `_load_bloom_summary`.
 _SUMMARY_PARSE_CACHE: dict[str, tuple] = {}
+_SUMMARY_PARSE_CACHE_MAX = 16
 
 #: Candidate-leaf count below which the prune skips the summary: a
 #: partition-constrained probe touching a few leaves opens those shards
@@ -491,17 +492,35 @@ def _dir_fingerprint(dirpath: str) -> list | None:
     return [st.st_mtime_ns, st.st_ino]
 
 
+def _has_subdirs(dirpath: str) -> bool:
+    """Whether a leaf dir holds any non-metadata SUBDIRECTORY.  Sealed
+    into the summary entry because the walk-free fast path may only
+    skip a leaf's whole subtree when the leaf provably has no nested
+    data dirs: a subdir created AFTER the seal moves the dir mtime
+    (``dfp`` catches it), but one existing AT seal time could hide
+    later out-of-band files from both seals — so such leaves never
+    fast-skip (they take the listed path, exactly as pre-r12)."""
+    try:
+        with os.scandir(dirpath) as it:
+            return any(
+                e.is_dir() and not e.name.startswith((".", "_")) for e in it
+            )
+    except OSError:
+        return True  # unknown -> never fast-skip
+
+
 def _summary_entry(path: str, leaf: str, files: dict[str, dict]) -> dict:
     """One leaf's summary row: union filters + the staleness seals
     (shard-manifest fingerprint, covered-basenames md5, leaf-dir
-    fingerprint).  Stat AFTER the shard write, so the fingerprints seal
-    exactly the bytes on disk — the shard manifest lives INSIDE the
-    leaf dir, so its ``os.replace`` is the last mtime the dir seal
-    captures."""
+    fingerprint + subdir flag).  Stat AFTER the shard write, so the
+    fingerprints seal exactly the bytes on disk — the shard manifest
+    lives INSIDE the leaf dir, so its ``os.replace`` is the last mtime
+    the dir seal captures."""
     return {
         "fp": _shard_fingerprint(path, leaf),
         "files_md5": _files_md5(files),
         "dfp": _dir_fingerprint(os.path.join(path, leaf)),
+        "subdirs": _has_subdirs(os.path.join(path, leaf)),
         "n": len(files),
         "cols": _leaf_summary_cols(files),
     }
@@ -583,6 +602,11 @@ def _load_bloom_summary(path: str) -> dict | None:
     leaves = obj.get("leaves")
     if not isinstance(leaves, dict):
         return None
+    # bounded: one parsed summary is ~10 MB at 1k leaves, and a server
+    # probing many dataset roots must not pin one per root forever —
+    # evict oldest-inserted beyond a small working set
+    while len(_SUMMARY_PARSE_CACHE) >= _SUMMARY_PARSE_CACHE_MAX:
+        _SUMMARY_PARSE_CACHE.pop(next(iter(_SUMMARY_PARSE_CACHE)))
     _SUMMARY_PARSE_CACHE[sp] = (fp, leaves)
     return dict(leaves)
 
@@ -619,8 +643,16 @@ def _summary_union_rejects(entry: dict, eq: list[tuple]) -> bool:
         enc = cols.get(col)
         if enc is None:
             continue
-        union = _Bloom.decode(enc)
-        if not any(union.might_contain(v) for v in values):
+        # corrupt sidecar content must DEGRADE (skip this column), not
+        # crash the prune: a non-dict entry, bad base64, or a truncated
+        # bitmap (decode succeeds, _hit indexes past it) are all the
+        # same bad-summary class the build fold already tolerates
+        try:
+            union = _Bloom.decode(enc)
+            rejects = not any(union.might_contain(v) for v in values)
+        except (AttributeError, KeyError, TypeError, ValueError, IndexError):
+            continue
+        if rejects:
             return True
     return False
 
@@ -653,7 +685,10 @@ def _summary_fast_reject(
             continue
         n = entry.get("n")
         dfp = entry.get("dfp")
-        if not isinstance(n, int) or dfp is None:
+        # subdirs must be sealed False: skipping prunes the leaf's WHOLE
+        # subtree from the walk, which is only sound when the leaf had
+        # no nested dirs at seal time (later-created ones drift dfp)
+        if not isinstance(n, int) or dfp is None or entry.get("subdirs") is not False:
             continue
         if not all(
             dir_allows(seg) for seg in leaf.split(os.sep) if "=" in seg
@@ -668,6 +703,26 @@ def _summary_fast_reject(
             skip.add(leaf)
             skipped_files += n
     return skip, skipped_files
+
+
+def _allowed_top_dirs(path: str, dir_allows) -> int:
+    """Count of top-level partition directories surviving the query's
+    own partition predicates — one scandir, the cheap pre-check that
+    decides whether the O(all leaves) summary parse can pay for itself
+    (a proxy for leaf count: exact for flat Hive layouts, a lower bound
+    under nesting, where the lazy in-flow load still applies)."""
+    try:
+        with os.scandir(path) as it:
+            return sum(
+                1
+                for e in it
+                if e.is_dir()
+                and "=" in e.name
+                and not e.name.startswith((".", "_"))
+                and dir_allows(e.name)
+            )
+    except OSError:
+        return 0
 
 
 def _reseal_leaf_dfp(path: str, leaf: str, entry: dict) -> dict | None:
@@ -685,15 +740,22 @@ def _reseal_leaf_dfp(path: str, leaf: str, entry: dict) -> dict | None:
     conservative) and one landing before the stat fails the basename
     check here (no reseal).  Returns None when the entry cannot be
     proven current."""
-    dfp = _dir_fingerprint(os.path.join(path, leaf))
-    if dfp is None or dfp == entry.get("dfp"):
+    d = os.path.join(path, leaf)
+    dfp = _dir_fingerprint(d)
+    if dfp is None or (
+        dfp == entry.get("dfp") and isinstance(entry.get("subdirs"), bool)
+    ):
         return None
     try:
-        names = [
-            f
-            for f in os.listdir(os.path.join(path, leaf))
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ]
+        with os.scandir(d) as it:
+            names, subdirs = [], False
+            for e in it:
+                if e.name.startswith((".", "_")):
+                    continue
+                if e.is_dir():
+                    subdirs = True
+                elif e.name.endswith(".parquet"):
+                    names.append(e.name)
     except OSError:
         return None
     if entry.get("files_md5") != _files_md5(names):
@@ -701,7 +763,7 @@ def _reseal_leaf_dfp(path: str, leaf: str, entry: dict) -> dict | None:
     fp = _shard_fingerprint(path, leaf)
     if fp is None or fp != entry.get("fp"):
         return None
-    return {**entry, "dfp": dfp}
+    return {**entry, "dfp": dfp, "subdirs": subdirs}
 
 
 def _scan_blooms(
@@ -1359,7 +1421,13 @@ def prune_files_combined(
     skip_leaves: set = set()
     skipped_files = 0
     full_summary = None
-    if eq:  # an eq-rejected leaf fails the conjunction whatever the ranges say
+    # the summary is only worth its O(all leaves) parse for probes that
+    # would otherwise touch many leaves (the SUMMARY_MIN_LEAVES trade):
+    # ONE root scandir counts the top-level partition dirs the query's
+    # own partition predicates leave alive — a partition-constrained
+    # serving probe (few surviving dirs) skips the summary machinery
+    # entirely, exactly as before r12.
+    if eq and _allowed_top_dirs(path, _dir_allows) >= SUMMARY_MIN_LEAVES:
         full_summary = _load_bloom_summary(path)
         skip_leaves, skipped_files = _summary_fast_reject(
             path, eq, _dir_allows, full_summary
@@ -1393,8 +1461,10 @@ def prune_files_combined(
         # serving shape): parsing an O(all leaves) summary to maybe save
         # a handful of shard opens would invert the trade it exists for.
         cand_leaves = {os.path.dirname(rels[f]) for f in candidates} - {""}
+        # lazy load covers the top-gate's blind spot: few allowed TOP
+        # dirs but many NESTED leaves still benefits from the summary
         summary = (
-            full_summary
+            (full_summary or _load_bloom_summary(path))
             if len(cand_leaves) >= SUMMARY_MIN_LEAVES
             else None
         )
@@ -1425,7 +1495,14 @@ def prune_files_combined(
                     new = _reseal_leaf_dfp(path, leaf, entry)
                     if new is not None:
                         healed[leaf] = new
-            if healed:
+            # write only when the drifted set is big enough to matter:
+            # a streaming sink's dirs-bounded maintenance drifts a few
+            # leaves EVERY batch, and healing those would rewrite (and
+            # cache-invalidate) the whole multi-MB summary per probe —
+            # walking a handful of leaves is cheaper than that churn.
+            # Mass drift (a zonemap build touching every leaf) heals in
+            # one write.
+            if len(healed) >= SUMMARY_MIN_LEAVES:
                 try:
                     _write_bloom_summary(path, {**summary, **healed})
                 except OSError:

@@ -175,8 +175,9 @@ def incremental_dedup_sink(
             store_sigs = spark.read.schema(sig_schema).parquet(sig_dir)
         else:
             store_sigs = spark.createDataFrame([], sig_schema)
+        bstore = None
         if banded_store:
-            decisions, new_sigs, banded_new = _banded_store_decisions(
+            decisions, new_sigs, banded_new, bstore = _banded_store_decisions(
                 spark, batch_df, store_sigs, has_store, store_path,
                 id_col, text_col, threshold,
             )
@@ -186,13 +187,18 @@ def incremental_dedup_sink(
                 threshold=threshold,
             )
             banded_new = None
+            # this path appends signatures WITHOUT appending bands: a
+            # band store left behind by an earlier banded incarnation
+            # would look valid but miss this batch forever (silent
+            # false negatives after switching back) — drop it; the
+            # next banded batch rebuilds from the full sigs store
+            from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
+
+            BandStore(store_path, id_col=id_col).invalidate()
         try:
             decisions.write.mode("append").parquet(decisions_path)
             new_sigs.write.mode("append").parquet(sig_dir)
             if banded_new is not None:
-                from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
-
-                bstore = BandStore(store_path, id_col=id_col)
                 n_banded = new_sigs.filter(
                     F.col("minhash_sig").isNotNull()
                 ).count() * _DEFAULT_BANDS
@@ -227,9 +233,9 @@ def _banded_store_decisions(
     first-arrival-wins) — parity pinned in
     tests/test_streaming_corpus.py.
 
-    Returns ``(decisions, new_sigs, banded_new)``; the caller appends
-    ``banded_new`` to the store's delta after the signature append,
-    inside the same batch-marker window."""
+    Returns ``(decisions, new_sigs, banded_new, bstore)``; the caller
+    appends ``banded_new`` to ``bstore``'s delta after the signature
+    append, inside the same batch-marker window."""
     from big_data_engineering_financial_analysis_spark.operators import dedup
     from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
 
@@ -250,7 +256,7 @@ def _banded_store_decisions(
         banded_new, store_banded, id_col, dedup.DEFAULT_NUM_PERM, threshold
     )
     decisions = dedup.decisions_from_matched(sigs_new, matched, id_col)
-    return decisions, sigs_new, banded_new
+    return decisions, sigs_new, banded_new, bstore
 
 
 def _recover_store_compaction(store_dir: str) -> None:

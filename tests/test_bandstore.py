@@ -213,3 +213,68 @@ def test_crashed_band_compaction_recovers(spark, tmp_path):
     os.rename(bs.base, bs.base + "._pre_compact")
     bs2 = bst.BandStore(store)  # construction heals
     assert len(bs2._base_leaves()) == n_leaves
+
+
+def test_replayed_batch_after_partial_commit_does_not_self_match(
+    spark, tmp_path
+):
+    """Crash window: appends succeeded but the batch marker was never
+    written.  The replay sees the batch's OWN rows in the store; the
+    kernel's pid != bid guard must keep the replayed decisions
+    identical to the first attempt's (without it every replayed doc
+    self-matches at est_jaccard 1.0 and the batch flips to is_dup=1)."""
+    import shutil
+
+    rows = [
+        (1, "alpha " + " ".join(f"tok{31 + j * 7}" for j in range(40))),
+        (2, "omega " + " ".join(f"z{13 + j * 11}" for j in range(40))),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "store_replay")
+    out = str(tmp_path / "dec_replay")
+    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    sink(batch, 0)
+    shutil.rmtree(os.path.join(store, "_batches"))  # crash-before-marker
+    sink(batch, 0)  # replay: store already holds this batch's rows
+    rows_out = spark.read.parquet(out).collect()
+    assert len(rows_out) == 4  # both attempts appended
+    worst = {}
+    for r in rows_out:
+        worst[r["doc_id"]] = max(worst.get(r["doc_id"], 0), r["is_dup"])
+    assert worst == {1: 0, 2: 0}
+
+
+def test_legacy_path_interleave_invalidates_bands(spark, tmp_path):
+    """banded -> legacy -> banded: the legacy batch appends signatures
+    without bands, so it must invalidate the band store; the next
+    banded batch rebuilds and still catches a near-dup of the
+    legacy-era document."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    store = str(tmp_path / "store_mix")
+    out = str(tmp_path / "dec_mix")
+    banded = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    legacy = corpus.incremental_dedup_sink(
+        store, out, threshold=0.5, banded_store=False
+    )
+    banded(
+        spark.createDataFrame(
+            [(1, "omega " + " ".join(f"z{j * 11}" for j in range(40)))],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert bst.BandStore(store).meta() is not None
+    legacy(
+        spark.createDataFrame([(5, base)], "doc_id long, text string"), 1
+    )
+    assert bst.BandStore(store).meta() is None  # invalidated
+    banded(
+        spark.createDataFrame(
+            [(9, base + " extra")], "doc_id long, text string"
+        ),
+        2,
+    )
+    got = {
+        r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()
+    }
+    assert got[9] == 1  # rebuilt bands cover the legacy-era doc 5

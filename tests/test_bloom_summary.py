@@ -397,3 +397,53 @@ def test_dir_seal_self_heals_after_foreign_sidecar_write(
     assert skip2 == {"lang=en", "lang=de", "lang=fr"} and n2 == total1
     keep3, total3 = bs.prune_files_eq(path, "doc_id", [555_555])
     assert keep3 == [] and total3 == total1
+
+
+def test_fast_reject_never_skips_nested_data_dirs(spark, tmp_path, monkeypatch):
+    """Mixed-depth layout: data files directly in a leaf AND in a dir
+    nested under it.  Subtree-skipping the outer leaf would silently
+    hide the nested files from the scan — leaves sealed with subdirs
+    present must never fast-skip (they take the listed path)."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    path = str(tmp_path / "nested")
+    outer = spark.createDataFrame([{"doc_id": i, "score": 0.0} for i in range(10)])
+    inner = spark.createDataFrame([{"doc_id": 555_555, "score": 1.0}])
+    outer.coalesce(1).write.parquet(f"{path}/a=1")
+    inner.coalesce(1).write.parquet(f"{path}/a=1/b=2")
+    other = spark.createDataFrame([{"doc_id": 77, "score": 2.0}])
+    other.coalesce(1).write.parquet(f"{path}/a=2")
+    bs.build_bloom_index(path, ["doc_id"])
+    # the key lives ONLY in the nested dir; a=1's own union rejects it
+    skip, _n = bs._summary_fast_reject(
+        path, [("doc_id", [555_555])], lambda d: True
+    )
+    assert "a=1" not in skip  # sealed subdirs=True -> no subtree skip
+    keep, _total = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert any(f"a=1{os.sep}b=2" in f for f in keep)
+    # childless leaves still fast-skip
+    assert "a=2" in skip
+
+
+def test_corrupt_summary_entries_degrade_not_crash_the_prune(
+    spark, tmp_path, monkeypatch
+):
+    """Structurally-corrupt summary content (non-dict filter, bad
+    base64, truncated bitmap) must degrade the probe path to
+    must-open — never raise out of prune_files_eq."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    with open(os.path.join(path, bs.SUMMARY_NAME)) as fh:
+        obj = json.load(fh)
+    leaves = sorted(obj["leaves"])
+    obj["leaves"][leaves[0]]["cols"]["doc_id"] = "garbage"
+    obj["leaves"][leaves[1]]["cols"]["doc_id"] = {"m": 65536, "k": 6, "bits": "!!"}
+    trunc = obj["leaves"][leaves[2]]["cols"].get("doc_id")
+    if isinstance(trunc, dict) and not trunc.get("empty"):
+        trunc["bits"] = trunc["bits"][:8]
+    with open(os.path.join(path, bs.SUMMARY_NAME), "w") as fh:
+        json.dump(obj, fh)
+    keep, total = bs.prune_files_eq(path, "doc_id", [3])  # must not raise
+    assert total > 0
+    assert _ids(bs.read_point(spark, path, "doc_id", [3])) == [3]

@@ -177,10 +177,15 @@ def incremental_dedup_sink(
             store_sigs = spark.createDataFrame([], sig_schema)
         bstore = None
         if banded_store:
-            decisions, new_sigs, banded_new, bstore = _banded_store_decisions(
+            from big_data_engineering_financial_analysis_spark.operators.dedup import (
+                decisions_from_matched,
+            )
+
+            matched, new_sigs, banded_new, bstore = _banded_store_matched(
                 spark, batch_df, store_sigs, has_store, store_path,
                 id_col, text_col, threshold,
             )
+            decisions = decisions_from_matched(new_sigs, matched, id_col)
         else:
             decisions, new_sigs = incremental_minhash_dedup(
                 batch_df, store_sigs, id_col=id_col, text_col=text_col,
@@ -212,7 +217,7 @@ def incremental_dedup_sink(
     return write_batch
 
 
-def _banded_store_decisions(
+def _banded_store_matched(
     spark,
     batch_df: DataFrame,
     store_sigs: DataFrame,
@@ -222,18 +227,20 @@ def _banded_store_decisions(
     text_col: str,
     threshold: float,
 ):
-    """Per-batch decisions against the PERSISTED band store
+    """Per-batch matched pairs against the PERSISTED band store
     (streaming/bandstore.py): the batch is signed and banded as usual
     (O(batch)); standing history arrives already banded — surviving
     base files (Bloom-pruned on the batch's band keys, filters cached
     across micro-batches) plus the bounded delta — so the in-memory
-    kernel's O(store) per-batch re-banding never runs.  Decision
-    semantics are identical to :func:`incremental_minhash_dedup`
-    (same banding, same inline est_jaccard verify, same
-    first-arrival-wins) — parity pinned in
-    tests/test_streaming_corpus.py.
+    kernel's O(store) per-batch re-banding never runs.  Match
+    semantics are identical to :func:`incremental_minhash_dedup` /
+    :func:`incremental_minhash_pairs` (same banding, same inline
+    est_jaccard verify, same partner rule) — parity pinned in
+    tests/test_streaming_corpus.py and tests/test_bandstore.py; both
+    the dedup sink (decisions tail) and the cluster sink (pair tail)
+    compile through this one helper.
 
-    Returns ``(decisions, new_sigs, banded_new, bstore)``; the caller
+    Returns ``(matched, new_sigs, banded_new, bstore)``; the caller
     appends ``banded_new`` to ``bstore``'s delta after the signature
     append, inside the same batch-marker window."""
     from big_data_engineering_financial_analysis_spark.operators import dedup
@@ -255,8 +262,7 @@ def _banded_store_decisions(
     matched = dedup._matched_pairs_vs_banded_store(
         banded_new, store_banded, id_col, dedup.DEFAULT_NUM_PERM, threshold
     )
-    decisions = dedup.decisions_from_matched(sigs_new, matched, id_col)
-    return decisions, sigs_new, banded_new, bstore
+    return matched, sigs_new, banded_new, bstore
 
 
 def _recover_store_compaction(store_dir: str) -> None:
@@ -385,6 +391,7 @@ def incremental_cluster_sink(
     threshold: float = 0.5,
     n_buckets: int = 64,
     writer_id: str | None = None,
+    banded_store: bool = True,
 ):
     """Build a ``foreachBatch`` function maintaining LIVE duplicate
     CLUSTER labels across micro-batches — the cluster-side completion of
@@ -395,11 +402,19 @@ def incremental_cluster_sink(
     corpus.
 
     Per micro-batch: (1) LSH-match the arrivals against the signature
-    store and each other (``operators/dedup.incremental_minhash_pairs``);
+    store and each other — through the PERSISTED band store by default
+    (``streaming/bandstore.py`` via the shared
+    ``_banded_store_matched`` helper: standing history arrives
+    already banded and Bloom-pruned, so the per-batch cost does not
+    grow with corpus history; ``banded_store=False`` falls back to
+    ``operators/dedup.incremental_minhash_pairs``, which re-bands the
+    whole store in memory each batch and invalidates any leftover
+    band store so a later banded incarnation rebuilds completely);
     (2) fold the discovered pairs into the standing labels
     (``operators/dedup.merge_component_labels`` — arrivals with no
     partner label themselves); (3) upsert the labels store; (4) append
-    the arrivals' signatures to the signature store.
+    the arrivals' signatures to the signature store (and their banded
+    rows to the band store's delta, inside the same marker window).
 
     Label-store layout and the 100 TB write path: labels live under
     ``<store>/labels`` hash-partitioned by ``bucket = pmod(hash(node),
@@ -473,9 +488,10 @@ def incremental_cluster_sink(
         sig_dir = os.path.join(store_path, "sigs")
         labels_dir = os.path.join(store_path, "labels")
         _recover_store_compaction(sig_dir)  # crashed compaction ≠ empty store
-        if os.path.isdir(sig_dir) and any(
+        has_store = os.path.isdir(sig_dir) and any(
             f.endswith(".parquet") for f in os.listdir(sig_dir)
-        ):
+        )
+        if has_store:
             store_sigs = spark.read.schema(sig_schema).parquet(sig_dir)
         else:
             store_sigs = spark.createDataFrame([], sig_schema)
@@ -488,10 +504,30 @@ def incremental_cluster_sink(
         else:
             old_labels = spark.createDataFrame([], label_schema)
 
-        pairs, new_sigs = incremental_minhash_pairs(
-            batch_df, store_sigs, id_col=id_col, text_col=text_col,
-            threshold=threshold,
-        )
+        bstore = None
+        banded_new = None
+        if banded_store:
+            # same persisted band store as incremental_dedup_sink — the
+            # cluster sink's pair generation had the identical O(store)
+            # per-batch re-banding term (incremental_minhash_pairs
+            # bands the whole signature store in memory)
+            matched, new_sigs, banded_new, bstore = _banded_store_matched(
+                spark, batch_df, store_sigs, has_store, store_path,
+                id_col, text_col, threshold,
+            )
+            pairs = matched.select(
+                F.col("pid").alias("id_a"), F.col("bid").alias("id_b")
+            ).distinct()
+        else:
+            pairs, new_sigs = incremental_minhash_pairs(
+                batch_df, store_sigs, id_col=id_col, text_col=text_col,
+                threshold=threshold,
+            )
+            # sigs will be appended without bands: a leftover band store
+            # would silently miss this batch forever — invalidate it
+            from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
+
+            BandStore(store_path, id_col=id_col).invalidate()
         # arrivals enter the labeling as self-labeled singletons (valid:
         # they have no committed pairs yet); anti-join keeps a replayed
         # id from shadowing its existing row
@@ -543,8 +579,15 @@ def incremental_cluster_sink(
                 else:
                     spark.conf.set(_OVR, prev_ovr)
             new_sigs.write.mode("append").parquet(sig_dir)
+            if banded_new is not None:
+                n_banded = new_sigs.filter(
+                    F.col("minhash_sig").isNotNull()
+                ).count() * _DEFAULT_BANDS
+                bstore.append_delta(banded_new, n_banded)
         finally:
             new_sigs.unpersist()  # per-batch cache must not accumulate
         os.makedirs(marker, exist_ok=True)
+        if banded_new is not None and bstore.needs_compact():
+            bstore.compact(spark)
 
     return write_batch

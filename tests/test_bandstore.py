@@ -278,3 +278,31 @@ def test_legacy_path_interleave_invalidates_bands(spark, tmp_path):
         r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()
     }
     assert got[9] == 1  # rebuilt bands cover the legacy-era doc 5
+
+
+def test_cluster_sink_banded_matches_legacy_labels(spark, tmp_path):
+    """The cluster sink's banded pair generation must produce the same
+    final (node, component) labeling as the in-memory kernel path."""
+    docs = _docs(spark).filter("doc_id % 2 = 1")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    batches = [
+        docs.filter(f"doc_id <= {median}"),
+        docs.filter(f"doc_id > {median}"),
+    ]
+
+    def run(tag, banded):
+        store = str(tmp_path / f"cstore_{tag}")
+        sink = corpus.incremental_cluster_sink(
+            store, threshold=0.5, banded_store=banded
+        )
+        for i, b in enumerate(batches):
+            sink(b, i)
+        return {
+            r["node"]: r["component"]
+            for r in spark.read.parquet(f"{store}/labels").collect()
+        }
+
+    banded = run("banded", True)
+    legacy = run("legacy", False)
+    assert banded == legacy
+    assert len(set(banded.values())) < len(banded), "fixture has clusters"

@@ -714,20 +714,25 @@ def _matched_pairs_vs_banded_store(
         "band",
         "band_key",
     )
-    # pid != bid: ids are unique across the arrival stream, so a store
-    # row can only equal a batch id when a CRASH REPLAY re-presents a
-    # batch whose rows were already appended (sigs and band store alike)
-    # — without the guard every replayed document would self-match at
-    # est_jaccard 1.0 and the whole batch would flip to is_dup=1.  With
-    # it, replayed appends only duplicate rows that `distinct` absorbs,
-    # which is what makes the marker protocol's crash window safe.
+    # Store partners must be STRICTLY EARLIER ARRIVALS.  Ids are unique
+    # across the stream, so a store row carrying a batch id can only be
+    # the echo of a CRASH REPLAY (the sink appended sigs + bands, then
+    # died before its batch marker).  Those echoes must not act as
+    # partners at all: a self-echo would match its own document at
+    # est_jaccard 1.0 (flipping the whole batch to is_dup=1), and a
+    # same-batch echo would let a LARGER-id row partner a smaller-id
+    # one through the store side, contradicting the first attempt's
+    # first-arrival-wins decision for the smaller id.  The anti-join
+    # (batch-sized broadcast, no-op outside replay) removes every echo;
+    # the batch's own pid < bid pairs below cover exactly the
+    # legitimate comparisons the echoes duplicated — which is what
+    # makes the marker protocol's crash window genuinely idempotent.
+    batch_ids = b.select(F.col("bid").alias("pid")).distinct()
     cand_store = (
         b.alias("b")
         .join(
-            p_store.alias("p"),
-            (F.col("b.band") == F.col("p.band"))
-            & (F.col("b.band_key") == F.col("p.band_key"))
-            & (F.col("p.pid") != F.col("b.bid")),
+            p_store.join(F.broadcast(batch_ids), "pid", "left_anti").alias("p"),
+            ["band", "band_key"],
         )
         .select("bid", "pid", "sig_a", "sig_b")
     )
@@ -803,9 +808,10 @@ def incremental_minhash_pairs(
     matched, sigs_new = _incremental_matched_pairs(
         new_docs, store_sigs, id_col, text_col, shingle_n, num_perm, bands, threshold
     )
+    # matched is already distinct and the rename is bijective
     pairs = matched.select(
         F.col("pid").alias("id_a"), F.col("bid").alias("id_b")
-    ).distinct()
+    )
     return pairs, sigs_new
 
 

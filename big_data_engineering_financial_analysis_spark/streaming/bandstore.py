@@ -48,12 +48,14 @@ file) and the true-match IO — sublinear in history, measured by
 
 Crash safety mirrors the signature store: delta appends ride the
 sink's ``_batches`` marker protocol — replay re-appends at most once,
-and the kernel's ``pid != bid`` store-join guard
+and the kernel's batch-id anti-join on the store side
 (``dedup._matched_pairs_vs_banded_store``) is what makes that safe: a
 replayed batch sees its OWN first-attempt rows in the store, which
-without the guard would self-match at est_jaccard 1.0 and flip the
-whole batch to is_dup=1; with it, replayed rows only duplicate
-candidates that ``distinct`` absorbs.  Compaction uses the shared
+would otherwise self-match at est_jaccard 1.0 (whole batch flips to
+is_dup=1) or let a larger-id row partner its smaller-id batch mate
+through the store side (contradicting the first attempt's decisions);
+with every echo excluded, a replay reproduces the first attempt's
+decisions exactly.  Compaction uses the shared
 stage → aside → swap protocol (``sources/localfs.recover_aside_swap``)
 with the meta written LAST, so every interrupted state either restores
 or self-heals on the next batch.  Single ACTIVE writer, same contract

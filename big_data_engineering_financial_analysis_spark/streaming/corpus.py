@@ -192,29 +192,49 @@ def incremental_dedup_sink(
                 threshold=threshold,
             )
             banded_new = None
-            # this path appends signatures WITHOUT appending bands: a
-            # band store left behind by an earlier banded incarnation
-            # would look valid but miss this batch forever (silent
-            # false negatives after switching back) — drop it; the
-            # next banded batch rebuilds from the full sigs store
-            from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
-
-            BandStore(store_path, id_col=id_col).invalidate()
+            _invalidate_band_store(store_path, id_col)
         try:
             decisions.write.mode("append").parquet(decisions_path)
             new_sigs.write.mode("append").parquet(sig_dir)
-            if banded_new is not None:
-                n_banded = new_sigs.filter(
-                    F.col("minhash_sig").isNotNull()
-                ).count() * _DEFAULT_BANDS
-                bstore.append_delta(banded_new, n_banded)
+            _append_band_delta(bstore, banded_new, new_sigs)
         finally:
             new_sigs.unpersist()  # per-batch cache must not accumulate
         os.makedirs(marker, exist_ok=True)
-        if banded_new is not None and bstore.needs_compact():
-            bstore.compact(spark)
+        _compact_band_store_if_due(spark, bstore, banded_new)
 
     return write_batch
+
+
+def _invalidate_band_store(store_path: str, id_col: str) -> None:
+    """Legacy-path guard shared by both sinks: signatures are about to
+    append WITHOUT matching band rows, so a band store left behind by
+    an earlier banded incarnation would look valid but miss this batch
+    forever (silent false negatives after switching back) — drop it;
+    the next banded batch rebuilds from the full sigs store."""
+    from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
+
+    BandStore(store_path, id_col=id_col).invalidate()
+
+
+def _append_band_delta(bstore, banded_new, new_sigs) -> None:
+    """Banded-path commit step shared by both sinks (inside the
+    caller's batch-marker window, AFTER the signature append): banded
+    rows = non-NULL signatures × bands, the advisory delta count."""
+    if banded_new is None:
+        return
+    n_banded = (
+        new_sigs.filter(F.col("minhash_sig").isNotNull()).count()
+        * _DEFAULT_BANDS
+    )
+    bstore.append_delta(banded_new, n_banded)
+
+
+def _compact_band_store_if_due(spark, bstore, banded_new) -> None:
+    """Post-marker compaction check shared by both sinks (safe to run
+    after the marker: a crash here only leaves the delta above its
+    trigger, and the next batch compacts)."""
+    if banded_new is not None and bstore.needs_compact():
+        bstore.compact(spark)
 
 
 def _banded_store_matched(
@@ -515,19 +535,17 @@ def incremental_cluster_sink(
                 spark, batch_df, store_sigs, has_store, store_path,
                 id_col, text_col, threshold,
             )
+            # matched is already distinct and the rename is bijective —
+            # no second distinct (it would be one more exchange per batch)
             pairs = matched.select(
                 F.col("pid").alias("id_a"), F.col("bid").alias("id_b")
-            ).distinct()
+            )
         else:
             pairs, new_sigs = incremental_minhash_pairs(
                 batch_df, store_sigs, id_col=id_col, text_col=text_col,
                 threshold=threshold,
             )
-            # sigs will be appended without bands: a leftover band store
-            # would silently miss this batch forever — invalidate it
-            from big_data_engineering_financial_analysis_spark.streaming.bandstore import BandStore
-
-            BandStore(store_path, id_col=id_col).invalidate()
+            _invalidate_band_store(store_path, id_col)
         # arrivals enter the labeling as self-labeled singletons (valid:
         # they have no committed pairs yet); anti-join keeps a replayed
         # id from shadowing its existing row
@@ -579,15 +597,10 @@ def incremental_cluster_sink(
                 else:
                     spark.conf.set(_OVR, prev_ovr)
             new_sigs.write.mode("append").parquet(sig_dir)
-            if banded_new is not None:
-                n_banded = new_sigs.filter(
-                    F.col("minhash_sig").isNotNull()
-                ).count() * _DEFAULT_BANDS
-                bstore.append_delta(banded_new, n_banded)
+            _append_band_delta(bstore, banded_new, new_sigs)
         finally:
             new_sigs.unpersist()  # per-batch cache must not accumulate
         os.makedirs(marker, exist_ok=True)
-        if banded_new is not None and bstore.needs_compact():
-            bstore.compact(spark)
+        _compact_band_store_if_due(spark, bstore, banded_new)
 
     return write_batch

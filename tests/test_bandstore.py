@@ -306,3 +306,72 @@ def test_cluster_sink_banded_matches_legacy_labels(spark, tmp_path):
     legacy = run("legacy", False)
     assert banded == legacy
     assert len(set(banded.values())) < len(banded), "fixture has clusters"
+
+
+def test_replayed_batch_with_inbatch_duplicate_repeats_decisions(
+    spark, tmp_path
+):
+    """The subtler replay case: a batch carrying an in-batch near-dup
+    pair.  On replay the store holds BOTH rows' echoes; without the
+    batch-id anti-join the larger-id echo would partner the SMALLER id
+    through the store side and flip the kept doc to is_dup=1,
+    contradicting the first attempt.  Replay must reproduce the first
+    attempt's decisions exactly."""
+    import shutil
+
+    text = "alpha " + " ".join(f"tok{31 + j * 7}" for j in range(40))
+    batch = spark.createDataFrame(
+        [(1, text), (7, text + " tail")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store_replay_dup")
+    out = str(tmp_path / "dec_replay_dup")
+    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    sink(batch, 0)
+    first = sorted(
+        (r["doc_id"], r["is_dup"]) for r in spark.read.parquet(out).collect()
+    )
+    assert first == [(1, 0), (7, 1)]
+    shutil.rmtree(os.path.join(store, "_batches"))  # crash-before-marker
+    sink(batch, 0)  # replay against its own echoes
+    rows = sorted(
+        (r["doc_id"], r["is_dup"]) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, 0), (1, 0), (7, 1), (7, 1)]
+
+
+def test_cluster_sink_legacy_interleave_invalidates_bands(spark, tmp_path):
+    """banded -> legacy -> banded on ONE cluster store: the legacy
+    batch appends signatures without bands and must invalidate the
+    band store, so the next banded batch rebuilds and still pairs a
+    near-dup of the legacy-era document into its cluster."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    store = str(tmp_path / "cstore_mix")
+    banded = corpus.incremental_cluster_sink(store, threshold=0.5)
+    legacy = corpus.incremental_cluster_sink(
+        store, threshold=0.5, banded_store=False
+    )
+    banded(
+        spark.createDataFrame(
+            [(1, "omega " + " ".join(f"z{j * 11}" for j in range(40)))],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert bst.BandStore(store).meta() is not None
+    legacy(
+        spark.createDataFrame([(5, base)], "doc_id long, text string"), 1
+    )
+    assert bst.BandStore(store).meta() is None
+    banded(
+        spark.createDataFrame(
+            [(9, base + " extra")], "doc_id long, text string"
+        ),
+        2,
+    )
+    assert bst.BandStore(store).meta() is not None  # rebuilt
+    labels = {
+        r["node"]: r["component"]
+        for r in spark.read.parquet(f"{store}/labels").collect()
+    }
+    assert labels[5] == labels[9]  # clustered across the legacy era
+    assert labels[1] not in (labels[5],)

@@ -391,6 +391,15 @@ def _write_manifest(path: str, manifest: dict, shard: str | bool = "auto") -> No
 #: same conservative contract as every other index in this layer.
 SUMMARY_NAME = "_bloom_summary.json"
 
+#: append-only per-leaf update journal beside SUMMARY_NAME: the
+#: dirs-bounded maintenance path appends touched leaves' entries here
+#: (O(touched) bytes) instead of rewriting the whole O(leaves) summary;
+#: readers overlay it on the cached base parse, and any full summary
+#: write folds + clears it.
+JOURNAL_NAME = "_bloom_summary_delta.jsonl"
+JOURNAL_FOLD_FRAC = 0.25
+JOURNAL_FOLD_MIN_BYTES = 1 << 20
+
 #: per-summary-file parse cache: abs path -> ((size, mtime_ns, inode),
 #: parsed leaves dict).  One entry per dataset root this process has
 #: probed; invalidated by the stat seal, so out-of-band rewrites are
@@ -546,6 +555,11 @@ def _refresh_summary_from_manifest(path: str, manifest: dict) -> None:
 
 
 def _write_bloom_summary(path: str, leaves: dict[str, dict]) -> None:
+    """Write the COMPLETE summary view and clear the journal (every
+    caller passes the full current view, so standing journal entries
+    are folded into the write; a crash between the two steps is
+    idempotent — re-applying the journal over the new base reproduces
+    the same merged view)."""
     from big_data_engineering_financial_analysis_spark.sources.zonemap import (
         _atomic_json_if_changed,
     )
@@ -554,13 +568,69 @@ def _write_bloom_summary(path: str, leaves: dict[str, dict]) -> None:
         os.path.join(path, SUMMARY_NAME),
         {"format": KEY_FORMAT, "leaves": leaves},
     )
+    try:
+        os.remove(os.path.join(path, JOURNAL_NAME))
+    except OSError:
+        pass
 
 
 def _remove_bloom_summary(path: str) -> None:
+    for name in (SUMMARY_NAME, JOURNAL_NAME):
+        try:
+            os.remove(os.path.join(path, name))
+        except OSError:
+            pass
+
+
+def _append_summary_journal(path: str, updates: dict) -> None:
+    """Append per-leaf summary updates (entry dict, or None = leaf
+    removed) as JSON lines — the O(touched leaves) maintenance write.
+    The monolithic summary is O(ALL leaves × cols) bytes, so the
+    dirs-bounded per-batch refresh rewriting it wholesale was linear
+    in TOTAL leaf count (measured 0.22 s @1k leaves, 0.85 s @4k for a
+    ONE-leaf touch — tools/summary_maintenance_probe.py): the journal
+    makes that write O(touched).  Readers overlay later lines over the
+    (cached) base parse; a torn tail line from a crash is skipped, and
+    the affected leaf's base entry then fails its seals against the
+    already-updated shard — conservative, the leaf just opens its
+    shard."""
+    lines = "".join(
+        json.dumps({"leaf": leaf, "entry": entry}) + "\n"
+        for leaf, entry in updates.items()
+    )
+    with open(os.path.join(path, JOURNAL_NAME), "a") as fh:
+        fh.write(lines)
+
+
+def _read_summary_journal(path: str) -> dict:
+    """leaf -> entry-or-None overlay from the journal; later lines win;
+    malformed lines (torn crash tail) are skipped."""
+    out: dict = {}
     try:
-        os.remove(os.path.join(path, SUMMARY_NAME))
+        with open(os.path.join(path, JOURNAL_NAME)) as fh:
+            for line in fh:
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and isinstance(obj.get("leaf"), str):
+                    out[obj["leaf"]] = obj.get("entry")
     except OSError:
         pass
+    return out
+
+
+def _maybe_fold_summary_journal(path: str, merged: dict) -> None:
+    """Fold the journal into a fresh base write once it outgrows its
+    trade (amortized O(1) full writes per touched leaf) — ``merged``
+    is the caller's already-overlaid complete view."""
+    try:
+        jsize = os.path.getsize(os.path.join(path, JOURNAL_NAME))
+        bsize = os.path.getsize(os.path.join(path, SUMMARY_NAME))
+    except OSError:
+        return
+    if jsize > max(JOURNAL_FOLD_MIN_BYTES, int(JOURNAL_FOLD_FRAC * bsize)):
+        _write_bloom_summary(path, merged)
 
 
 def _load_bloom_summary(path: str) -> dict | None:
@@ -595,7 +665,7 @@ def _load_bloom_summary(path: str) -> dict | None:
         # returned dict before rewriting the file — handing out the
         # cached object itself would let that mutation poison the cache
         # if the rewrite then fails (fp unchanged, content drifted)
-        return dict(cached[1])
+        return _overlay_journal(path, dict(cached[1]))
     obj = _read_manifest_obj(sp)
     if obj is None or obj.get("format") != KEY_FORMAT:
         return None
@@ -608,7 +678,19 @@ def _load_bloom_summary(path: str) -> dict | None:
     while len(_SUMMARY_PARSE_CACHE) >= _SUMMARY_PARSE_CACHE_MAX:
         _SUMMARY_PARSE_CACHE.pop(next(iter(_SUMMARY_PARSE_CACHE)))
     _SUMMARY_PARSE_CACHE[sp] = (fp, leaves)
-    return dict(leaves)
+    return _overlay_journal(path, dict(leaves))
+
+
+def _overlay_journal(path: str, leaves: dict) -> dict:
+    """Apply the maintenance journal over a base summary view (later
+    lines win; None tombstones delete) — how readers see dirs-bounded
+    refreshes without the base ever being rewritten per batch."""
+    for leaf, entry in _read_summary_journal(path).items():
+        if entry is None:
+            leaves.pop(leaf, None)
+        elif isinstance(entry, dict):
+            leaves[leaf] = entry
+    return leaves
 
 
 def _summary_rejects_leaf(
@@ -1142,13 +1224,14 @@ def update_bloom_index(
                     grouped.setdefault(os.path.dirname(r), {})[
                         os.path.basename(r)
                     ] = b
+                updates: dict = {}
                 for leaf in sorted(by_leaf):
-                    summary[leaf] = _summary_entry(
+                    updates[leaf] = _summary_entry(
                         path, leaf, grouped.get(leaf, {})
                     )
                 # a requested dir whose files were ALL deleted builds no
-                # by_leaf entry — drop its now-dead summary rows so the
-                # root-wide prune stops stat-ing them (advice r11);
+                # by_leaf entry — tombstone its now-dead summary rows so
+                # the root-wide prune stops stat-ing them (advice r11);
                 # mirrors _refresh_summary_from_manifest, which rebuilds
                 # from live files only.  Untouched leaves keep theirs.
                 requested = sorted(set(dirs) - {""})
@@ -1160,8 +1243,17 @@ def update_bloom_index(
                         s == d or s.startswith(d + "/") for d in requested
                     )
                 ]:
-                    summary.pop(leaf)
-                _write_bloom_summary(path, summary)
+                    updates[leaf] = None
+                for leaf, e in updates.items():
+                    if e is None:
+                        summary.pop(leaf, None)
+                    else:
+                        summary[leaf] = e
+                # O(touched) journal append, not an O(all leaves) base
+                # rewrite per maintenance batch; folds into a full
+                # write once the journal outgrows its read-side trade
+                _append_summary_journal(path, updates)
+                _maybe_fold_summary_journal(path, summary)
             return out
         # not sharded (legacy flat / missing): full update below
     walk = _data_files(path)  # ONE listing, shared by all three consumers

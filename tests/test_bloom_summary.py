@@ -447,3 +447,73 @@ def test_corrupt_summary_entries_degrade_not_crash_the_prune(
     keep, total = bs.prune_files_eq(path, "doc_id", [3])  # must not raise
     assert total > 0
     assert _ids(bs.read_point(spark, path, "doc_id", [3])) == [3]
+
+
+def test_dirs_update_journals_instead_of_rewriting_base(
+    spark, tmp_path, monkeypatch
+):
+    """The per-batch maintenance write is O(touched): a dirs-bounded
+    update appends to the journal and leaves the base summary file
+    byte-untouched, while readers see the merged view (fresh keys
+    found, refreshed seals prune)."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    base_stat = os.stat(os.path.join(path, bs.SUMMARY_NAME))
+    extra = spark.createDataFrame(
+        [{"doc_id": 7777, "lang": "en", "score": 0.5}]
+    )
+    write_sharded(
+        extra, path, partition_cols=["lang"], sort_cols=["doc_id"],
+        mode="append",
+    )
+    bs.update_bloom_index(path, ["doc_id"], dirs=["lang=en"])
+    after = os.stat(os.path.join(path, bs.SUMMARY_NAME))
+    assert (after.st_mtime_ns, after.st_ino) == (
+        base_stat.st_mtime_ns, base_stat.st_ino,
+    )
+    assert os.path.exists(os.path.join(path, bs.JOURNAL_NAME))
+    # merged view serves: new key found, absent key prunes everywhere
+    assert bs.read_point(spark, path, "doc_id", [7777]).count() == 1
+    keep, total = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert keep == [] and total > 0
+    # dead-leaf tombstone rides the journal too
+    for f in bs._data_files(os.path.join(path, "lang=fr")):
+        os.remove(f)
+    bs.update_bloom_index(path, ["doc_id"], dirs=["lang=fr", "lang=en"])
+    assert "lang=fr" not in bs._load_bloom_summary(path)
+
+
+def test_summary_journal_folds_and_survives_torn_tail(
+    spark, tmp_path, monkeypatch
+):
+    """A journal past its size trade folds into one fresh base write
+    (journal cleared); a torn trailing line (crash mid-append) is
+    skipped and the affected leaf degrades to opening its shard."""
+    monkeypatch.setattr(bs, "SUMMARY_MIN_LEAVES", 0)
+    monkeypatch.setattr(bs, "JOURNAL_FOLD_MIN_BYTES", 0)
+    monkeypatch.setattr(bs, "JOURNAL_FOLD_FRAC", 0.0)
+    path = str(tmp_path / "ds")
+    _write(spark, path)
+    bs.build_bloom_index(path, ["doc_id"])
+    extra = spark.createDataFrame(
+        [{"doc_id": 7777, "lang": "en", "score": 0.5}]
+    )
+    write_sharded(
+        extra, path, partition_cols=["lang"], sort_cols=["doc_id"],
+        mode="append",
+    )
+    bs.update_bloom_index(path, ["doc_id"], dirs=["lang=en"])
+    # zero thresholds -> every append folds immediately
+    assert not os.path.exists(os.path.join(path, bs.JOURNAL_NAME))
+    keep, _ = bs.prune_files_eq(path, "doc_id", [555_555])
+    assert keep == []
+    # torn tail: valid tombstone line + garbage tail — reader skips the
+    # garbage, applies the tombstone, and the prune stays conservative
+    with open(os.path.join(path, bs.JOURNAL_NAME), "w") as fh:
+        fh.write(json.dumps({"leaf": "lang=de", "entry": None}) + "\n")
+        fh.write('{"leaf": "lang=en", "entry"')  # torn mid-write
+    merged = bs._load_bloom_summary(path)
+    assert "lang=de" not in merged and "lang=en" in merged
+    assert bs.read_point(spark, path, "doc_id", [7777]).count() == 1

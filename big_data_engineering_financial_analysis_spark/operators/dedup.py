@@ -689,8 +689,20 @@ def _matched_pairs_vs_banded_store(
 
     ``banded_new`` is the arriving batch's banded frame (carry_sig);
     partners are every store row plus smaller-id batch documents
-    (first-arrival-wins).  The signature rides each band row and the
-    ``est_jaccard`` verify runs INLINE on the joined pair — no
+    (first-arrival-wins).  CALLER CONTRACT: ``store_banded`` must hold
+    STRICTLY EARLIER arrivals only — no batch ids.  Ids are unique
+    across the stream, so store rows carrying batch ids can only be
+    crash-replay echoes (sink appended sigs + bands, died before its
+    marker), and as partners they would self-match at est_jaccard 1.0
+    or let a larger-id echo partner its smaller-id batch mate,
+    contradicting the first attempt's decisions.  Both callers
+    (:func:`_incremental_matched_pairs`,
+    ``streaming/corpus._banded_store_matched``) enforce it with a
+    batch-id anti-join BEFORE banding/reading — on the thin id rows,
+    not these 4-rows-per-doc sig-carrying band rows (doing it here
+    cost ~0.45 s/batch at bench scale) — pinned by the replay tests in
+    tests/test_bandstore.py.  The signature rides each band row and
+    the ``est_jaccard`` verify runs INLINE on the joined pair — no
     corpus-sized verify joins (the r10 lesson: the join-back shape
     re-shuffles the signature table twice).  ``distinct`` runs AFTER
     the threshold filter, where the frame is smallest (est_jaccard is
@@ -714,26 +726,9 @@ def _matched_pairs_vs_banded_store(
         "band",
         "band_key",
     )
-    # Store partners must be STRICTLY EARLIER ARRIVALS.  Ids are unique
-    # across the stream, so a store row carrying a batch id can only be
-    # the echo of a CRASH REPLAY (the sink appended sigs + bands, then
-    # died before its batch marker).  Those echoes must not act as
-    # partners at all: a self-echo would match its own document at
-    # est_jaccard 1.0 (flipping the whole batch to is_dup=1), and a
-    # same-batch echo would let a LARGER-id row partner a smaller-id
-    # one through the store side, contradicting the first attempt's
-    # first-arrival-wins decision for the smaller id.  The anti-join
-    # (batch-sized broadcast, no-op outside replay) removes every echo;
-    # the batch's own pid < bid pairs below cover exactly the
-    # legitimate comparisons the echoes duplicated — which is what
-    # makes the marker protocol's crash window genuinely idempotent.
-    batch_ids = b.select(F.col("bid").alias("pid")).distinct()
     cand_store = (
         b.alias("b")
-        .join(
-            p_store.join(F.broadcast(batch_ids), "pid", "left_anti").alias("p"),
-            ["band", "band_key"],
-        )
+        .join(p_store.alias("p"), ["band", "band_key"])
         .select("bid", "pid", "sig_a", "sig_b")
     )
     cand_batch = (
@@ -778,6 +773,12 @@ def _incremental_matched_pairs(
         new_docs, id_col, text_col, shingle_n, num_perm
     ).persist()
     banded_new = band_signatures(sigs_new, id_col, num_perm, bands, carry_sig=True)
+    # strictly-earlier-arrivals contract (see _matched_pairs_vs_banded_store):
+    # crash-replay echoes of the batch's own ids are excluded on the THIN
+    # (id, sig) rows before the 4x banding explode; a no-op outside replay
+    store_sigs = store_sigs.join(
+        F.broadcast(sigs_new.select(id_col).distinct()), id_col, "left_anti"
+    )
     banded_store = band_signatures(
         store_sigs, id_col, num_perm, bands, carry_sig=True
     )

@@ -279,6 +279,12 @@ def _banded_store_matched(
         r[0] for r in banded_new.select("band_key").distinct().collect()
     ]
     store_banded = bstore.read_matching(spark, batch_keys)
+    # strictly-earlier-arrivals contract (see the kernel docstring):
+    # crash-replay echoes of the batch's own ids must not act as store
+    # partners — batch-sized broadcast anti-join, a no-op outside replay
+    store_banded = store_banded.join(
+        F.broadcast(sigs_new.select(id_col).distinct()), id_col, "left_anti"
+    )
     matched = dedup._matched_pairs_vs_banded_store(
         banded_new, store_banded, id_col, dedup.DEFAULT_NUM_PERM, threshold
     )

@@ -215,8 +215,12 @@ def test_crashed_band_compaction_recovers(spark, tmp_path):
     assert len(bs2._base_leaves()) == n_leaves
 
 
+import pytest
+
+
+@pytest.mark.parametrize("banded", [True, False])
 def test_replayed_batch_after_partial_commit_does_not_self_match(
-    spark, tmp_path
+    spark, tmp_path, banded
 ):
     """Crash window: appends succeeded but the batch marker was never
     written.  The replay sees the batch's OWN rows in the store; the
@@ -230,9 +234,11 @@ def test_replayed_batch_after_partial_commit_does_not_self_match(
         (2, "omega " + " ".join(f"z{13 + j * 11}" for j in range(40))),
     ]
     batch = spark.createDataFrame(rows, "doc_id long, text string")
-    store = str(tmp_path / "store_replay")
-    out = str(tmp_path / "dec_replay")
-    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    store = str(tmp_path / f"store_replay_{banded}")
+    out = str(tmp_path / f"dec_replay_{banded}")
+    sink = corpus.incremental_dedup_sink(
+        store, out, threshold=0.5, banded_store=banded
+    )
     sink(batch, 0)
     shutil.rmtree(os.path.join(store, "_batches"))  # crash-before-marker
     sink(batch, 0)  # replay: store already holds this batch's rows
@@ -308,8 +314,9 @@ def test_cluster_sink_banded_matches_legacy_labels(spark, tmp_path):
     assert len(set(banded.values())) < len(banded), "fixture has clusters"
 
 
+@pytest.mark.parametrize("banded", [True, False])
 def test_replayed_batch_with_inbatch_duplicate_repeats_decisions(
-    spark, tmp_path
+    spark, tmp_path, banded
 ):
     """The subtler replay case: a batch carrying an in-batch near-dup
     pair.  On replay the store holds BOTH rows' echoes; without the
@@ -323,9 +330,11 @@ def test_replayed_batch_with_inbatch_duplicate_repeats_decisions(
     batch = spark.createDataFrame(
         [(1, text), (7, text + " tail")], "doc_id long, text string"
     )
-    store = str(tmp_path / "store_replay_dup")
-    out = str(tmp_path / "dec_replay_dup")
-    sink = corpus.incremental_dedup_sink(store, out, threshold=0.5)
+    store = str(tmp_path / f"store_replay_dup_{banded}")
+    out = str(tmp_path / f"dec_replay_dup_{banded}")
+    sink = corpus.incremental_dedup_sink(
+        store, out, threshold=0.5, banded_store=banded
+    )
     sink(batch, 0)
     first = sorted(
         (r["doc_id"], r["is_dup"]) for r in spark.read.parquet(out).collect()

@@ -310,30 +310,52 @@ def ohlc_bars(
 ) -> DataFrame:
     """Resample a tick stream to per-``bar`` OHLC(V) candles.
 
-    open/close are the first/last tick by ``(time, id)`` within the bar —
-    expressed as conditional aggregates over a row_number window rather
-    than min_by/max_by so the selection key is the composite (time, id)
-    pair (deterministic under timestamp ties) and the oracle can mirror it
-    verbatim.  One window pass + one grouped aggregate, both keyed on
-    (symbol, bucket): a single Exchange at scale.
+    open/close are the first/last tick by the composite ``(time, id)``
+    key within the bar (deterministic under timestamp ties).
+
+    Two physically different but value-identical forms (r12 optimization
+    round, guide §2.3 "aggregate before you shuffle"):
+
+    * ``volume_col is None`` (every TA bar family): ONE grouped aggregate
+      with ``min_by``/``max_by`` keyed on ``struct(time, id)``.  All five
+      aggregates (min_by/max/min/max_by/count) partial-combine map-side,
+      so the (symbol, bucket) Exchange carries one bar per bucket per map
+      partition instead of every tick — at the 100 TB target the shuffle
+      shrinks by the ticks-per-bar ratio, and the per-tick window Sort of
+      the old form disappears.  Selection-only aggregates move raw close
+      values (no FP accumulation), so results are bit-identical to the
+      window form; struct ordering is field-by-field with NULLs first,
+      exactly the old ``ORDER BY time, id`` NULLS FIRST.  Equality is
+      pinned by tests/test_indicators_ext.py::test_ohlc_grouped_matches_window_form.
+    * with a volume column: the original row_number/count window + the
+      conditional-max grouped aggregate.  ``sum(volume)`` is an
+      FP accumulation whose addition order the window form pins to the
+      per-bucket (time, id) sort; map-side partial sums would reassociate
+      it, so this path deliberately keeps the tick shuffle.
     """
+    df = df.withColumn("bucket", F.date_trunc(bar, F.col(time_col)))
+    if volume_col is None:
+        key = F.struct(F.col(time_col), F.col(id_col))
+        return df.groupBy(symbol_col, "bucket").agg(
+            F.min_by(F.col(close_col), key).alias("open"),
+            F.max(close_col).alias("high"),
+            F.min(close_col).alias("low"),
+            F.max_by(F.col(close_col), key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
     w = Window.partitionBy(symbol_col, "bucket").orderBy(time_col, id_col)
     part = Window.partitionBy(symbol_col, "bucket")
-    df = (
-        df.withColumn("bucket", F.date_trunc(bar, F.col(time_col)))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count(F.lit(1)).over(part))
+    df = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(part)
     )
-    aggs = [
+    return df.groupBy(symbol_col, "bucket").agg(
         F.max(F.when(F.col("rn") == 1, F.col(close_col))).alias("open"),
         F.max(close_col).alias("high"),
         F.min(close_col).alias("low"),
         F.max(F.when(F.col("rn") == F.col("cnt"), F.col(close_col))).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
-    ]
-    if volume_col is not None:
-        aggs.append(F.sum(volume_col).alias("volume"))
-    return df.groupBy(symbol_col, "bucket").agg(*aggs)
+        F.sum(volume_col).alias("volume"),
+    )
 
 
 def rolling_corr(

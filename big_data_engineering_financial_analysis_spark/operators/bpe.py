@@ -98,7 +98,53 @@ def duck_bpe_pieces(expr: str, merges: list[tuple[str, str]] | None = None) -> s
 # ---------------------------------------------------------------------------
 
 
-def learn_merges(df, text_col: str = "text", n_merges: int = 8):
+#: learn_merges switches to its driver-side execution regime when the
+#: word vocabulary (distinct words after the corpus-scale count — NOT the
+#: corpus) fits under this many rows.  Same contract as the
+#: connected-components TINY_GRAPH_EDGES fast path: below the bound the
+#: model-sized frame iterates on the driver (one Spark job total instead
+#: of one aggregation job per merge); above it the distributed loop runs
+#: unchanged.  65k distinct words ≈ a few MB of strings.
+TINY_VOCAB_ROWS = 65_536
+
+
+def _driver_learn_merges(
+    rows: list, n_merges: int
+) -> tuple[list[tuple[str, str]], list[int]]:
+    """Driver-side twin of the distributed merge loop — the IDENTICAL
+    algorithm step by step (two-pass left-to-right ``str.replace`` has
+    the same non-overlapping semantics as Spark's ``replace``; the
+    argmax tie-break (count DESC, pair ASC) compares Python str by code
+    point, which equals Spark's UTF8 binary order), so a table learned
+    here is bit-equal to the distributed path's — pinned by
+    tests/test_bpe.py."""
+    vocab = [(s, int(f)) for s, f in rows]
+    merges: list[tuple[str, str]] = []
+    counts: list[int] = []
+    for _ in range(n_merges):
+        cnt: dict[str, int] = {}
+        for s, f in vocab:
+            syms = s.strip(" ").split(" ")
+            for i in range(len(syms) - 1):
+                pair = syms[i] + " " + syms[i + 1]
+                cnt[pair] = cnt.get(pair, 0) + f
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        x, y = pair.split(" ")
+        merges.append((x, y))
+        counts.append(cnt[pair])
+        pat, rep = f" {x} {y} ", f" {x}{y} "
+        vocab = [(s.replace(pat, rep).replace(pat, rep), f) for s, f in vocab]
+    return merges, counts
+
+
+def learn_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    driver_vocab_limit: int | None = TINY_VOCAB_ROWS,
+):
     """Learn a BPE merge table from a corpus — classic Sennrich et al.
     2016: start from characters, repeatedly merge the most frequent
     adjacent symbol pair.
@@ -139,7 +185,19 @@ def learn_merges(df, text_col: str = "text", n_merges: int = 8):
             F.lit(" "),
         ).alias("s"),
         "freq",
-    ).persist()
+    )
+    # Driver fast path (r12 optimization round): the corpus-scale work is
+    # the word count above; everything after iterates on the vocab.  When
+    # the vocab fits under the bound, the limit-collect below is the ONLY
+    # job — vs one pair-count aggregation job per merge (8 for the
+    # registry query, 32k for a production tokenizer).  The +1 row
+    # overflow probe makes oversized vocabs fall through to the
+    # distributed loop, whose per-iteration work is unchanged.
+    if driver_vocab_limit is not None:
+        head = spaced.limit(driver_vocab_limit + 1).collect()
+        if len(head) <= driver_vocab_limit:
+            return _driver_learn_merges([(r["s"], r["freq"]) for r in head], n_merges)
+    spaced = spaced.persist()
     # Cache policy: SLIDING WINDOW of the last 2 iteration frames.  Each
     # frame is vocab-sized (distinct words), so the per-frame cost is
     # small — but the merge COUNT scales with the target vocabulary

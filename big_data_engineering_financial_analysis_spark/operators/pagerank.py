@@ -30,6 +30,44 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: weighted_pagerank switches to its driver-side iteration regime when
+#: the graph is declared tiny (``n_nodes`` at or under this).  Same
+#: contract as the dedup connected-components TINY_GRAPH_EDGES fast
+#: path: the aggregated graph is bounded by n_nodes² edge rows — a
+#: model-sized collect (≤ 65k rows at the default) — and each of the
+#: ``iters`` driver iterations replaces one join + grouped-fold Spark
+#: job whose data is a handful of rows but whose fixed cost is 2-3
+#: stage round-trips.  Above the bound the distributed loop runs
+#: unchanged.
+TINY_PR_NODES = 256
+
+
+def _driver_pagerank(
+    spark, edge_rows, node_rows, node_field, n_nodes: int, iters: int, damping: float
+) -> DataFrame:
+    """Driver-side twin of the distributed iteration — the IDENTICAL
+    floating-point program (Python floats are IEEE doubles; the per-node
+    fold adds contributions in ascending src order exactly like
+    ``aggregate(array_sort(collect_list(struct(src, c))))``), so ranks
+    are bit-equal to the distributed path's — pinned by
+    tests/test_pagerank.py."""
+    nodes = [r[0] for r in node_rows]
+    edges = [(r["src"], r["dst"], r["w"], r["outw"]) for r in edge_rows]
+    edges.sort(key=lambda e: e[0])  # fold order: src ascending
+    pr = {v: 1.0 / n_nodes for v in nodes}
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        inc: dict = {}
+        for src, dst, w, outw in edges:  # already src-ascending
+            p = pr.get(src)
+            if p is None:
+                continue
+            inc[dst] = inc.get(dst, 0.0) + (p * w / outw)
+        pr = {v: teleport + damping * inc.get(v, 0.0) for v in nodes}
+    schema = T.StructType([node_field, T.StructField("pr", T.DoubleType())])
+    return spark.createDataFrame([(v, pr[v]) for v in nodes], schema)
 
 
 def weighted_pagerank(
@@ -39,6 +77,7 @@ def weighted_pagerank(
     iters: int = 5,
     damping: float = 0.85,
     truncate_lineage: bool = True,
+    driver_node_limit: int | None = TINY_PR_NODES,
 ) -> DataFrame:
     """``edges``: (src, dst, w) with integer weights; ``nodes``: (node);
     returns (node, pr) after ``iters`` synchronous iterations from the
@@ -59,6 +98,22 @@ def weighted_pagerank(
     """
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     e = edges.join(outw, "src")
+    if driver_node_limit is not None and n_nodes <= driver_node_limit:
+        # Driver fast path (r12 optimization round): the scalable work is
+        # the edge aggregation feeding ``edges``; one collect of the
+        # ≤ n_nodes²-row graph (+ the node list) replaces 1 + iters
+        # checkpoint jobs.  Out-weights are integer sums — exact under
+        # any aggregation order — so collecting AFTER the outw join keeps
+        # every FP input identical to the distributed loop's.
+        return _driver_pagerank(
+            edges.sparkSession,
+            e.collect(),
+            nodes.collect(),
+            nodes.schema.fields[0],
+            n_nodes,
+            iters,
+            damping,
+        )
     if truncate_lineage:
         # the graph feeds every iteration: materialize the (≤ |nodes|²
         # row) aggregate once instead of replaying the fact-scale edge

@@ -547,6 +547,14 @@ def semantic_dedup(
         .withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int"))
         .drop("dists")
     )
+    # the assignment feeds FOUR downstream references (the size count,
+    # both sides of the blocked pair join, and the final keep join); the
+    # n_cells × dim distance fold is the dominant per-row cost, and
+    # without a materialization boundary Catalyst plans — and runs — it
+    # once per reference.  Cache is one (id, vec, norm, cell) row per
+    # vector; callers own the lifetime (the embedding_dedup_pairs_lsh
+    # convention, spark.catalog.clearCache() sweeps).
+    assigned = assigned.persist()
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
     nblk = (
         F.when(F.col("cell_n") > hot_cell, F.ceil(F.col("cell_n") / F.lit(block)))

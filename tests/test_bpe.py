@@ -209,3 +209,18 @@ def test_duck_bpe_learn_matches_spark(spark, tmp_path):
     exp = sorted(exp)  # by merge_rank
     assert [(x, y) for _, x, y, _ in exp] == got_m
     assert [c for _, _, _, c in exp] == got_c
+
+
+def test_learn_driver_fast_path_matches_distributed(spark):
+    """r12 optimization: the vocab-sized driver merge loop must learn the
+    identical (merges, counts) as the distributed aggregation loop, and
+    an over-limit vocab must fall through to the distributed path."""
+    from big_data_engineering_financial_analysis_spark.operators.bpe import learn_merges
+    from big_data_engineering_financial_analysis_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = learn_merges(docs, n_merges=6)
+    slow = learn_merges(docs, n_merges=6, driver_vocab_limit=None)
+    assert fast == slow
+    overflow = learn_merges(docs, n_merges=6, driver_vocab_limit=1)
+    assert overflow == slow

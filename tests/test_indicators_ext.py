@@ -442,3 +442,33 @@ def test_pairs_spread_z_nonpositive_price_guard(spark):
     # day 2's window frame is [day1, day2] -> only 1 valid spread -> NULL mu
     assert _isnull(out[T0 + dt.timedelta(days=2)]["spread_mu"])
     assert out[T0 + dt.timedelta(days=3)]["spread_mu"] is not None
+
+
+def test_ohlc_grouped_matches_window_form(spark):
+    """r12 optimization: the volume-free grouped min_by/max_by form must
+    equal the row_number/count window form cell-for-cell.  The volume
+    path still runs the window form, so feeding a dummy volume column and
+    dropping it reconstructs the old plan over the same data."""
+    import pyspark.sql.functions as F
+
+    closes = [10.0, 12.0, 9.0, 11.0, 11.0, 3.0, 8.0]
+    df = _candles(spark, closes).unionByName(
+        _candles(spark, list(reversed(closes)), symbol="B", id0=100)
+    )
+    # squeeze several ticks per minute bucket (20s spacing) + exact ties
+    df = df.withColumn(
+        "local_time",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0, (event_id % 90) * 20)"
+        ),
+    ).drop("volume")
+    grouped = ix.ohlc_bars(df, volume_col=None)
+    window = ix.ohlc_bars(
+        df.withColumn("one", F.lit(1.0)), volume_col="one"
+    ).drop("volume")
+    key = ["stock_symbol", "bucket"]
+    g = grouped.toPandas().sort_values(key).reset_index(drop=True)
+    w = window.toPandas().sort_values(key).reset_index(drop=True)
+    assert list(g.columns) == list(w.columns)
+    assert g.equals(w)

@@ -149,3 +149,24 @@ def test_triangle_counts_on_known_graphs(spark):
     # one triangle + a pendant node and a disconnected node
     tri = [(0, 1), (1, 2), (2, 0), (2, 3)]
     assert run(tri, range(5)) == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    """r12 optimization: the tiny-graph driver iteration must be
+    bit-identical to the distributed join+fold loop (same IEEE program,
+    same in-src-order accumulation)."""
+    nodes = list(range(8))
+    edges = [(i, (i * 3 + 1) % 8, 1 + i % 3) for i in range(8)] + [
+        (0, 5, 7),
+        (3, 2, 4),
+        (7, 7, 2),
+    ]
+    e, n = _graph(spark, edges, nodes)
+    fast = {
+        r["node"]: r["pr"] for r in weighted_pagerank(e, n, 8, iters=4).collect()
+    }
+    slow = {
+        r["node"]: r["pr"]
+        for r in weighted_pagerank(e, n, 8, iters=4, driver_node_limit=None).collect()
+    }
+    assert fast == slow  # exact equality, not approx

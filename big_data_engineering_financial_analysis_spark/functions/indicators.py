@@ -85,6 +85,15 @@ def with_indicators(
     Scale note: parallelism = number of symbols; a single pathologically hot
     symbol should go through ``enrich_pandas``/streaming state instead.
     """
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # Pin the window exchange's parallelism on small inputs (see
+    # spread_by): AQE would coalesce the few-MB candle shuffle to one
+    # partition and serialize the per-key EMA fold — the kernel's
+    # dominant cost.  Value-neutral: rows only move between partitions,
+    # and every per-key computation below is a deterministic function of
+    # the key's ordered rows.
+    df = spread_by(df, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
     frame_sma = w.rowsBetween(-(sma_window - 1), 0)
     frame_rsi = w.rowsBetween(-(rsi_window - 1), 0)
@@ -244,6 +253,14 @@ def enrich_pandas(
 
     out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{out_fields}, {enriched_ddl_suffix()}"
+
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # same rationale as with_indicators: keep the Arrow/Python stage's
+    # parallelism pinned on small inputs instead of AQE-coalesced to one
+    # worker (the groupBy reuses the keyed partitioning — no extra
+    # Exchange)
+    df = spread_by(df, symbol_col)
 
     def compute(pdf):
         pdf = pdf.sort_values(time_col, kind="stable").reset_index(drop=True)

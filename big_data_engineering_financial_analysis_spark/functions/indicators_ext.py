@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.indicators import _ema_fold
+from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
 
 TRADING_DAYS = 252
 
@@ -75,12 +76,32 @@ def with_macd(
     collect_list skips NULLs, so the fold consumes exactly the non-null
     MACD prefix (the oracle mirrors with ``list(macd) FILTER (macd IS NOT
     NULL)``), gated on ``count(macd) >= signal`` non-null observations.
+
+    The fast and slow EMAs fold over ONE shared close-prefix column
+    (r12 optimization round): Spark does not common-subexpression-
+    eliminate identical window expressions, so two ``_gated_ema`` calls
+    would materialize the O(history) ``collect_list`` array — the
+    dominant per-row buffer cost — twice per row.  Same fold, same
+    inputs: values are unchanged.
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    df = spread_by(df, symbol_col)
     _, hist = _w(symbol_col, time_col, id_col)
+    df = df.withColumn("_close_n", F.count(close_col).over(hist)).withColumn(
+        "_close_hist", F.collect_list(close_col).over(hist)
+    )
+
+    def gated(span: int) -> Column:
+        return F.when(
+            F.col("_close_n") >= span,
+            _ema_fold(F.col("_close_hist"), 2.0 / (span + 1.0)),
+        )
+
     df = (
-        df.withColumn(f"ema_{fast}", _gated_ema(close_col, fast, hist))
-        .withColumn(f"ema_{slow}", _gated_ema(close_col, slow, hist))
+        df.withColumn(f"ema_{fast}", gated(fast))
+        .withColumn(f"ema_{slow}", gated(slow))
         .withColumn("macd", F.col(f"ema_{fast}") - F.col(f"ema_{slow}"))
+        .drop("_close_n", "_close_hist")
     )
     alpha = 2.0 / (signal + 1.0)
     df = df.withColumn(
@@ -146,7 +167,10 @@ def macd_pandas(
         pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
         return pdf
 
-    return df.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
+    # pin the Arrow stage's parallelism on small inputs (spread_by doc)
+    return spread_by(df, symbol_col).groupBy(symbol_col).applyInPandas(
+        compute, schema=out_schema
+    )
 
 
 def longest_history(df: DataFrame, symbol_col: str) -> int | None:
@@ -193,6 +217,8 @@ def with_bollinger(
     """Bollinger bands: SMA(window) +/- k * sample stddev, plus %B and
     bandwidth.  Degenerate flat windows (stddev 0) yield NULL %B via the
     nullif guard rather than a division blow-up."""
+    # pin window parallelism on small inputs (spread_by doc)
+    df = spread_by(df, symbol_col)
     w, _ = _w(symbol_col, time_col, id_col)
     frame = w.rowsBetween(-(window - 1), 0)
     full = F.count(close_col).over(frame) >= window
@@ -227,6 +253,8 @@ def with_stochastic(
     """Stochastic oscillator on a close-only stream: %K over the trailing
     ``k_window`` closes, %D = SMA(d_window) of %K (gated on d_window
     non-null %K values)."""
+    # pin window parallelism on small inputs (spread_by doc)
+    df = spread_by(df, symbol_col)
     w, _ = _w(symbol_col, time_col, id_col)
     kf = w.rowsBetween(-(k_window - 1), 0)
     df_frame = w.rowsBetween(-(d_window - 1), 0)
@@ -257,6 +285,8 @@ def with_vwap_obv(
     flat bars contribute 0 — the CASE falls through to the 0 branch on a
     NULL delta, matching the standard definition).
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    df = spread_by(df, symbol_col)
     w, hist = _w(symbol_col, time_col, id_col)
     close, vol = F.col(close_col), F.col(volume_col)
     # the lag must be materialized before it can feed another window's
@@ -281,6 +311,8 @@ def with_volatility(
 ) -> DataFrame:
     """Log returns + rolling sample stddev of the last ``window`` returns,
     annualized.  Non-positive prices yield NULL returns (guarded ln)."""
+    # pin window parallelism on small inputs (spread_by doc)
+    df = spread_by(df, symbol_col)
     w, _ = _w(symbol_col, time_col, id_col)
     close = F.col(close_col)
     prev = F.lag(close, 1).over(w)
@@ -469,6 +501,8 @@ def with_drawdown(
 ) -> DataFrame:
     """Per-row drawdown curve: close / running-max(close) - 1 (<= 0).
     ``min(drawdown)`` per symbol is the maximum drawdown."""
+    # pin window parallelism on small inputs (spread_by doc)
+    df = spread_by(df, symbol_col)
     _, hist = _w(symbol_col, time_col, id_col)
     run_max = F.max(close_col).over(hist)
     return df.withColumn("run_max", run_max).withColumn(
@@ -500,6 +534,8 @@ def with_atr_keltner(
     by one symbol's bar count (bars, not ticks — the OHLC resample
     upstream has already collapsed tick volume).
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    bars = spread_by(bars, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
     hist = w.rowsBetween(Window.unboundedPreceding, 0)
     prev = F.lag("close", 1).over(w)

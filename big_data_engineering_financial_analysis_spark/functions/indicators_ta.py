@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.indicators import _ema_fold
+from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
 from big_data_engineering_financial_analysis_spark.functions.indicators_ext import (
     TRADING_DAYS,
     longest_history,
@@ -71,6 +72,8 @@ def with_adx_dmi(
     Scale: every frame rides one ``PARTITION BY symbol ORDER BY time``
     sort — a single Exchange; per-reducer work is one symbol's bar count.
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    bars = spread_by(bars, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
     hist = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_h = F.lag("high", 1).over(w)
@@ -166,7 +169,10 @@ def adx_pandas(
         ).mean()
         return pdf
 
-    return bars.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
+    # pin the Arrow stage's parallelism on small inputs (spread_by doc)
+    return spread_by(bars, symbol_col).groupBy(symbol_col).applyInPandas(
+        compute, schema=out_schema
+    )
 
 
 def adx_auto(
@@ -225,7 +231,10 @@ def heikin_ashi_pandas(
         pdf["ha_low"] = np.minimum.reduce([l, ha_open, ha_close])
         return pdf
 
-    return bars.groupBy(symbol_col).applyInPandas(compute, schema=out_schema)
+    # pin the Arrow stage's parallelism on small inputs (spread_by doc)
+    return spread_by(bars, symbol_col).groupBy(symbol_col).applyInPandas(
+        compute, schema=out_schema
+    )
 
 
 def heikin_ashi_auto(
@@ -260,6 +269,8 @@ def with_ichimoku(
     plotted back).  No recursion, no UDF; one window family, one
     Exchange.
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    bars = spread_by(bars, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
 
     def midpoint(n_bars: int) -> Column:
@@ -304,6 +315,8 @@ def with_heikin_ashi(
     ha_high/ha_low fold the raw extremes against the smoothed open/close.
     One window family keyed on the symbol — a single Exchange.
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    bars = spread_by(bars, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
     hist = w.rowsBetween(Window.unboundedPreceding, 0)
     prefix = w.rowsBetween(Window.unboundedPreceding, -1)
@@ -350,6 +363,8 @@ def xsec_momentum(
     Rows with no trailing return (first ``lookback`` bars) are excluded
     before ranking so every bucket at every bar is fully populated.
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    bars = spread_by(bars, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
     ret = F.col("close") / F.nullif(F.lag("close", lookback).over(w), F.lit(0.0)) - 1.0
     scored = bars.withColumn("mom_ret", ret).filter(F.col("mom_ret").isNotNull())
@@ -394,6 +409,8 @@ def with_sharpe_sortino(
     (``nullif`` guard), matching the oracle.  One symbol-keyed window
     family — single Exchange.
     """
+    # pin window parallelism on small inputs (spread_by doc)
+    bars = spread_by(bars, symbol_col)
     w = Window.partitionBy(symbol_col).orderBy(time_col)
     frame = w.rowsBetween(-(window - 1), 0)
     ret = F.col("close") / F.nullif(F.lag("close", 1).over(w), F.lit(0.0)) - 1.0

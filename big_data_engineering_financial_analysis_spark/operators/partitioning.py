@@ -29,6 +29,34 @@ def pushdown_barrier(c: Column) -> Column:
     return F.element_at(F.shuffle(F.array(c)), 1)
 
 
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed :func:`spread`: hash-repartition to the cluster's default
+    parallelism on ``cols`` — only when the input is under-partitioned
+    (same ``inputFiles`` guard and streaming pass-through as
+    :func:`spread`).
+
+    Why keyed and why pinned (r12 optimization round): the symbol-keyed
+    window/fold kernels (EMA/Wilder ``aggregate()`` folds, applyInPandas
+    stages) get their Exchange from EnsureRequirements, and AQE then
+    coalesces it by SIZE — a few MB of candles collapse to ONE partition,
+    serializing per-key compute that is orders of magnitude heavier per
+    byte than the shuffle traffic AQE's sizing models (measured sf0.1:
+    adx_dmi 1.445 → 0.651 s, enrich 0.556 → 0.232 s).  A user-specified
+    ``repartition(n, key)`` is exempt from AQE coalescing, and the
+    kernel's required ClusteredDistribution(prefix of ``cols``) is
+    satisfied by it, so no second Exchange is planned.  On inputs already
+    wider than ``defaultParallelism`` (the 100 TB target) this is a
+    pass-through and AQE sizing governs — the partition count stays
+    scale-adaptive, never a local constant.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < target:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism — only when the
     input is under-partitioned.

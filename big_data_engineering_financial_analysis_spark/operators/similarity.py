@@ -189,9 +189,20 @@ def lsh_ann_topk(
     exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
         id_col, "tb.tbl", "tb.bucket"
     )
-    q_ex = (
-        exploded.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), "tbl", "bucket")
+    # Query-side collect-once (r12 optimization round, the ivf_ann_topk
+    # twin): ONE collect of the query rows — Spark computes their bucket
+    # keys with the exact corpus expression, so no arithmetic is
+    # re-derived driver-side — replaces the two lazy broadcast
+    # references to ``c``, each of which cost a separate
+    # broadcast-materialization job (cache scan + exchange).
+    spark = corpus.sparkSession
+    q_rows = c.filter(F.col(id_col).isin(query_ids)).select(
+        id_col, "vec", "norm", buckets.alias("tbs")
+    ).collect()
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    q_ex = spark.createDataFrame(
+        [(r[id_col], tb["tbl"], tb["bucket"]) for r in q_rows for tb in r["tbs"]],
+        f"query_id {id_ddl}, tbl int, bucket string",
     )
     cands = (
         exploded.join(F.broadcast(q_ex), ["tbl", "bucket"])
@@ -199,8 +210,9 @@ def lsh_ann_topk(
         .select("query_id", id_col)
         .distinct()
     )
-    q_vec = c.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    q_vec = spark.createDataFrame(
+        [(r[id_col], list(r["vec"]), r["norm"]) for r in q_rows],
+        f"query_id {id_ddl}, qvec array<double>, qnorm double",
     )
     scored = (
         cands.join(c, id_col)
@@ -343,27 +355,39 @@ def ivf_ann_topk(
     # feeds cell assignment, probes, query vectors, and the scored join
     c = c.withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int")).persist()
 
-    thr = F.element_at(F.array_sort("dists"), n_probe)
-    probes = (
-        c.filter(F.col(id_col).isin(query_ids))
-        .withColumn(
-            "pcell",
-            F.explode(
-                F.filter(
-                    F.sequence(F.lit(1), F.lit(n_cells)),
-                    lambda i: F.element_at(F.col("dists"), i) <= thr,
-                )
-            ),
-        )
-        .select(F.col(id_col).alias("query_id"), F.col("pcell").cast("int").alias("pcell"))
+    # Query-side collect-once (r12 optimization round): the query set is
+    # a handful of ids, so collect their (vec, norm, dists) rows in ONE
+    # job — which also materializes the persisted corpus cache — and
+    # derive the probe set and query-vector table as driver literals.
+    # The old shape derived both from ``c`` lazily, which cost one
+    # broadcast-materialization job each (cache scan + exchange) per
+    # reference.  The probe rule is arithmetically identical: collected
+    # doubles are the same IEEE values, ``sorted(d)[n_probe-1]`` is
+    # exactly ``element_at(array_sort(dists), n_probe)``, and the ``<=``
+    # comparison is exact — so ties expand the probe set the same way.
+    spark = corpus.sparkSession
+    q_rows = c.filter(F.col(id_col).isin(query_ids)).select(
+        id_col, "vec", "norm", "dists"
+    ).collect()
+    probe_pairs = []
+    for r in q_rows:
+        d = list(r["dists"])
+        if len(d) < n_probe:
+            continue  # old shape: element_at past the end -> NULL thr -> no probes
+        thr = sorted(d)[n_probe - 1]
+        probe_pairs += [(r[id_col], i + 1) for i, x in enumerate(d) if x <= thr]
+    probes = spark.createDataFrame(
+        probe_pairs, f"query_id {corpus.schema[id_col].dataType.simpleString()}, pcell int"
     )
     cands = (
         c.join(F.broadcast(probes), (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("query_id")))
         .select("query_id", id_col)
         .distinct()
     )
-    q_vec = c.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    q_vec = spark.createDataFrame(
+        [(r[id_col], list(r["vec"]), r["norm"]) for r in q_rows],
+        f"query_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "qvec array<double>, qnorm double",
     )
     scored = (
         cands.join(c.select(id_col, "vec", "norm"), id_col)

@@ -97,6 +97,41 @@ def shingles(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def sql_double_literal(x: float | None) -> str:
+    """Exact SQL text for one double.  ``CAST('<repr>' AS DOUBLE)``
+    parses with ``Double.parseDouble`` — a correctly-rounded decimal →
+    binary conversion — and Python ``repr`` emits the shortest
+    round-trip decimal, so the reconstructed IEEE bits are identical to
+    the source float for every finite, infinite and NaN value."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf") or x == float("-inf"):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def double_array_literal(nested) -> Column:
+    """(Nested) array-of-doubles literal via ONE parsed SQL expression.
+
+    The centroid / hyperplane / codebook literal tables these constants
+    feed are built thousands of scalars at a time; composing them as
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per scalar —
+    measured 0.7-1.1 s per ANN query CONSTRUCTION at 16x64 doubles (r13
+    optimization round), pure driver-side Python↔JVM chatter.  A single
+    ``F.expr`` ships one SQL string and parses server-side in ~ms; after
+    constant folding the optimized plan holds the identical
+    array literal (:func:`sql_double_literal` is bit-exact), so
+    downstream plans and values are unchanged."""
+    def fmt(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(fmt(x) for x in v) + ")"
+        return sql_double_literal(v)
+
+    return F.expr(fmt(nested))
+
+
 def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     """Deterministic IVF coarse-quantizer centroids (md5-derived),
     scaled to the UNIT SHELL: uniform [-1,1] coordinates have

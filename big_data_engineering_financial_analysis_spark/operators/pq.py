@@ -91,12 +91,15 @@ def _normalized(df: DataFrame, vec_col: str = "vec") -> DataFrame:
 
 
 def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb_j])
-            for cb_j in codebooks
-        ]
+    # one parsed SQL string instead of m*k*dsub py4j F.lit round-trips —
+    # the codebook literal is 1024 scalars at the defaults, and per-scalar
+    # construction dominated query-construction time (r13; see
+    # functions.hashing.double_array_literal)
+    from big_data_engineering_financial_analysis_spark.functions.hashing import (
+        double_array_literal,
     )
+
+    return double_array_literal(codebooks)
 
 
 def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:

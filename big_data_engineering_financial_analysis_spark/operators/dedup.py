@@ -1126,6 +1126,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     truncate_lineage: bool = True,
+    driver_threshold: int | None = TINY_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (node, component) with
     component = the minimum node id reachable — the cluster step that
@@ -1156,6 +1157,21 @@ def connected_components(
     anyway, so this is free), keeping every round's plan — and the
     returned one — constant-sized at any depth.  Values are identical
     either way; pass ``False`` to keep the pure lazy lineage.
+
+    **Driver auto-switch** (``driver_threshold``, default
+    ``TINY_GRAPH_EDGES`` — r13, the r12 verdict's ask #4): the same
+    bounded fast path :func:`connected_components_star` has carried
+    since r12.  A ``limit(threshold + 1)`` overflow-probe collect of the
+    canonical (hi, lo) edge set (the bpe_learn pattern: the probe IS the
+    data fetch) replaces the 2-3 eager-checkpoint + convergence-count
+    jobs per round with ONE job when the dup graph is tiny; the labels
+    come from the shared exact :class:`_UnionFind` kernel (component =
+    min reachable id, the identical contract) as a LocalRelation whose
+    downstream scans are free.  Above the threshold the distributed loop
+    runs EXACTLY as before (the probe costs one bounded early-stop job —
+    the price connected_components_star already pays for its edge
+    count); ``driver_threshold=0``/``None`` pins the distributed path
+    (parity tests do).
     """
 
     def _pin(df):
@@ -1171,6 +1187,21 @@ def connected_components(
     pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     rev = pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    if driver_threshold:
+        # canonical (hi, lo) form: self-loops KEPT so a node appearing
+        # only in self-pairs still gets its singleton label — the exact
+        # node-set parity argument of connected_components_star
+        probe = (
+            fwd.unionByName(rev)
+            .filter(F.col("u") >= F.col("v"))
+            .distinct()
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            return _driver_union_find(
+                pairs.sparkSession, probe, pairs.schema[id_a].dataType
+            )
     edges = _pin(fwd.unionByName(rev).distinct())
     labels = _pin(edges.select("u").distinct().withColumn("label", F.col("u")))
     converged = False

@@ -55,7 +55,15 @@ def _driver_pagerank(
     tests/test_pagerank.py."""
     nodes = [r[0] for r in node_rows]
     edges = [(r["src"], r["dst"], r["w"], r["outw"]) for r in edge_rows]
-    edges.sort(key=lambda e: e[0])  # fold order: src ascending
+    # fold order: ascending (src, w) — the distributed fold sorts
+    # struct(src, c) and c = pr(src)*w/outw is strictly monotone in w
+    # for fixed src (pr, outw are per-src constants and pr > 0), so this
+    # reproduces its within-src order even on MULTIGRAPH inputs with
+    # duplicate (src, dst) rows, where a src-only sort left the tie
+    # order to the nondeterministic collect order (advice r12).  Equal w
+    # ties contribute equal doubles, so their mutual order cannot change
+    # the sum.
+    edges.sort(key=lambda e: (e[0], e[2]))
     pr = {v: 1.0 / n_nodes for v in nodes}
     teleport = (1.0 - damping) / n_nodes
     for _ in range(iters):

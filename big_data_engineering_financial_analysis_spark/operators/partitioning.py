@@ -48,6 +48,16 @@ def spread_by(df: DataFrame, *cols: str) -> DataFrame:
     wider than ``defaultParallelism`` (the 100 TB target) this is a
     pass-through and AQE sizing governs — the partition count stays
     scale-adaptive, never a local constant.
+
+    Guard caveat (advice/verdict r12): ``inputFiles()`` is empty for any
+    non-file lineage — createDataFrame test frames (tiny by
+    construction, the repartition is the safe default) but also a future
+    non-file PRODUCTION batch source (Kafka batch, JDBC), which would
+    take a gratuitous full shuffle per call site; likewise a large input
+    stored as FEW big splittable files repartitions even though the scan
+    already splits wider than the file count.  If such sources appear,
+    gate on estimated input bytes or the plan's existing partitioning
+    instead of file count.
     """
     if df.isStreaming:
         return df

@@ -28,6 +28,13 @@ def last_per_group(
     ``ascending`` spares min-per-group callers a synthesized negated
     helper column (which risks colliding with or leaking into schemas).
     """
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # pin the rank window's parallelism on small inputs (r13: the r12
+    # round measured this family neutral at 32 cores only; re-probed at
+    # 8 AND 32 cores isolated min-of-5 — last_per_minute 0.79 -> 0.58 s
+    # at 8 cores; see OPTIMIZATION_r13.md.  Selection-only: value-neutral.)
+    df = spread_by(df, *keys)
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = Window.partitionBy(*keys).orderBy(order)
     return (
@@ -58,6 +65,11 @@ def latest_per_key(
             F.expr(f"max_by(`{c}`, `{time_col}`)").alias(c) for c in value_cols
         ]
         return df.groupBy(key).agg(*aggs)
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # pin the rank window's parallelism on small inputs (r13; the max_by
+    # branch above needs nothing — its partial aggregation is map-side)
+    df = spread_by(df, key)
     w = Window.partitionBy(key).orderBy(
         F.col(time_col).desc(), F.col(tiebreak_col).desc()
     )
@@ -82,6 +94,13 @@ def feature_windows(
     matching the reference's ``scaled_data[i-60:i]`` slices.  Rows without a
     full window are dropped (``size == lookback``), like ``range(60, len)``.
     """
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # pin the window's parallelism on small inputs (r13: isolated
+    # min-of-5 0.75 -> 0.49 s at 8 cores, 0.80 -> 0.48 s at 32; the
+    # per-row collect_list buffer makes this the heaviest of the light
+    # window family).  Frame contents per key are unchanged: value-neutral.
+    df = spread_by(df, key_col)
     w = (
         Window.partitionBy(key_col)
         .orderBy(time_col)

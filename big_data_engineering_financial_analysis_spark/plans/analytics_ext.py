@@ -132,6 +132,13 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     threshold; the running sum of starts numbers the sessions per user.
     One shuffle (by user), two window passes over the same partitioning.
     """
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # pin the window's parallelism on small inputs (r13, 8-core probe —
+    # spread_by doc).  Per-user rows stay co-located and (ts)-sorted, so
+    # the session numbering and the session_value accumulation order are
+    # unchanged: value-neutral.
+    events = spread_by(events, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(F.col("ts")).over(w)
@@ -187,6 +194,12 @@ def trailing_time_avg(events: DataFrame, window_s: int = 3600) -> DataFrame:
     frame membership (interval semantics vary across engines; epoch
     microseconds do not).
     """
+    from big_data_engineering_financial_analysis_spark.operators.partitioning import spread_by
+
+    # pin the window's parallelism on small inputs (r13, 8-core probe —
+    # spread_by doc); frame membership and in-frame order per key are
+    # unchanged: value-neutral
+    events = spread_by(events, "user_id")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))

@@ -825,6 +825,57 @@ for _name in RETIRED_R7:
 #:   (r11-latest) and panel_*_sharded (r10-latest, rotate r13): all
 #:   value_quartiles treatment (driver-sim MATCH re-run in-session +
 #:   the storage pytest sweep); driver rows land on schedule.
+#: Round-13 window — exactly the 49-row r10-latest tier the rotation
+#: policy obliges (tools/staleness_audit.py, re-run this round:
+#: latest-row distribution entering r13 is r12:50 / r11:50 / r10:49),
+#: plus ONE changed-code slot.  The r12 verdict's ask #8 is satisfied by
+#: construction: the round's highest-risk changed rows — ann_lsh /
+#: ann_ivf (literal-probe rework), ohlc_bars (volume-path grouped
+#: fold), nation_pagerank (driver fold tie-break), macd_12_26 (temp-col
+#: guard), dedup_semantic / dedup_embedding / emb_project /
+#: ann_bruteforce (shared literal builders), stochastic_14,
+#: bpe_tokenize — are ALL in the obliged tier already (they were the
+#: r10 window).  Changed-code accounting for rows OUTSIDE the tier:
+#: * dedup_clusters (new min-label driver union-find fast path) — takes
+#:   the free slot below (r12-latest, but an entirely new execution
+#:   path deserves a driver row over a staleness refresh in the final
+#:   round).
+#: * xsec_momentum (stage-2 keyed spread), feature_windows /
+#:   last_per_minute / sessionize / trailing_time_avg / latest_per_key
+#:   (keyed spreads), enrich_indicators / enrich_incremental
+#:   (metadata-probe routing), ann_pq / ann_pq_rerank / ann_ivf_pq
+#:   (codebook literal builder): all value-neutral plan/probe changes
+#:   with r11/r12-latest driver rows — the value_quartiles treatment
+#:   (in-session full-registry driver-sim MATCH sweep, re-run after the
+#:   last code change this round, + the new parity pytests:
+#:   test_connected_components_driver_fast_path_matches_distributed,
+#:   test_ohlc_volume_grouped_matches_window_form,
+#:   test_frame_path_matches_replace_chain).
+_DRIVER_PRIORITY_R13 = [
+    # (a) changed-code free slot: the r13 min-label CC driver fast path
+    "dedup_clusters",
+    # (c) latest driver row is r10 — refresh now or violate the policy
+    # (49 rows = registered ∩ latest==r10, from tools/staleness_audit.py)
+    "ann_bruteforce", "ann_ivf", "ann_lsh", "anomaly_zscore",
+    "binary_payload", "bm25_search", "bollinger_20", "bpe_tokenize",
+    "cap_per_lang", "cohort_retention", "corpus_prep", "corpus_scrub",
+    "dedup_clusters_incremental", "dedup_embedding", "dedup_exact",
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_semantic", "dedup_simhash", "funnel_analysis",
+    "incremental_rollup", "local_supplier_volume", "macd_12_26",
+    "max_drawdown", "nation_pagerank", "ohlc_bars",
+    "panel_candlestick_sharded", "panel_indicator_series_sharded",
+    "panel_price_series_serve", "panel_price_series_sharded",
+    "pricing_summary", "quality_score", "rank_functions",
+    "robust_anomaly", "salted_topk_orders", "scd2_pit_join",
+    "seq_packing", "shipping_priority", "stochastic_14",
+    "summarize_multiple", "temporal_split", "text_quality",
+    "tfidf_top_terms", "train_val_split", "unpivot_close_stats",
+    "vocab_topk", "volatility_20", "weighted_sample",
+]
+
+#: Round-12 window (superseded by _DRIVER_PRIORITY_R13 above; kept for
+#: the accounting trail — the comments above it describe this list).
 _DRIVER_PRIORITY_R12 = [
     # (c) latest driver row is r9 — refresh now or violate the policy
     # (50 rows = registered ∩ latest==r9, from tools/staleness_audit.py)
@@ -933,7 +984,7 @@ for _name in RETIRED_R8:
     QUERIES.pop(_name, None)
     ORACLES.pop(_name, None)
 
-_DRIVER_PRIORITY = _DRIVER_PRIORITY_R12
+_DRIVER_PRIORITY = _DRIVER_PRIORITY_R13
 QUERIES = {name: QUERIES[name] for name in _DRIVER_PRIORITY if name in QUERIES} | {
     name: fn for name, fn in QUERIES.items() if name not in _DRIVER_PRIORITY
 }

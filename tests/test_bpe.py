@@ -224,3 +224,62 @@ def test_learn_driver_fast_path_matches_distributed(spark):
     assert fast == slow
     overflow = learn_merges(docs, n_merges=6, driver_vocab_limit=1)
     assert overflow == slow
+
+
+def test_frame_path_matches_replace_chain(spark):
+    """r13 escape hatch: the Arrow-batched memoized worker path of
+    bpe_pieces_frame must equal the codegen replace chain CELL-FOR-CELL
+    on the real corpus plus adversarial strings (overlapping repeats,
+    mixed whitespace, tabs, NULL, empty) — same merge table, worker
+    path forced via chain_max=0 (the chain reference is only buildable
+    at small merge counts; at 264+ the column-node conversion
+    StackOverflows, which is the hatch's reason to exist)."""
+    from big_data_engineering_financial_analysis_spark.operators.bpe import (
+        REPLACE_CHAIN_MAX_MERGES,
+        bpe_pieces_frame,
+    )
+
+    merges = list(BPE_MERGES) + [("x", "q"), ("xq", "z"), ("l", "l"), ("ll", "ll")]
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (9001, "lllll thththth xqz xxqqzz"),
+            (9002, "  a \t the joined  "),
+            (9003, ""),
+            (9004, None),
+            (9005, "BATCHbatch Spark TABLE"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+
+    fast = bpe_pieces_frame(df, merges=merges, chain_max=0)  # force worker path
+    assert "MapInPandas" in fast._jdf.queryExecution().optimizedPlan().toString()
+    chain = df.withColumn("pieces", bpe_pieces(F.col("text"), merges))
+
+    f = {r["doc_id"]: r["pieces"] for r in fast.collect()}
+    c = {r["doc_id"]: r["pieces"] for r in chain.collect()}
+    assert f == c
+
+    # default routing: the demo table keeps the chain, an oversized
+    # learned table takes the worker path and still tokenizes sanely
+    small = bpe_pieces_frame(df, merges=BPE_MERGES)
+    assert "MapInPandas" not in small._jdf.queryExecution().optimizedPlan().toString()
+    big = merges + [
+        (f"{a}{b}{c}", "qq")
+        for a in "bcdfghjkmnpvw"
+        for b in "bcdfghjkmnpvw"
+        for c in "bcdf"
+    ][: REPLACE_CHAIN_MAX_MERGES]
+    assert len(big) > REPLACE_CHAIN_MAX_MERGES
+    routed = bpe_pieces_frame(extra, merges=big)
+    assert "MapInPandas" in routed._jdf.queryExecution().optimizedPlan().toString()
+    got = {r["doc_id"]: r["pieces"] for r in routed.collect()}
+    assert got[9003] == [""] and got[9004] is None
+    # the padding merges never fire on these strings, so the oversized
+    # table tokenizes exactly like the 34-merge one
+    assert got == {r["doc_id"]: r["pieces"]
+                   for r in bpe_pieces_frame(extra, merges=merges, chain_max=0).collect()}

@@ -143,9 +143,40 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1)
+        # driver_threshold=0 pins the distributed loop: the r13 driver
+        # union-find fast path is exact at any diameter, so max_iter is a
+        # distributed-regime contract (the star-CC test convention)
+        dedup.connected_components(pairs, max_iter=1, driver_threshold=0)
     out = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
     assert set(out.values()) == {1}
+
+
+def test_connected_components_driver_fast_path_matches_distributed(spark):
+    """r13: min-label CC's tiny-graph driver union-find (the default
+    regime under TINY_GRAPH_EDGES) labels exactly like the pinned
+    distributed loop — chain, clique, islands, duplicate pairs,
+    self-loops, and a node linked only by a self-pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)]        # chain
+        + [(10, 11), (10, 12), (11, 12)]         # clique
+        + [(20, 21), (21, 20), (20, 21)]         # dups both directions
+        + [(30, 30)]                              # self-pair-only node
+        + [(40, 41)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(dedup.connected_components(pairs).collect())
+    slow = sorted(dedup.connected_components(pairs, driver_threshold=0).collect())
+    assert fast == slow
+    # the fast path really is driver-resident (LocalRelation plan)
+    plan = (
+        dedup.connected_components(pairs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .getClass()
+        .getSimpleName()
+    )
+    assert plan == "LocalRelation"
+    spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("threshold", [0, dedup.TINY_GRAPH_EDGES])
@@ -221,7 +252,9 @@ def test_connected_components_star_beats_diameter_bound(spark):
         [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs)  # diameter 59 > max_iter 20
+        # diameter 59 > max_iter 20 (distributed loop pinned: the driver
+        # union-find fast path converges at any diameter)
+        dedup.connected_components(pairs, driver_threshold=0)
     out = {
         r.node: r.component
         for r in dedup.connected_components_star(
@@ -308,12 +341,23 @@ def test_connected_components_truncation_value_identical_and_plan_flat(spark):
         )
 
     pairs = chain(6)
-    a = sorted(dedup.connected_components(pairs, truncate_lineage=True).collect())
-    b = sorted(dedup.connected_components(pairs, truncate_lineage=False).collect())
+    # driver_threshold=0 pins the distributed loop: lineage truncation is
+    # a distributed-regime property (the driver path returns a
+    # LocalRelation whose plan is trivially constant-sized)
+    a = sorted(
+        dedup.connected_components(
+            pairs, truncate_lineage=True, driver_threshold=0
+        ).collect()
+    )
+    b = sorted(
+        dedup.connected_components(
+            pairs, truncate_lineage=False, driver_threshold=0
+        ).collect()
+    )
     assert a == b
 
     def plan_size(n):
-        out = dedup.connected_components(chain(n))
+        out = dedup.connected_components(chain(n), driver_threshold=0)
         return len(out._jdf.queryExecution().optimizedPlan().toString())
 
     # diameter 2 vs diameter 9: ~2 vs ~9 propagation rounds

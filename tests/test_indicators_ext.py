@@ -464,11 +464,71 @@ def test_ohlc_grouped_matches_window_form(spark):
         ),
     ).drop("volume")
     grouped = ix.ohlc_bars(df, volume_col=None)
+    # an INT dummy volume routes to the legacy row_number/count window
+    # form (r13: a DOUBLE volume now takes the grouped order-pinned fold)
     window = ix.ohlc_bars(
-        df.withColumn("one", F.lit(1.0)), volume_col="one"
+        df.withColumn("one", F.lit(1)), volume_col="one"
     ).drop("volume")
     key = ["stock_symbol", "bucket"]
     g = grouped.toPandas().sort_values(key).reset_index(drop=True)
     w = window.toPandas().sort_values(key).reset_index(drop=True)
     assert list(g.columns) == list(w.columns)
     assert g.equals(w)
+
+
+def test_ohlc_volume_grouped_matches_window_form(spark):
+    """r13 optimization: the double-volume grouped form (min_by/max_by +
+    order-pinned collect_list fold) must equal the old row_number/count
+    window form BIT-FOR-BIT — including the FP addition order, probed
+    with order-sensitive magnitudes ([1e16, 1.0, -1e16] sums to 0.0 in
+    (time, id) order and to 1.0 reversed) and NULL volumes."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    closes = [10.0, 12.0, 9.0, 11.0, 11.0, 3.0, 8.0, 5.0, 6.0]
+    vols = [1e16, 1.0, -1e16, None, 0.25, 1e16, -1.0, -1e16, None]
+    df = _candles(spark, closes).unionByName(
+        _candles(spark, list(reversed(closes)), symbol="B", id0=100)
+    )
+    # squeeze several ticks per minute bucket (20s spacing) so the
+    # order-sensitive volumes land in one bucket in a known order
+    df = (
+        df.withColumn(
+            "local_time",
+            F.expr(
+                "timestamp '2024-01-01 00:00:00'"
+                " + make_interval(0,0,0,0,0,0, (event_id % 90) * 20)"
+            ),
+        )
+        .withColumn(
+            "volume",
+            F.element_at(
+                F.array(*[F.lit(v).cast("double") for v in vols]),
+                (F.col("event_id") % F.lit(len(vols))).cast("int") + 1,
+            ),
+        )
+    )
+    grouped = ix.ohlc_bars(df)  # double volume -> r13 grouped fold
+
+    # the pre-r13 window form, verbatim
+    b = df.withColumn("bucket", F.date_trunc("minute", F.col("local_time")))
+    w_ = W.partitionBy("stock_symbol", "bucket").orderBy("local_time", "event_id")
+    part = W.partitionBy("stock_symbol", "bucket")
+    b = b.withColumn("rn", F.row_number().over(w_)).withColumn(
+        "cnt", F.count(F.lit(1)).over(part)
+    )
+    legacy = b.groupBy("stock_symbol", "bucket").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("close"))).alias("open"),
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("close"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("volume").alias("volume"),
+    )
+    key = ["stock_symbol", "bucket"]
+    g = grouped.toPandas().sort_values(key).reset_index(drop=True)
+    le = legacy.toPandas().sort_values(key).reset_index(drop=True)
+    assert list(g.columns) == list(le.columns)
+    assert g.equals(le)
+    # schema parity (nullable double volume either way)
+    assert grouped.schema["volume"].dataType.simpleString() == "double"

@@ -603,6 +603,25 @@ def main() -> None:
         "extra_inflation": extra_inflation,
         "headline_inflation": headline_inflation,
     }
+    # Extras visibility in the tail window (r12 verdict ask #2/#3): the
+    # driver records only the LAST ~2000 chars of stdout, so the verbose
+    # payload's 59-query extras dict never survives into the recorded
+    # artifact — per-query extras were invisible to cross-round
+    # comparison.  Carry the WORST extras by seconds (the rows that
+    # dominate extra_total and any regression signal) in the summary
+    # line, as many as fit a fixed byte budget that keeps the whole
+    # summary line safely inside the tail window.  Additions only: no
+    # existing field changes, no timing methodology change.
+    SUMMARY_BYTE_BUDGET = 1900
+    top = sorted(extra.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    while top:
+        summary["extra_top"] = dict(top)
+        if len(json.dumps(summary)) <= SUMMARY_BYTE_BUDGET:
+            break
+        top = top[:-1]
+    else:
+        # nothing fit (or extras disabled): don't ship a misleading key
+        summary.pop("extra_top", None)
     print(json.dumps(summary))
     spark.stop()
 

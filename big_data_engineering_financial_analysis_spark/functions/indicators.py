@@ -231,7 +231,7 @@ def enrich_auto(
         longest_history,
     )
 
-    longest = longest_history(df, symbol_col)
+    longest = longest_history(df, symbol_col, fold_limit)
     if longest is not None and longest > fold_limit:
         out = enrich_pandas(df, symbol_col, time_col, close_col)
         # align column order with the window path (selects downstream are

@@ -202,32 +202,39 @@ _INJECTIVE_CASTS = {
 }
 
 
-def _metadata_longest(df: DataFrame, symbol_col: str) -> int | None:
-    """EXACT longest per-key row count from parquet footers + a
-    driver-side key-column read — zero Spark jobs — or None when it
-    cannot be proven exact/cheap (any surprise degrades to the Spark
-    aggregate, never the other way).
+def _metadata_longest(df: DataFrame, symbol_col: str) -> tuple[int, bool] | None:
+    """Longest per-key row count from parquet footers + a driver-side
+    key-column read — zero Spark jobs — as ``(value, exact)``, or None
+    when it cannot be derived cheaply (any surprise degrades to the
+    Spark aggregate, never the other way).
 
     The r12 verdict measured the ``*_auto`` routing probe at ~0.12 s per
     query construction at sf0.1 — all Spark job floor, not aggregation.
     This fast path walks the OPTIMIZED plan and engages only when the
-    frame is a pure projection chain over one parquet relation
-    (``Project* -> LogicalRelation`` — no Filter/Join/Generate/
-    Aggregate, so footer row counts are the frame's row counts exactly)
-    AND ``symbol_col`` resolves through the projections to a source
-    column via identity or a provably injective cast
+    frame is a Project/Filter chain over one parquet relation (no
+    Join/Generate/Aggregate/Union — nothing that can INCREASE per-key
+    counts) AND ``symbol_col`` resolves through the projections to a
+    source column via identity or a provably injective cast
     (:data:`_INJECTIVE_CASTS` — ``cast(user_id as string)`` in the
     candle frames), so per-key counts are preserved.  The key column of
     a bounded frame (:data:`METADATA_PROBE_MAX_ROWS`) is then read with
-    pyarrow and counted driver-side: the same integer the count
-    aggregate returns, computed from the same files.
+    pyarrow and counted driver-side.  With no Filter in the chain the
+    result is EXACT — the same integer the count aggregate returns,
+    computed from the same files; with Filters it is an UPPER BOUND
+    (filters only remove rows), which callers may use only on the safe
+    side of a routing comparison (upper bound <= limit implies the true
+    longest is too).
     """
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         name = symbol_col
+        exact = True
         while True:
             cls = plan.getClass().getSimpleName()
-            if cls == "Project":
+            if cls == "Filter":
+                exact = False  # footer counts become an upper bound
+                plan = plan.child()
+            elif cls == "Project":
                 exprs = plan.projectList()
                 resolved = None
                 for i in range(exprs.size()):
@@ -256,7 +263,7 @@ def _metadata_longest(df: DataFrame, symbol_col: str) -> int | None:
             elif cls == "LogicalRelation":
                 break
             else:
-                return None  # Filter/Join/... : counts not provable from footers
+                return None  # Join/Generate/... : counts not provable from footers
         files = [
             f[7:] if f.startswith("file://") else f for f in df.inputFiles()
         ]
@@ -278,25 +285,33 @@ def _metadata_longest(df: DataFrame, symbol_col: str) -> int | None:
         # a NULL key is its own group under Spark's groupBy; some pyarrow
         # versions exclude nulls from value_counts, so take the max with
         # the null count either way (if included, it's already <= longest)
-        return max(longest, col.null_count)
+        return max(longest, col.null_count), exact
     except Exception:  # noqa: BLE001 — introspection is best-effort
         return None
 
 
-def longest_history(df: DataFrame, symbol_col: str) -> int | None:
+def longest_history(
+    df: DataFrame, symbol_col: str, fold_limit: int | None = None
+) -> int | None:
     """Longest per-key row count — the shared probe behind every
     ``*_auto`` fold-vs-pandas routing switch (enrich_auto, macd_auto,
     adx_auto, heikin_ashi_auto).
 
-    Scan-shaped bounded frames take the EXACT driver-side parquet-footer
-    probe (:func:`_metadata_longest` — no Spark job, ~ms); everything
-    else runs the original count aggregate, map-side combined:
-    metadata-sized at any scale.  Both produce the identical integer, so
-    routing — and therefore results, which are bit-identical on both
-    routes anyway — never depends on which probe ran."""
+    Scan-shaped bounded frames take the driver-side parquet-footer probe
+    (:func:`_metadata_longest` — no Spark job, ~ms): EXACT results are
+    returned directly (the identical integer the count aggregate
+    returns); a filtered frame's UPPER BOUND is returned only when the
+    caller supplied its ``fold_limit`` and the bound is at or under it —
+    the one comparison every ``*_auto`` switch makes, where
+    ``upper <= limit`` implies the true longest is too, so routing (and
+    therefore results, bit-identical on both routes anyway) never
+    depends on which probe ran.  Everything else runs the original count
+    aggregate, map-side combined: metadata-sized at any scale."""
     fast = _metadata_longest(df, symbol_col)
     if fast is not None:
-        return fast
+        val, exact = fast
+        if exact or (fold_limit is not None and val <= fold_limit):
+            return val
     return (
         df.groupBy(symbol_col)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -318,7 +333,7 @@ def macd_auto(
     (:func:`longest_history`), fold below ``fold_limit`` rows/key,
     pandas above.  Both paths are bit-identical (asserted in tests), so
     the switch only changes the physical plan, never results."""
-    longest = longest_history(df, symbol_col)
+    longest = longest_history(df, symbol_col, fold_limit)
     if longest is not None and longest > fold_limit:
         return macd_pandas(df, symbol_col, time_col, close_col, id_col=id_col)
     return with_macd(df, symbol_col, time_col, id_col, close_col)

@@ -187,7 +187,7 @@ def adx_auto(
     below ``fold_limit`` bars/key, pandas above.  Both paths are
     bit-identical, so the switch only changes the physical plan, never
     results."""
-    longest = longest_history(bars, symbol_col)
+    longest = longest_history(bars, symbol_col, fold_limit)
     if longest is not None and longest > fold_limit:
         return adx_pandas(bars, symbol_col, time_col, n)
     return with_adx_dmi(bars, symbol_col, time_col, n)
@@ -245,7 +245,7 @@ def heikin_ashi_auto(
 ) -> DataFrame:
     """Heikin-Ashi with automatic fold/pandas path selection — same
     probe-and-switch contract as :func:`adx_auto`."""
-    longest = longest_history(bars, symbol_col)
+    longest = longest_history(bars, symbol_col, fold_limit)
     if longest is not None and longest > fold_limit:
         return heikin_ashi_pandas(bars, symbol_col, time_col)
     return with_heikin_ashi(bars, symbol_col, time_col)

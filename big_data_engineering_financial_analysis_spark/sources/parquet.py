@@ -73,14 +73,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+class _LazyTables(dict):
+    """dict of table name -> DataFrame that reads each parquet table on
+    FIRST access (r13): ``spark.read.parquet`` costs ~60-90 ms of driver
+    work per table (footer/schema resolution), and the eager ten-table
+    dict charged every consumer for all ten — measured ~0.4 s of the
+    ``local_supplier_volume`` construction for four tables the query
+    never touches.  Unaccessed tables are never read; accessed ones are
+    memoized like the old dict."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark, self._sf_dir = spark, sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        df = load_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+    return _LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for ``spark.sql`` queries."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    tables = load_tables(spark, sf_dir)
+    for name in TABLES:
+        tables[name].createOrReplaceTempView(name)
 
 
 def candles_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
